@@ -1,0 +1,98 @@
+"""Relational helpers with semantics worth naming (SURVEY.md §7 step 3).
+
+Everything here is a thin, tested composition of built-in DataFrame ops --
+no UDFs, fully inside Catalyst/whole-stage-codegen. Bare ``select`` /
+``filter`` / ``withColumn`` are used directly at call sites and deliberately
+not wrapped.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column | str],
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic keyed dedup: keep exactly one row per key, the first
+    under ``order_by`` (+ ``tiebreakers`` to break residual ties).
+
+    Replaces the reference's bare ``dropDuplicates(keys)``
+    (scripts/cdc_metrics_job.py:139,163,450) whose surviving row is
+    partition-order dependent, i.e. nondeterministic across runs/cluster
+    sizes. Implemented as row_number over a window -- one shuffle on
+    ``keys``, same cost class as dropDuplicates, but stable.
+    """
+    order = list(order_by) + [F.col(c) for c in (tiebreakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column | str],
+    k: int = 1,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-K rows per group via row_number (reference's top-1 pattern,
+    scripts/cdc_metrics_job.py:247-251, generalized and made deterministic
+    by requiring a total ``order_by``)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return out.withColumnRenamed("__rn", rank_col) if rank_col else out.drop("__rn")
+
+
+def any_column_differs(left_alias: str, right_alias: str, cols: list[str], null_safe: bool = True) -> Column:
+    """OR-of-differences predicate over ``cols`` between two aliased sides.
+
+    The reference builds this as a SQL string
+    (``" OR ".join(f"curr.{c} <> prev.{c}")``, scripts/cdc_metrics_job.py:106)
+    whose ``<>`` is null-hostile: NULL->value and value->NULL transitions
+    compare to NULL and the row is silently dropped. ``null_safe=True`` uses
+    the negated null-safe equality (IS DISTINCT FROM) instead;
+    ``null_safe=False`` reproduces the reference for parity tests."""
+    if null_safe:
+        terms = [~F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}")) for c in cols]
+    else:
+        terms = [F.col(f"{left_alias}.{c}") != F.col(f"{right_alias}.{c}") for c in cols]
+    return reduce(or_, terms)
+
+
+def join_fill(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    fill: dict[str, float | int | str],
+    how: str = "left",
+) -> DataFrame:
+    """Outer-ish join + null fill for the no-match side, the reference's
+    revenue-assembly shape (scripts/cdc_metrics_job.py:182-183 left join +
+    ``na.fill({"OPTION_PRICE": 0.0})``; :351-352 outer join + fillna)."""
+    return left.join(right, on, how).na.fill(fill)
+
+
+def sum_where(cond: Column, value: Column | str, alias: str) -> Column:
+    """Conditional aggregation: SUM(CASE WHEN cond THEN value END) -- the
+    single-pass alternative to the reference's two filtered aggregates +
+    outer join for trailing-window comparison (scripts/cdc_metrics_job.py:
+    341-351, SURVEY.md C6). One shuffle instead of three."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.sum(F.when(cond, v)).alias(alias)
+
+
+def pct_change(cur: Column, prev: Column) -> Column:
+    """Percent change with NULL on zero denominator
+    (scripts/cdc_metrics_job.py:353-354)."""
+    return F.when(prev == 0, F.lit(None).cast("double")).otherwise((cur - prev) / prev * 100)

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+- brute-force cosine top-k: exact baseline, O(queries x corpus); fine when
+  the query set is small enough to broadcast;
+- IVF-style cell search: assign every vector to its nearest centroid once
+  (one narrow shuffle), then search only within the query's cell --
+  the 100TB path, since each lookup touches 1/K of the corpus and cells can
+  be written as parquet partitions for pruning.
+
+All math is built-in higher-order functions (zip_with/aggregate) on
+double-cast arrays -- JVM-side, no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import rhu
+from .relational import top_k_per_group
+
+
+def dot(a: str, b: str) -> F.Column:
+    """Sequential left-to-right dot product (same accumulation order as
+    DuckDB's list_dot_product, so oracle values match bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: str) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str, b: str) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. Excludes self-matches. Deterministic: ranking
+    key is (rounded cosine desc, neighbor id asc)."""
+    q = as_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("QUERY_ID"), F.col(vec_col).alias("__qv")
+    )
+    c = as_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("NEIGHBOR_ID"), F.col(vec_col).alias("__cv")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("QUERY_ID") != F.col("NEIGHBOR_ID"))
+        .withColumn("COSINE", rhu(cosine("__qv", "__cv"), 6))
+    )
+    return top_k_per_group(
+        pairs.select("QUERY_ID", "NEIGHBOR_ID", "COSINE"),
+        ["QUERY_ID"],
+        [F.col("COSINE").desc(), F.col("NEIGHBOR_ID")],
+        k=k,
+        rank_col="RANK",
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF assignment: nearest centroid per vector by cosine (broadcast
+    centroids, rank-1 per vector). The output's CELL column is the partition
+    key for the ANN index layout."""
+    c = as_double_vec(corpus, vec_col).withColumnRenamed(vec_col, "__v")
+    cents = as_double_vec(centroids, vec_col).select(
+        F.col(centroid_id_col).alias("CELL"), F.col(vec_col).alias("__cent")
+    )
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", rhu(cosine("__v", "__cent"), 6)
+    )
+    best = top_k_per_group(scored, [id_col], [F.col("__sim").desc(), F.col("CELL")], k=1)
+    return best.withColumnRenamed("__v", vec_col).drop("__cent", "__sim")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: both sides are assigned to cells, then the
+    exact ranking runs only within the query's cell (equi-join on CELL
+    instead of a cross join). Recall < 1 near cell boundaries; raise
+    centroid count or probe multiple cells to trade cost for recall."""
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col)
+    c = corpus_cells.select("CELL", F.col(id_col).alias("NEIGHBOR_ID"), F.col(vec_col).alias("__cv"))
+    q = query_cells.select("CELL", F.col(id_col).alias("QUERY_ID"), F.col(vec_col).alias("__qv"))
+    pairs = (
+        c.join(q, "CELL")
+        .filter(F.col("QUERY_ID") != F.col("NEIGHBOR_ID"))
+        .withColumn("COSINE", rhu(cosine("__qv", "__cv"), 6))
+    )
+    return top_k_per_group(
+        pairs.select("QUERY_ID", "NEIGHBOR_ID", "COSINE"),
+        ["QUERY_ID"],
+        [F.col("COSINE").desc(), F.col("NEIGHBOR_ID")],
+        k=k,
+        rank_col="RANK",
+    )

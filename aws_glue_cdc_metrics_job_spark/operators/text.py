@@ -1,0 +1,80 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, fingerprinting.
+
+All pure SQL expressions (codegen'd, no UDFs): at 100TB these run inside the
+parquet scan stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import rhu
+from .dedup import normalized_text
+
+# Small English function-word set for the stopword-ratio features. The point
+# is determinism + cheapness, not linguistic accuracy.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+
+def tokens(text_col: str = "text") -> F.Column:
+    """Whitespace tokens of normalized text (empty string -> empty array)."""
+    return F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char lengths, average token length."""
+    t = tokens(text_col)
+    return (
+        df.withColumn("__t", t)
+        .withColumn("N_TOKENS", F.size("__t").cast("long"))
+        .withColumn("N_CHARS_RAW", F.length(F.col(text_col)).cast("long"))
+        .withColumn(
+            "AVG_TOKEN_LEN",
+            rhu(
+                F.when(
+                    F.col("N_TOKENS") > 0,
+                    F.aggregate("__t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+                    / F.col("N_TOKENS"),
+                ),
+                6,
+            ),
+        )
+        .drop("__t")
+    )
+
+
+def stopword_ratio(text_col: str = "text", stopwords: tuple[str, ...] = EN_STOPWORDS) -> F.Column:
+    t = tokens(text_col)
+    n = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length score (saturating at 200
+    tokens), stopword ratio, their blend, and a keep/drop flag. The shape
+    (not the constants) is what a real corpus filter looks like."""
+    t = tokens(text_col)
+    n = F.size(t)
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop = stopword_ratio(text_col)
+    score = rhu(0.7 * len_score + 0.3 * stop, 6)
+    return (
+        df.withColumn("N_TOKENS", n.cast("long"))
+        .withColumn("STOPWORD_RATIO", rhu(stop, 6))
+        .withColumn("QUALITY_SCORE", score)
+        .withColumn("KEEP", score >= 0.1)
+    )
+
+
+def language_guess(df: DataFrame, text_col: str = "text", threshold: float = 0.08) -> DataFrame:
+    """N-gram-free stopword-ratio language ID: tag 'en' when the English
+    function-word ratio clears the threshold. (The test corpus is synthetic
+    with a shared vocabulary, so accuracy is incidental; the operator shape
+    -- cheap, deterministic, scan-stage -- is the point.)"""
+    stop = stopword_ratio(text_col)
+    return df.withColumn("EN_STOP_RATIO", rhu(stop, 6)).withColumn(
+        "LANG_GUESS", F.when(stop >= threshold, "en").otherwise("unknown")
+    )

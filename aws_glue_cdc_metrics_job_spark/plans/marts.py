@@ -1,0 +1,285 @@
+"""Gold-mart library (SURVEY.md §2.10): each reference mart as a pure
+DataFrame->DataFrame function, parameterized on an explicit ``now``.
+
+Determinism conventions (FIXTURES.md §B): every multi-row aggregate is
+rounded (sums/monetary to 2dp, averages/rates to 4-6dp) so the
+order-insensitive value hash matches the DuckDB oracle despite
+floating-point summation order; every per-group row pick has a total order.
+
+Deviations from the reference, all documented per-site:
+- ``order_revenue`` sums options per line item instead of keeping one
+  arbitrary option row (scripts/cdc_metrics_job.py:163 dedups the options
+  table on a prefix of its PK -- nondeterministic; SURVEY.md §2.10).
+- Time-relative marts take ``now`` as a parameter instead of the module
+  import time ``datetime.now()`` (:25).
+Fan-out joins in the loyalty/location/discount marts are *kept* (they are
+deterministic, and they are the reference's observable semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_over, rhu
+from ..functions.quantile import quantile_bucket
+from ..operators.relational import pct_change
+
+
+def build_order_revenue(items: DataFrame, options: DataFrame) -> DataFrame:
+    """Silver order_revenue (scripts/cdc_metrics_job.py:174-190): items ⟕
+    options with 0-fill, TOTAL_REVENUE = ITEM_PRICE + OPTION_PRICE.
+    Options are pre-aggregated per line item (one small partial-agg shuffle)
+    which also guards the join against fan-out (SURVEY.md J7).
+
+    TOTAL_REVENUE stays at the natural 4-decimal scale (exact decimal sum of
+    options, single IEEE add) instead of the reference's ROUND(...,2) (:184)
+    whose half-cent ties resolve differently across engines."""
+    opt_sum = options.groupBy("ORDER_ID", "LINEITEM_ID").agg(
+        dsum("OPTION_PRICE", 4).alias("OPTION_PRICE")
+    )
+    return (
+        items.join(opt_sum, ["ORDER_ID", "LINEITEM_ID"], "left")
+        .na.fill({"OPTION_PRICE": 0.0})
+        .withColumn("CREATION_DATE", F.to_date("CREATION_TIME_UTC"))
+        .withColumn("TOTAL_REVENUE", F.col("ITEM_PRICE") + F.col("OPTION_PRICE"))
+    )
+
+
+def fact_ltv_daily(revenue: DataFrame) -> DataFrame:
+    """Daily revenue per user + running cumulative LTV
+    (scripts/cdc_metrics_job.py:225-234). The pre-aggregation to daily grain
+    before the window is the reference's (correct) state-shrinking move;
+    the ROWS frame and RANGE coincide because (user, date) is unique.
+    Money sums are exact decimal (order-independent across partitions)."""
+    daily = revenue.groupBy("USER_ID", "CREATION_DATE").agg(
+        dsum("TOTAL_REVENUE", 4).alias("DAILY_REVENUE")
+    )
+    w = (
+        Window.partitionBy("USER_ID")
+        .orderBy("CREATION_DATE")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn("CUMULATIVE_LTV", dsum_over(F.col("DAILY_REVENUE"), w, 4))
+
+
+def ltv_snapshot(ltv: DataFrame) -> DataFrame:
+    """Latest row per user (scripts/cdc_metrics_job.py:244-251). Ties are
+    impossible post-aggregation (one row per user-date), so row_number on
+    date desc is deterministic."""
+    w = Window.partitionBy("USER_ID").orderBy(F.col("CREATION_DATE").desc())
+    return (
+        ltv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .drop("rank")
+    )
+
+
+def clv_segment(snapshot: DataFrame) -> DataFrame:
+    """20/60/20 CLV split (scripts/cdc_metrics_job.py:256-266) computed
+    natively with exact percentiles instead of the driver-side pd.qcut
+    round-trip (SURVEY.md Q1)."""
+    return quantile_bucket(
+        snapshot.select("USER_ID", "CUMULATIVE_LTV"),
+        "CUMULATIVE_LTV",
+        probs=[0.2, 0.8],
+        labels=["Low", "Medium", "High"],
+        out_col="CLV_GROUP",
+    )
+
+
+def rfm(revenue: DataFrame, now: str) -> DataFrame:
+    """RFM + rule segmentation (scripts/cdc_metrics_job.py:281-310).
+    The reference's 90-day window filter is disabled in its code (:287-288),
+    so FREQUENCY/MONETARY are lifetime values -- reproduced here."""
+    last_purchase = revenue.groupBy("USER_ID").agg(
+        F.max("CREATION_DATE").alias("LAST_PURCHASE_DATE")
+    )
+    out = (
+        revenue.groupBy("USER_ID")
+        .agg(
+            F.countDistinct("ORDER_ID").alias("FREQUENCY"),
+            dsum("TOTAL_REVENUE", 4).alias("MONETARY"),
+        )
+        .join(last_purchase, "USER_ID", "left")
+        .withColumn("RECENCY", F.datediff(F.lit(now), F.col("LAST_PURCHASE_DATE")).cast("long"))
+    )
+    return out.withColumn(
+        "SEGMENT",
+        F.when(
+            (F.col("RECENCY") <= 15) & (F.col("FREQUENCY") >= 5) & (F.col("MONETARY") >= 100),
+            "VIP",
+        )
+        .when((F.col("FREQUENCY") <= 1) & (F.col("RECENCY") <= 15), "New")
+        .when((F.col("RECENCY") > 45) & (F.col("FREQUENCY") <= 2), "Churn Risk")
+        .otherwise("Standard"),
+    )
+
+
+def churn_profile(revenue: DataFrame, now: str) -> DataFrame:
+    """Churn indicators (scripts/cdc_metrics_job.py:325-366): days since
+    last order, average inter-order gap (LAG), trailing 30d vs previous 30d
+    spend with pct change, rule tag. The gap multiset is invariant to tie
+    order among equal dates, so AVG is deterministic."""
+    last_order = revenue.groupBy("USER_ID").agg(
+        F.max("CREATION_DATE").alias("LAST_ORDER_DATE")
+    ).withColumn(
+        "DAYS_SINCE_LAST_ORDER", F.datediff(F.lit(now), F.col("LAST_ORDER_DATE")).cast("long")
+    )
+
+    w = Window.partitionBy("USER_ID").orderBy("CREATION_DATE")
+    gaps = (
+        revenue.withColumn("PREV_ORDER_DATE", F.lag("CREATION_DATE").over(w))
+        .withColumn("ORDER_GAP", F.datediff("CREATION_DATE", "PREV_ORDER_DATE"))
+        .groupBy("USER_ID")
+        .agg(
+            rhu(
+                F.sum("ORDER_GAP").cast("double") / F.count("ORDER_GAP"), 4
+            ).alias("AVG_ORDER_GAP_DAYS")
+        )
+    )
+
+    cutoff_30 = F.date_sub(F.lit(now).cast("date"), 30)
+    cutoff_60 = F.date_sub(F.lit(now).cast("date"), 60)
+    spend_last = revenue.filter(F.col("CREATION_DATE") > cutoff_30).groupBy("USER_ID").agg(
+        dsum("TOTAL_REVENUE", 4).alias("SPEND_LAST_30")
+    )
+    spend_prev = (
+        revenue.filter((F.col("CREATION_DATE") > cutoff_60) & (F.col("CREATION_DATE") <= cutoff_30))
+        .groupBy("USER_ID")
+        .agg(dsum("TOTAL_REVENUE", 4).alias("SPEND_PREV_30"))
+    )
+    spend = (
+        spend_last.join(spend_prev, "USER_ID", "outer")
+        .fillna(0, ["SPEND_LAST_30", "SPEND_PREV_30"])
+        .withColumn(
+            "PCT_SPEND_CHANGE",
+            rhu(pct_change(F.col("SPEND_LAST_30"), F.col("SPEND_PREV_30")), 4),
+        )
+    )
+
+    return (
+        last_order.join(gaps, "USER_ID", "outer")
+        .join(spend, "USER_ID", "outer")
+        .withColumn(
+            "CHURN_RISK_TAG",
+            F.when(F.col("DAYS_SINCE_LAST_ORDER") > 45, "At Risk")
+            .when(F.col("DAYS_SINCE_LAST_ORDER") > 30, "Monitor")
+            .otherwise("Active"),
+        )
+    )
+
+
+def sales_trends(revenue: DataFrame, grain: str) -> DataFrame:
+    """Calendar-rollup revenue by restaurant x category
+    (scripts/cdc_metrics_job.py:383-418). YEAR_WEEK deliberately combines
+    calendar year with ISO week -- the reference's observable behavior
+    around Jan 1 (SURVEY.md F4), reproduced."""
+    df = (
+        revenue.withColumn("YEAR", F.year("CREATION_DATE"))
+        .withColumn("MONTH", F.month("CREATION_DATE"))
+        .withColumn("YEAR_MONTH", F.concat_ws("-", F.col("YEAR"), F.col("MONTH")))
+        .withColumn("WEEK", F.weekofyear("CREATION_DATE"))
+        .withColumn("YEAR_WEEK", F.concat_ws("-", F.col("YEAR"), F.col("WEEK")))
+        .withColumn("HOUR_OF_DAY", F.hour("CREATION_TIME_UTC"))
+    )
+    grains = {
+        "daily": ("CREATION_DATE", "DAILY_REVENUE"),
+        "weekly": ("YEAR_WEEK", "WEEKLY_REVENUE"),
+        "monthly": ("YEAR_MONTH", "MONTHLY_REVENUE"),
+        "hourly": ("HOUR_OF_DAY", "HOURLY_REVENUE"),
+    }
+    key, alias = grains[grain]
+    return df.groupBy(key, "RESTAURANT_ID", "ITEM_CATEGORY").agg(
+        dsum("TOTAL_REVENUE", 4).alias(alias)
+    )
+
+
+def loyalty_impact(items: DataFrame, revenue: DataFrame) -> DataFrame:
+    """Loyalty program impact (scripts/cdc_metrics_job.py:440-472). The
+    reference picks the order's loyalty flag from an arbitrary deduped line
+    (:450); here USER_ID/IS_LOYALTY are order-constant by construction, so
+    ``distinct`` on the triple is its deterministic equivalent."""
+    dim = items.select("ORDER_ID", "USER_ID", "IS_LOYALTY").distinct()
+    joined = revenue.select("ORDER_ID", "LINEITEM_ID", "TOTAL_REVENUE").join(dim, "ORDER_ID", "left")
+    ltv = joined.groupBy("USER_ID", "IS_LOYALTY").agg(
+        dsum("TOTAL_REVENUE", 4).alias("LIFETIME_VALUE")
+    )
+    orders_per = (
+        items.groupBy("USER_ID", "IS_LOYALTY")
+        .agg(F.countDistinct("ORDER_ID").alias("NUM_ORDERS"))
+        .withColumn("IS_REPEAT", F.when(F.col("NUM_ORDERS") > 1, 1).otherwise(0))
+    )
+    combined = ltv.join(orders_per, ["USER_ID", "IS_LOYALTY"], "inner")
+    return (
+        combined.groupBy("IS_LOYALTY")
+        .agg(
+            F.countDistinct("USER_ID").alias("NUM_CUSTOMERS"),
+            rhu(dsum("LIFETIME_VALUE", 4) / F.count("LIFETIME_VALUE"), 4).alias(
+                "AVG_SPEND_PER_CUSTOMER"
+            ),
+            F.sum("IS_REPEAT").cast("long").alias("NUM_REPEAT_CUSTOMERS"),
+        )
+        .withColumn(
+            "REPEAT_ORDER_RATE",
+            rhu(F.col("NUM_REPEAT_CUSTOMERS") / F.col("NUM_CUSTOMERS"), 6),
+        )
+    )
+
+
+def location_performance(items: DataFrame, revenue: DataFrame) -> DataFrame:
+    """Location KPIs + revenue rank (scripts/cdc_metrics_job.py:488-514).
+    The order-key join fans line items out against line-level revenue --
+    the reference's observable (if inflated) semantics, kept because it is
+    deterministic. ACTIVE_WEEKS counts bare ISO week numbers across years
+    (:495,502) -- also kept. The global dense_rank window is single-partition
+    but runs on the aggregated frame (one row per restaurant), so it is safe
+    at any input scale."""
+    df = (
+        items.select("ORDER_ID", "RESTAURANT_ID", "CREATION_TIME_UTC")
+        .join(revenue.select("ORDER_ID", "TOTAL_REVENUE"), "ORDER_ID", "inner")
+        .withColumn("ORDER_DATE", F.to_date("CREATION_TIME_UTC"))
+        .withColumn("WEEK", F.weekofyear("ORDER_DATE"))
+    )
+    metrics = (
+        df.groupBy("RESTAURANT_ID")
+        .agg(
+            dsum("TOTAL_REVENUE", 4).alias("TOTAL_REVENUE"),
+            F.countDistinct("ORDER_ID").alias("NUM_ORDERS"),
+            F.countDistinct("ORDER_DATE").alias("ACTIVE_DAYS"),
+            F.countDistinct("WEEK").alias("ACTIVE_WEEKS"),
+        )
+        .withColumn("AVG_ORDER_VALUE", rhu(F.col("TOTAL_REVENUE") / F.col("NUM_ORDERS"), 4))
+        .withColumn("ORDERS_PER_DAY", rhu(F.col("NUM_ORDERS").cast("double") / F.col("ACTIVE_DAYS"), 6))
+        .withColumn("ORDERS_PER_WEEK", rhu(F.col("NUM_ORDERS").cast("double") / F.col("ACTIVE_WEEKS"), 6))
+    )
+    w = Window.orderBy(F.col("TOTAL_REVENUE").desc())
+    return metrics.withColumn("REVENUE_RANK", F.dense_rank().over(w).cast("long"))
+
+
+def discount_effectiveness(items: DataFrame, options: DataFrame, revenue: DataFrame) -> DataFrame:
+    """Discounted-vs-not order KPIs (scripts/cdc_metrics_job.py:539-563).
+    Keeps the reference's two fan-out joins (line x option, then x order
+    revenue) -- deterministic, observable semantics."""
+    joined = (
+        items.select("ORDER_ID", "LINEITEM_ID", "USER_ID")
+        .join(options.select("ORDER_ID", "LINEITEM_ID", "OPTION_PRICE"), ["ORDER_ID", "LINEITEM_ID"], "left")
+        .join(revenue.select("ORDER_ID", "TOTAL_REVENUE"), "ORDER_ID", "left")
+        .withColumn("IS_DISCOUNTED", F.when(F.col("OPTION_PRICE") < 0, 1).otherwise(0))
+    )
+    flags = (
+        joined.groupBy("ORDER_ID")
+        .agg(
+            F.sum("IS_DISCOUNTED").cast("long").alias("DISCOUNTED_LINES"),
+            dsum("TOTAL_REVENUE", 4).alias("ORDER_REVENUE"),
+        )
+        .withColumn(
+            "IS_DISCOUNTED_ORDER",
+            F.when(F.col("DISCOUNTED_LINES") > 0, "Yes").otherwise("No"),
+        )
+    )
+    return flags.groupBy("IS_DISCOUNTED_ORDER").agg(
+        F.countDistinct("ORDER_ID").alias("NUM_ORDERS"),
+        dsum("ORDER_REVENUE", 4).alias("TOTAL_REVENUE"),
+        rhu(dsum("ORDER_REVENUE", 4) / F.count("ORDER_REVENUE"), 4).alias("AVG_ORDER_VALUE"),
+    )

@@ -1,0 +1,400 @@
+"""Graded queries for the relational / CDC / incremental / windowed
+operators (SURVEY.md §2.2-2.9), each with a DuckDB oracle. Fixed literals
+replace the reference's wall-clock now() so both sides are reproducible."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, rhu, sql_dsum, sql_rhu
+from ..operators.cdc import cdc_diff
+from ..operators.relational import keep_latest, top_k_per_group
+from ..sources import read_table
+from .catalog import query
+
+# --- P1/P4/P8: scan + filter + project + cast (pushdown-verified in tests)
+
+
+@query(
+    "scan_filter_project",
+    oracle=f"""
+SELECT CAST(l_orderkey AS BIGINT) AS ORDER_ID,
+       CAST(l_linenumber AS BIGINT) AS LINEITEM_ID,
+       l_quantity AS QTY,
+       {sql_rhu("l_extendedprice * (1 - l_discount)", 2)} AS NET_PRICE,
+       l_shipdate AS SHIP_TS
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_returnflag = 'R'
+""",
+)
+def q_scan_filter_project(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1998-01-01") & (F.col("l_returnflag") == "R"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("ORDER_ID"),
+            F.col("l_linenumber").cast("long").alias("LINEITEM_ID"),
+            F.col("l_quantity").alias("QTY"),
+            rhu(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("NET_PRICE"),
+            F.col("l_shipdate").alias("SHIP_TS"),
+        )
+    )
+
+
+# --- A1-A8: multi-aggregate groupBy (TPC-H Q1 shape)
+# Money sums go through exact decimals; the price*(1-d) product is a true
+# 4-decimal value, *(1+t) a 6-decimal value, so those scales recover exactly.
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag AS RETURN_FLAG, l_linestatus AS LINE_STATUS,
+       SUM(l_quantity) AS SUM_QTY,
+       {sql_dsum("l_extendedprice", 2)} AS SUM_BASE_PRICE,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS SUM_DISC_PRICE,
+       {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS SUM_CHARGE,
+       {sql_rhu("SUM(l_quantity) / COUNT(l_quantity)", 4)} AS AVG_QTY,
+       {sql_rhu(f'{sql_dsum("l_extendedprice", 2)} / COUNT(l_extendedprice)', 4)} AS AVG_PRICE,
+       {sql_rhu(f'{sql_dsum("l_discount", 2)} / COUNT(l_discount)', 6)} AS AVG_DISC,
+       COUNT(*) AS COUNT_ORDER
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy(
+        F.col("l_returnflag").alias("RETURN_FLAG"), F.col("l_linestatus").alias("LINE_STATUS")
+    ).agg(
+        # l_quantity is integer-valued: double sums are exact, no decimal needed
+        F.sum("l_quantity").alias("SUM_QTY"),
+        dsum(F.col("l_extendedprice"), 2).alias("SUM_BASE_PRICE"),
+        dsum(disc, 4).alias("SUM_DISC_PRICE"),
+        dsum(disc * (1 + F.col("l_tax")), 6).alias("SUM_CHARGE"),
+        rhu(F.sum("l_quantity") / F.count("l_quantity"), 4).alias("AVG_QTY"),
+        rhu(dsum(F.col("l_extendedprice"), 2) / F.count("l_extendedprice"), 4).alias("AVG_PRICE"),
+        rhu(dsum(F.col("l_discount"), 2) / F.count("l_discount"), 6).alias("AVG_DISC"),
+        F.count(F.lit(1)).alias("COUNT_ORDER"),
+    )
+
+
+# --- P12/W2: deterministic keep-latest dedup
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+SELECT user_id AS USER_ID, event_id AS EVENT_ID, ts AS TS,
+       event_type AS EVENT_TYPE, value AS VALUE
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    latest = keep_latest(ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return latest.select(
+        F.col("user_id").alias("USER_ID"),
+        F.col("event_id").alias("EVENT_ID"),
+        F.col("ts").alias("TS"),
+        F.col("event_type").alias("EVENT_TYPE"),
+        F.col("value").alias("VALUE"),
+    )
+
+
+# --- T3 generalized: top-k per group with total order
+
+
+@query(
+    "top_parts_per_supplier",
+    oracle=f"""
+WITH pr AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS SUPPLIER_ID,
+         CAST(l_partkey AS BIGINT) AS PART_ID,
+         {sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS PART_REVENUE
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT SUPPLIER_ID, PART_ID, PART_REVENUE,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY SUPPLIER_ID ORDER BY PART_REVENUE DESC, PART_ID) AS BIGINT) AS PART_RANK
+  FROM pr
+) WHERE PART_RANK <= 3
+""",
+)
+def q_top_parts(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(
+        F.col("l_suppkey").cast("long").alias("SUPPLIER_ID"),
+        F.col("l_partkey").cast("long").alias("PART_ID"),
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("PART_REVENUE"))
+    out = top_k_per_group(
+        pr, ["SUPPLIER_ID"], [F.col("PART_REVENUE").desc(), F.col("PART_ID")], k=3, rank_col="PART_RANK"
+    )
+    return out.withColumn("PART_RANK", F.col("PART_RANK").cast("long"))
+
+
+# --- O1/O2: set operations
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def q_set_except(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errors = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clicks.subtract(errors)
+
+
+@query(
+    "set_union",
+    oracle="""
+SELECT event_id AS EVENT_ID, 'big_click' AS SRC, value AS VALUE
+FROM events WHERE event_type = 'click' AND value > 50
+UNION ALL
+SELECT event_id, 'purchase', value FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_set_union(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "click") & (F.col("value") > 50)).select(
+        F.col("event_id").alias("EVENT_ID"), F.lit("big_click").alias("SRC"), F.col("value").alias("VALUE")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.lit("purchase"), F.col("value")
+    )
+    return a.union(b)
+
+
+# --- C2: snapshot-diff CDC on synthesized prev/cur snapshots of `orders`.
+# prev drops keys %13==3 (-> inserts), cur drops keys %11==5 (-> deletes)
+# and bumps o_totalprice 10% for keys %7==0 (-> updates).
+
+rhu_bump = sql_rhu("o_totalprice * 1.1", 2)
+
+_CDC_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+  FROM orders
+),
+cur AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN {rhu_bump}
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM base WHERE o_orderkey % 11 <> 5
+),
+prev AS (SELECT * FROM base WHERE o_orderkey % 13 <> 3),
+ins AS (
+  SELECT c.*, 'insert' AS cdc_action FROM cur c
+  ANTI JOIN prev p ON c.o_orderkey = p.o_orderkey
+),
+del AS (
+  SELECT p.*, 'delete' AS cdc_action FROM prev p
+  ANTI JOIN cur c ON p.o_orderkey = c.o_orderkey
+),
+upd AS (
+  SELECT c.*, 'update' AS cdc_action
+  FROM cur c JOIN prev p ON c.o_orderkey = p.o_orderkey
+  WHERE c.o_custkey IS DISTINCT FROM p.o_custkey
+     OR c.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+     OR c.o_totalprice IS DISTINCT FROM p.o_totalprice
+     OR c.o_orderdate IS DISTINCT FROM p.o_orderdate
+)
+SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+"""
+
+
+def _cdc_snapshots(spark: SparkSession, sf_dir: str):
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    cur = base.filter(F.col("o_orderkey") % 11 != 5).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, rhu(F.col("o_totalprice") * 1.1, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    prev = base.filter(F.col("o_orderkey") % 13 != 3)
+    return cur, prev
+
+
+@query("cdc_snapshot_diff", oracle=_CDC_SQL)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str):
+    cur, prev = _cdc_snapshots(spark, sf_dir)
+    return cdc_diff(cur, prev, pks=["o_orderkey"])
+
+
+# --- C1: high-watermark incremental read (fixed literal watermark)
+
+
+@query(
+    "events_incremental_read",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+""",
+)
+def q_events_incremental(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+# --- C5: tumbling windows (batch form of streaming window agg)
+
+
+@query(
+    "events_tumbling_daily",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS EVENT_DATE,
+       event_type AS EVENT_TYPE,
+       COUNT(*) AS N_EVENTS,
+       {sql_dsum("value", 2)} AS TOTAL_VALUE,
+       COUNT(DISTINCT user_id) AS N_USERS
+FROM events GROUP BY 1, 2
+""",
+)
+def q_tumbling_daily(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type").alias("EVENT_TYPE"))
+        .agg(
+            F.count(F.lit(1)).alias("N_EVENTS"),
+            dsum("value", 2).alias("TOTAL_VALUE"),
+            F.countDistinct("user_id").alias("N_USERS"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("EVENT_DATE"),
+            "EVENT_TYPE",
+            "N_EVENTS",
+            "TOTAL_VALUE",
+            "N_USERS",
+        )
+    )
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS WINDOW_START,
+       COUNT(*) AS N_EVENTS,
+       {sql_dsum("value", 2)} AS TOTAL_VALUE
+FROM events GROUP BY 1
+""",
+)
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("N_EVENTS"), dsum("value", 2).alias("TOTAL_VALUE"))
+        .select(F.col("w.start").alias("WINDOW_START"), "N_EVENTS", "TOTAL_VALUE")
+    )
+
+
+# --- C6 idiomatic: trailing-window comparison as single-pass conditional agg
+
+
+@query(
+    "events_trailing_compare",
+    oracle=f"""
+WITH spend AS (
+  SELECT user_id AS USER_ID,
+         COALESCE(CAST(SUM(CASE WHEN ts > TIMESTAMP '2024-01-24 00:00:00'
+                                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS SPEND_LAST_7,
+         COALESCE(CAST(SUM(CASE WHEN ts > TIMESTAMP '2024-01-17 00:00:00'
+                                 AND ts <= TIMESTAMP '2024-01-24 00:00:00'
+                                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS SPEND_PREV_7
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT USER_ID, SPEND_LAST_7, SPEND_PREV_7,
+       CASE WHEN SPEND_PREV_7 = 0 THEN NULL
+            ELSE {sql_rhu("(SPEND_LAST_7 - SPEND_PREV_7) / SPEND_PREV_7 * 100", 4)} END AS PCT_CHANGE
+FROM spend
+""",
+)
+def q_trailing_compare(spark: SparkSession, sf_dir: str):
+    from ..functions.numeric import money
+    from ..operators.relational import pct_change, sum_where
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    t_mid = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    t_lo = F.lit("2024-01-17 00:00:00").cast("timestamp")
+    spend = ev.groupBy(F.col("user_id").alias("USER_ID")).agg(
+        F.coalesce(
+            sum_where(F.col("ts") > t_mid, money("value", 2), "x1").cast("double"), F.lit(0.0)
+        ).alias("SPEND_LAST_7"),
+        F.coalesce(
+            sum_where((F.col("ts") > t_lo) & (F.col("ts") <= t_mid), money("value", 2), "x2").cast(
+                "double"
+            ),
+            F.lit(0.0),
+        ).alias("SPEND_PREV_7"),
+    )
+    return spend.withColumn(
+        "PCT_CHANGE", rhu(pct_change(F.col("SPEND_LAST_7"), F.col("SPEND_PREV_7")), 4)
+    )
+
+
+# --- Sessionization (gap > 30 min), an extension the reference lacks
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id AS USER_ID, session_id AS SESSION_ID,
+       COUNT(*) AS N_EVENTS, MIN(ts) AS SESSION_START, MAX(ts) AS SESSION_END,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DURATION_US
+FROM sessions GROUP BY 1, 2
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    return sessions.groupBy(
+        F.col("user_id").alias("USER_ID"), F.col("session_id").alias("SESSION_ID")
+    ).agg(
+        F.count(F.lit(1)).alias("N_EVENTS"),
+        F.min("ts").alias("SESSION_START"),
+        F.max("ts").alias("SESSION_END"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("DURATION_US"),
+    )

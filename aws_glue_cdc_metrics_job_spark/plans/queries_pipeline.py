@@ -1,0 +1,261 @@
+"""Graded queries for the LLM-training-data pipeline extensions: dedup,
+text analysis, similarity search, multimodal plumbing (BASELINE.json
+north_star). Oracles mirror the exact arithmetic; the genuinely
+non-SQL ops (MinHash-LSH banding) declare no oracle and rely on the
+driver's rows-only check + unit tests against exact Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sql_rhu
+from ..operators import dedup, similarity, text
+from ..operators.multimodal import as_binary_column
+from ..sources import read_table
+from .catalog import query
+
+# Shared SQL fragments (normalization must match operators.dedup exactly).
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_TOKS_NE = f"list_filter({_TOKS}, t -> t <> '')"
+_STOPLIST = "['" + "','".join(text.EN_STOPWORDS) + "']"
+
+
+@query(
+    "docs_fingerprint",
+    oracle=f"""
+SELECT doc_id, md5({_NORM}) AS FINGERPRINT FROM documents
+""",
+)
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.fingerprint(docs).select("doc_id", "FINGERPRINT")
+
+
+@query(
+    "docs_exact_dedup",
+    oracle=f"""
+SELECT md5({_NORM}) AS FINGERPRINT,
+       MIN(doc_id) AS KEEP_ID,
+       COUNT(*) AS N_DOCS
+FROM documents GROUP BY 1
+""",
+)
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str):
+    return dedup.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "docs_token_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars_raw, {_TOKS_NE} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS N_TOKENS,
+       CAST(n_chars_raw AS BIGINT) AS N_CHARS_RAW,
+       CASE WHEN len(toks) > 0
+            THEN FLOOR((CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) / len(toks)) * 1000000 + 0.5) / 1000000
+       END AS AVG_TOKEN_LEN
+FROM t
+""",
+)
+def q_docs_token_stats(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return text.token_stats(docs).select("doc_id", "N_TOKENS", "N_CHARS_RAW", "AVG_TOKEN_LEN")
+
+
+@query(
+    "docs_quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS N_TOKENS,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         least(len(toks) / 200.0, 1.0) AS len_score
+  FROM t
+)
+SELECT doc_id, N_TOKENS,
+       FLOOR((stop_ratio) * 1000000 + 0.5) / 1000000 AS STOPWORD_RATIO,
+       FLOOR((0.7 * len_score + 0.3 * stop_ratio) * 1000000 + 0.5) / 1000000 AS QUALITY_SCORE,
+       FLOOR((0.7 * len_score + 0.3 * stop_ratio) * 1000000 + 0.5) / 1000000 >= 0.1 AS KEEP
+FROM s
+""",
+)
+def q_docs_quality(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return text.quality_score(docs).select("doc_id", "N_TOKENS", "STOPWORD_RATIO", "QUALITY_SCORE", "KEEP")
+
+
+@query(
+    "docs_lang_guess",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_NE} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM t
+)
+SELECT doc_id, lang,
+       FLOOR((stop_ratio) * 1000000 + 0.5) / 1000000 AS EN_STOP_RATIO,
+       CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'unknown' END AS LANG_GUESS
+FROM s
+""",
+)
+def q_docs_lang_guess(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return text.language_guess(docs).select("doc_id", "lang", "EN_STOP_RATIO", "LANG_GUESS")
+
+
+_SHINGLES_SQL = f"""
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(
+           CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                ELSE list_transform(range(0, len(toks) - 2),
+                                    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])
+           END) AS shingles
+  FROM (SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents)
+)"""
+
+
+@query(
+    "docs_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_SQL}
+SELECT ID_A, ID_B, JACCARD FROM (
+  SELECT a.doc_id AS ID_A, b.doc_id AS ID_B,
+         FLOOR((CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
+                    ELSE len(list_intersect(a.shingles, b.shingles))
+                         / len(list_distinct(list_concat(a.shingles, b.shingles)))
+               END) * 1000000 + 0.5) / 1000000 AS JACCARD
+  FROM sh a
+  JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+) WHERE JACCARD >= 0.05
+""",
+)
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, blocking_cols=["lang", "source"], n=3, threshold=0.05
+    )
+
+
+@query("docs_minhash_lsh_pairs")  # no oracle: ml-based banding is not SQL-expressible
+def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str):
+    """MinHash+LSH near-dup candidates (rows-only driver check; exactness is
+    unit-tested against brute-force Jaccard in tests/test_dedup.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.9)
+
+
+@query(
+    "docs_simhash",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs FROM t)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32), b ->
+         CASE WHEN list_sum(list_transform(hs, x ->
+                     CASE WHEN (x // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS SIMHASH
+FROM h
+""",
+)
+def q_docs_simhash(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs).select("doc_id", "SIMHASH")
+
+
+@query(
+    "emb_cosine_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS QUERY_ID, v AS qv FROM e WHERE vec_id < 8),
+pairs AS (
+  SELECT q.QUERY_ID, c.vec_id AS NEIGHBOR_ID,
+         FLOOR((list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))))
+            * 1000000 + 0.5) / 1000000 AS COSINE
+  FROM e c, q WHERE c.vec_id <> q.QUERY_ID
+)
+SELECT QUERY_ID, NEIGHBOR_ID, COSINE,
+       CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID
+                               ORDER BY COSINE DESC, NEIGHBOR_ID) AS BIGINT) AS NEIGHBOR_RANK
+FROM pairs
+QUALIFY NEIGHBOR_RANK <= 5
+""",
+)
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("NEIGHBOR_RANK", F.col("RANK").cast("long")).drop("RANK")
+
+
+@query(
+    "emb_ivf_assign",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS CELL, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, cents.CELL,
+         FLOOR((list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS sim
+  FROM e, cents
+)
+SELECT vec_id, CELL FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, CELL) = 1
+""",
+)
+def q_emb_ivf_assign(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.assign_cells(emb, centroids).select("vec_id", "CELL")
+
+
+@query("emb_ivf_topk")  # no oracle: approximate by design; recall unit-tested vs brute force
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str):
+    """IVF-cell-restricted ANN top-k (rows-only driver check)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, centroids, k=5)
+
+
+@query(
+    "multimodal_payload_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS N_BYTES,
+       md5(text) AS PAYLOAD_MD5
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    payload = as_binary_column(docs)
+    return payload.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("N_BYTES"),
+        F.md5("payload").alias("PAYLOAD_MD5"),
+    )
+
+
+@query("multimodal_features")  # no oracle: mapInPandas decode stage (stubbed decode)
+def q_multimodal_features(spark: SparkSession, sf_dir: str):
+    """Arrow-batched feature extraction over binary payloads (rows-only
+    driver check; determinism unit-tested)."""
+    from ..operators.multimodal import map_in_pandas_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    return map_in_pandas_features(as_binary_column(docs))

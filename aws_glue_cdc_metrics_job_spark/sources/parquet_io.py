@@ -1,0 +1,92 @@
+"""Parquet source/sink + medallion zone layout (SURVEY.md S3-S8).
+
+The reference reads/writes snappy parquet across five zones
+(scripts/cdc_metrics_job.py:53-55,144,190,239), partitions the CDC log by
+``cdc_action`` (:89,111) and silver facts by ``CREATION_DATE`` (:143,168),
+and repartitions by the partition column before writing (:141,165,187,208)
+so each Hive partition gets one task's worth of files.
+
+Scale notes (100 TB):
+- Partitioned writes without a repartition produce #tasks x #values small
+  files; ``repartition(partition_cols)`` (the reference's trick, kept here)
+  gives one shuffle partition per value. For very hot values, pass
+  ``files_per_partition > 1`` to salt the repartition and split the write of
+  a single date across N tasks.
+- Reads rely on Catalyst's native pushdown: filters on partition columns
+  prune directories; filters on data columns reach parquet row-group stats.
+  Nothing custom is needed -- callers just ``filter`` after ``read``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds
+    and is converted to a microsecond timestamp here (floor division --
+    lossless for this data, whose timestamps are whole microseconds, and
+    consistent with DuckDB's ns->us truncation)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+    files_per_partition: int = 1,
+) -> None:
+    """Parquet sink with the reference's layout conventions.
+
+    mode 'append' for incremental zones (cdc log, silver facts:
+    scripts/cdc_metrics_job.py:89,141), 'overwrite' for snapshots and
+    recomputed marts (:84,111-112,187)."""
+    if partition_by:
+        if files_per_partition > 1:
+            salt = (F.crc32(F.concat_ws("|", *partition_by)) % files_per_partition).alias("__salt")
+            df = df.repartition(*[F.col(c) for c in partition_by], salt).drop("__salt")
+        else:
+            df = df.repartition(*partition_by)
+        writer = df.write.mode(mode).option("compression", compression).partitionBy(*partition_by)
+    else:
+        writer = df.write.mode(mode).option("compression", compression)
+    writer.parquet(path)
+
+
+@dataclass(frozen=True)
+class MedallionLayout:
+    """Zone path scheme mirroring the reference's
+    ``data/{bronze,cdc,snapshots,silver,gold}/...``
+    (scripts/cdc_metrics_job.py:53-55,144,190,239)."""
+
+    root: str
+
+    def bronze(self, table: str, run_date: str) -> str:
+        return f"{self.root}/bronze/{table}/{run_date}"
+
+    def cdc(self, table: str, run_date: str) -> str:
+        return f"{self.root}/cdc/{table}/date={run_date}"
+
+    def snapshot(self, table: str) -> str:
+        return f"{self.root}/snapshots/{table}/latest"
+
+    def silver(self, table: str) -> str:
+        return f"{self.root}/silver/{table}"
+
+    def gold(self, mart: str) -> str:
+        return f"{self.root}/gold/{mart}"

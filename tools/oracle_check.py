@@ -1,0 +1,135 @@
+"""Driver-mimicking correctness gate: run every catalog query in Spark and
+its oracle in DuckDB over the same parquet, compare row count + column names
++ order-insensitive canonicalized values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(round(float(v), 9))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["|".join(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def duckdb_run(sf_dir: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    return cols, res.fetchall()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+    from aws_glue_cdc_metrics_job_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failed, passed, skipped = [], [], []
+
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as ex:  # noqa: BLE001
+            failed.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL  {name}: spark error: {str(ex)[:500]}", flush=True)
+            continue
+        el = time.monotonic() - t0
+        if name not in oracles:
+            skipped.append(name)
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{el:.1f}s]", flush=True)
+            continue
+        try:
+            dcols, drows = duckdb_run(sf_dir, oracles[name])
+        except Exception as ex:  # noqa: BLE001
+            failed.append((name, f"DUCKDB ERROR: {ex}"))
+            print(f"FAIL  {name}: duckdb error: {str(ex)[:500]}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns differ: spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount differs: spark={len(srows)} duckdb={len(drows)}")
+        if not problems:
+            sc = canon_rows(scols, [[r[c] for c in scols] for r in srows])
+            dc = canon_rows(dcols, drows)
+            if sc != dc:
+                diffs = [(a, b) for a, b in zip(sc, dc) if a != b]
+                problems.append(
+                    f"values differ in {len(diffs)}/{len(sc)} rows; first: spark={diffs[0][0][:200]!r} duckdb={diffs[0][1][:200]!r}"
+                )
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)[:600]}", flush=True)
+        else:
+            passed.append(name)
+            print(f"OK    {name}: {len(srows)} rows [{el:.1f}s]", flush=True)
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
