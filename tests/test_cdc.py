@@ -1,0 +1,93 @@
+"""Snapshot-diff CDC semantics (SURVEY.md C2/C3, scripts/cdc_metrics_job.py:91-112)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators.cdc import apply_changes, cdc_diff, tag_appends
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    prev = spark.createDataFrame(
+        [
+            (1, "a", 10.0),   # unchanged
+            (2, "b", 20.0),   # value update
+            (3, "c", 30.0),   # deleted in cur
+            (4, None, 40.0),  # null -> value transition
+            (5, "e", 50.0),   # value -> null transition
+        ],
+        "pk int, attr string, amount double",
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b2", 20.0),
+            (4, "d", 40.0),
+            (5, None, 50.0),
+            (6, "f", 60.0),   # inserted
+        ],
+        "pk int, attr string, amount double",
+    )
+    return cur, prev
+
+
+def _by_action(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["cdc_action"], set()).add(r["pk"])
+    return out
+
+
+def test_keyed_diff_null_safe(snapshots):
+    cur, prev = snapshots
+    got = _by_action(cdc_diff(cur, prev, pks=["pk"]).collect())
+    assert got == {"insert": {6}, "delete": {3}, "update": {2, 4, 5}}
+
+
+def test_keyed_diff_null_hostile_reproduces_reference(snapshots):
+    """The reference's `<>` predicate (scripts/cdc_metrics_job.py:106) drops
+    NULL->value and value->NULL transitions."""
+    cur, prev = snapshots
+    got = _by_action(cdc_diff(cur, prev, pks=["pk"], null_safe=False).collect())
+    assert got["update"] == {2}
+
+
+def test_fullrow_mode_matches_keyed_on_clean_data(snapshots):
+    cur, prev = snapshots
+    keyed = _by_action(cdc_diff(cur, prev, pks=["pk"]).collect())
+    fullrow = _by_action(cdc_diff(cur, prev, pks=["pk"], mode="fullrow").collect())
+    # fullrow classifies a changed row as insert+delete rather than update
+    assert fullrow["insert"] == keyed["insert"] | keyed["update"]
+    assert fullrow["delete"] == keyed["delete"] | keyed["update"]
+
+
+def test_update_keeps_current_image(snapshots):
+    cur, prev = snapshots
+    upd = {
+        r["pk"]: r["attr"]
+        for r in cdc_diff(cur, prev, pks=["pk"]).filter(F.col("cdc_action") == "update").collect()
+    }
+    assert upd[2] == "b2" and upd[4] == "d"
+
+
+def test_apply_changes_roundtrip(snapshots):
+    """prev + diff(cur, prev) == cur (the MERGE identity)."""
+    cur, prev = snapshots
+    changes = cdc_diff(cur, prev, pks=["pk"])
+    merged = apply_changes(prev, changes, pks=["pk"])
+    assert sorted(merged.collect()) == sorted(cur.collect())
+
+
+def test_diff_empty_previous_is_all_inserts(spark, snapshots):
+    cur, _ = snapshots
+    empty = spark.createDataFrame([], cur.schema)
+    got = _by_action(cdc_diff(cur, empty, pks=["pk"]).collect())
+    assert got == {"insert": {1, 2, 4, 5, 6}}
+
+
+def test_tag_appends(snapshots):
+    cur, _ = snapshots
+    tagged = tag_appends(cur, "2024-01-01 00:00:00")
+    rows = tagged.collect()
+    assert all(r["cdc_action"] == "insert" for r in rows)
+    assert len(rows) == cur.count()

@@ -1,0 +1,80 @@
+"""Dedup ladder: exact, n-gram Jaccard, MinHash-LSH recall, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank every morning"
+    near = base.replace("morning", "evening")          # 1-word edit -> high jaccard
+    far = "completely different text about spark query engines and columnar storage formats"
+    rows = [
+        (1, base),
+        (2, base),                     # exact duplicate of 1
+        (3, "  The  QUICK brown fox jumps over the lazy dog near the river bank every morning  "),  # normalizes to 1
+        (4, near),
+        (5, far),
+        (6, "tiny"),                   # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fingerprint_normalization(corpus):
+    fp = {r["doc_id"]: r["FINGERPRINT"] for r in dedup.fingerprint(corpus).collect()}
+    assert fp[1] == fp[2] == fp[3]
+    assert fp[1] != fp[4]
+
+
+def test_exact_dedup_groups(corpus):
+    groups = {r["FINGERPRINT"]: (r["KEEP_ID"], r["N_DOCS"]) for r in dedup.exact_dedup_groups(corpus).collect()}
+    assert (1, 3) in groups.values()  # min-id survivor of the triple
+    assert dedup.exact_dedup(corpus).count() == 4
+
+
+def test_ngram_jaccard_pairs_exact_values(corpus):
+    pairs = {(r["ID_A"], r["ID_B"]): r["JACCARD"] for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.05).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert 0.5 < pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    got = {(r["ID_A"], r["ID_B"]) for r in dedup.minhash_lsh_pairs(corpus, threshold=0.8).collect()}
+    assert {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)} == got
+
+
+def test_minhash_recall_vs_brute_force(spark):
+    """Every pair with exact word-3-gram Jaccard >= 0.9 must be recalled by
+    the banded LSH (b=32, r=4 -> miss probability < 1e-4 per pair)."""
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(30):
+        w = list(words)
+        w[d % 40] = f"edit{d}"          # one-word perturbations of a shared doc
+        docs.append((d, " ".join(w)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["ID_A"], r["ID_B"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    }
+    lsh = {(r["ID_A"], r["ID_B"]) for r in dedup.minhash_lsh_pairs(df, threshold=0.9).collect()}
+    assert exact, "fixture should contain true near-dup pairs"
+    assert exact <= lsh  # no false negatives at the target threshold
+
+
+def test_minhash_deterministic(corpus):
+    a = sorted(dedup.minhash_lsh_pairs(corpus, threshold=0.8).collect())
+    b = sorted(dedup.minhash_lsh_pairs(corpus, threshold=0.8).collect())
+    assert a == b
+
+
+def test_simhash_near_dup_small_hamming(corpus):
+    sh = {r["doc_id"]: r["SIMHASH"] for r in dedup.simhash(corpus).collect()}
+    assert sh[1] == sh[2] == sh[3]
+    df = corpus.sparkSession.createDataFrame([(sh[1], sh[4]), (sh[1], sh[5])], "a long, b long")
+    d = [r["d"] for r in df.select(dedup.hamming_distance("a", "b").alias("d")).collect()]
+    assert d[0] < d[1]  # near-dup closer than unrelated
+    assert d[0] <= 8

@@ -1,0 +1,65 @@
+"""Relational helper semantics (SURVEY.md §7 step 3)."""
+
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators.relational import (
+    any_column_differs,
+    join_fill,
+    keep_latest,
+    pct_change,
+    sum_where,
+    top_k_per_group,
+)
+
+
+def test_keep_latest_deterministic(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, "old"), ("u1", 3, "new"), ("u1", 2, "mid"), ("u2", 5, "only")],
+        "k string, v int, tag string",
+    )
+    got = {r["k"]: r["tag"] for r in keep_latest(df, ["k"], [F.col("v").desc()]).collect()}
+    assert got == {"u1": "new", "u2": "only"}
+
+
+def test_keep_latest_tiebreaker(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, "b"), ("u1", 1, "a")], "k string, v int, tag string"
+    )
+    got = keep_latest(df, ["k"], [F.col("v").desc()], tiebreakers=["tag"]).collect()
+    assert got[0]["tag"] == "a"
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, f"r{i}") for i in range(5)], "k string, v int, tag string"
+    )
+    got = top_k_per_group(df, ["k"], [F.col("v").desc()], k=2, rank_col="RANK").collect()
+    assert {(r["tag"], r["RANK"]) for r in got} == {("r4", 1), ("r3", 2)}
+
+
+def test_join_fill(spark):
+    left = spark.createDataFrame([(1, "x"), (2, "y")], "id int, a string")
+    right = spark.createDataFrame([(1, 5.0)], "id int, amt double")
+    got = {r["id"]: r["amt"] for r in join_fill(left, right, ["id"], {"amt": 0.0}).collect()}
+    assert got == {1: 5.0, 2: 0.0}
+
+
+def test_sum_where_single_pass(spark):
+    df = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], "k int, v double")
+    got = df.groupBy("k").agg(sum_where(F.col("v") > 6, "v", "big")).collect()
+    by_k = {r["k"]: r["big"] for r in got}
+    assert by_k == {1: 10.0, 2: 7.0}
+
+
+def test_pct_change_null_on_zero(spark):
+    df = spark.createDataFrame([(10.0, 5.0), (10.0, 0.0)], "cur double, prev double")
+    got = df.select(pct_change(F.col("cur"), F.col("prev")).alias("p")).collect()
+    assert got[0]["p"] == 100.0 and got[1]["p"] is None
+
+
+def test_any_column_differs_null_safety(spark):
+    a = spark.createDataFrame([(1, None)], "pk int, x string").alias("curr")
+    b = spark.createDataFrame([(1, "v")], "pk int, x string").alias("prev")
+    j = a.join(b, F.col("curr.pk") == F.col("prev.pk"))
+    assert j.filter(any_column_differs("curr", "prev", ["x"], null_safe=True)).count() == 1
+    assert j.filter(any_column_differs("curr", "prev", ["x"], null_safe=False)).count() == 0

@@ -1,0 +1,71 @@
+"""Similarity search: brute-force exactness vs numpy, IVF recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    # 3 well-separated clusters of 20 vectors each, dim 8
+    centers = rng.normal(size=(3, 8)) * 10
+    rows = []
+    for i in range(60):
+        v = centers[i % 3] + rng.normal(scale=0.5, size=8)
+        rows.append((i, [float(x) for x in v]))
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _numpy_topk(rows, qid, k=3):
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+    q = vecs[qid]
+    sims = {
+        i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in vecs.items()
+        if i != qid
+    }
+    return [i for i, _ in sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]]
+
+
+def test_brute_force_matches_numpy(vectors):
+    rows, df = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(df, queries, k=3)
+    by_q = {}
+    for r in sorted(got.collect(), key=lambda r: (r["QUERY_ID"], r["RANK"])):
+        by_q.setdefault(r["QUERY_ID"], []).append(r["NEIGHBOR_ID"])
+    for qid in range(3):
+        assert by_q[qid] == _numpy_topk(rows, qid, k=3)
+
+
+def test_ivf_assign_puts_cluster_members_together(vectors):
+    rows, df = vectors
+    # one centroid per cluster (members 0,1,2 are in distinct clusters)
+    centroids = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cells = {r["vec_id"]: r["CELL"] for r in similarity.assign_cells(df, centroids).collect()}
+    for i, _ in rows:
+        assert cells[i] == cells[i % 3]  # same cluster -> same cell
+
+
+def test_ivf_topk_recall_within_cluster(vectors):
+    rows, df = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    centroids = queries.select(F.col("vec_id").alias("centroid_id"), "embedding")
+    exact = similarity.brute_force_topk(df, queries, k=3)
+    approx = similarity.ivf_topk(df, queries, centroids, k=3)
+    e = {(r["QUERY_ID"], r["NEIGHBOR_ID"]) for r in exact.collect()}
+    a = {(r["QUERY_ID"], r["NEIGHBOR_ID"]) for r in approx.collect()}
+    # separated clusters: in-cell search recalls the exact neighbors
+    assert e == a
+
+
+def test_self_match_excluded(vectors):
+    _, df = vectors
+    queries = df.filter(F.col("vec_id") == 0)
+    got = similarity.brute_force_topk(df, queries, k=5).collect()
+    assert all(r["NEIGHBOR_ID"] != 0 for r in got)

@@ -1,0 +1,46 @@
+"""Text analysis operators (token stats, quality, language heuristic)."""
+
+import pytest
+
+from aws_glue_cdc_metrics_job_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The cat sat on the mat"),            # english-ish, 6 tokens, 2x 'the' + 'on'
+        (2, "zzz qqq xxx"),                        # no stopwords
+        (3, ""),                                   # empty
+        (4, "  spaced    out   words  "),          # whitespace collapse
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    got = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert got[1]["N_TOKENS"] == 6
+    assert got[2]["N_TOKENS"] == 3
+    assert got[3]["N_TOKENS"] == 0 and got[3]["AVG_TOKEN_LEN"] is None
+    assert got[4]["N_TOKENS"] == 3
+    assert got[2]["AVG_TOKEN_LEN"] == 3.0
+
+
+def test_quality_score_monotone_in_length(spark):
+    rows = [(1, "word " * 10), (2, "word " * 300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["QUALITY_SCORE"] for r in text.quality_score(df).collect()}
+    assert got[2] > got[1]
+    keep = {r["doc_id"]: r["KEEP"] for r in text.quality_score(df).collect()}
+    assert keep[2] is True
+
+
+def test_quality_empty_doc(docs):
+    got = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert got[3]["QUALITY_SCORE"] == 0.0 and got[3]["KEEP"] is False
+
+
+def test_language_guess(docs):
+    got = {r["doc_id"]: r["LANG_GUESS"] for r in text.language_guess(docs).collect()}
+    assert got[1] == "en"       # 3/6 stopwords
+    assert got[2] == "unknown"
+    assert got[3] == "unknown"
