@@ -1,0 +1,17 @@
+from .jobs import (
+    cdc_upsert_sink,
+    read_event_stream,
+    session_windows,
+    stateful_running_total,
+    streaming_dedup,
+    tumbling_aggregate,
+)
+
+__all__ = [
+    "cdc_upsert_sink",
+    "read_event_stream",
+    "session_windows",
+    "stateful_running_total",
+    "streaming_dedup",
+    "tumbling_aggregate",
+]

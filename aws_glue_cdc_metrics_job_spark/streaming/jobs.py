@@ -1,0 +1,167 @@
+"""Structured Streaming forms of the engine's incremental operators.
+
+The reference is strictly micro-batch -- it re-implements watermarking,
+late/duplicate handling and tumbling windows by hand over Glue jobs
+(SURVEY.md §2.9). These are the true streaming equivalents, so the same
+pipeline semantics can run continuously:
+
+- C1 high-watermark ingest  -> ``readStream`` + ``withWatermark``
+- C4 late/duplicate dropping -> ``dropDuplicatesWithinWatermark``
+- C5 tumbling rollups        -> windowed groupBy with event-time watermark
+- C2/MERGE                   -> ``foreachBatch`` applying the batch
+                               ``cdc.apply_changes`` upsert per micro-batch
+- sessionization             -> native ``session_window`` or an
+                               ``applyInPandasWithState`` custom operator
+
+Scale notes: state stores back all of these; watermarks bound state size
+(without one, a streaming aggregation keeps every window forever). The
+foreachBatch upsert rewrites the snapshot per batch -- at real scale swap
+the overwrite for a partition-pruned MERGE on a table format, keeping the
+same ``apply_changes`` plan. Tests drive each with file sources and
+``trigger(availableNow=True)`` and assert parity with the batch operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_event_stream(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """File-source event stream (one parquet dir fed incrementally).
+    Streaming file sources require an explicit schema -- no inference race."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_aggregate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """C5 as a real streaming window: event-time tumbling aggregation with a
+    lateness watermark bounding state. Output columns mirror the batch
+    events_tumbling_* queries (WINDOW_START + aggregates)."""
+    aggs = aggs or [F.count(F.lit(1)).alias("N_EVENTS"), F.sum("value").alias("TOTAL_VALUE")]
+    group_cols = group_cols or []
+    keys = [F.window(ts_col, window).alias("w")] + [F.col(c) for c in group_cols]
+    out = stream.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
+    agg_names = [c for c in out.columns if c != "w" and c not in group_cols]
+    return out.select(F.col("w.start").alias("WINDOW_START"), *group_cols, *agg_names)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """C4 as built-in streaming dedup: drops key-duplicates arriving within
+    the watermark horizon; state for a key expires once the watermark passes
+    it (bounded memory, unlike an unbounded dropDuplicates)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_windows(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming form of the batch
+    events_sessionize query."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("N_EVENTS"),
+            F.min(ts_col).alias("SESSION_START"),
+            F.max(ts_col).alias("SESSION_END"),
+        )
+        .select(key_col, "SESSION_START", "SESSION_END", "N_EVENTS")
+    )
+
+
+def cdc_upsert_sink(
+    changes: DataFrame,
+    spark: SparkSession,
+    snapshot_path: str,
+    pks: list[str],
+    checkpoint: str,
+):
+    """Continuous C2 consumption: apply each micro-batch of tagged changes
+    to the snapshot with the batch ``apply_changes`` merge (upsert+delete).
+    Returns the started StreamingQuery."""
+    from ..operators.cdc import apply_changes
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        try:
+            snap = spark.read.parquet(snapshot_path)
+            merged = apply_changes(snap, batch, pks)
+        except Exception:  # cold start: inserts/updates only
+            merged = batch.filter(F.col("cdc_action") != "delete").drop("cdc_action", "cdc_timestamp")
+        # collect to driver-side rows then rewrite: required because the
+        # merge reads the same path it overwrites; at scale this becomes a
+        # MERGE INTO on a table format with the identical apply_changes plan
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(snapshot_path)
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+RUNNING_TOTAL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("TOTAL", T.DoubleType()),
+        T.StructField("N", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+
+
+def stateful_running_total(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running sum/count surviving across micro-batches -- the pattern for
+    operators Spark's built-in aggregations can't express (the engine's
+    escape hatch per the build rules: Pandas-UDF-backed state, Arrow
+    transfer, explicit state schema)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf[value_col].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [key[0]], "TOTAL": [total], "N": [n]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

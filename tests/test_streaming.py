@@ -1,0 +1,120 @@
+"""Structured Streaming operators: each driven with a file source +
+availableNow trigger and checked against its batch equivalent."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark import streaming as S
+
+D = dt.datetime
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+BATCH1 = [
+    (1, D(2024, 1, 1, 10, 0), 1, 10.0),
+    (2, D(2024, 1, 1, 10, 5), 1, 5.0),
+    (3, D(2024, 1, 1, 12, 0), 2, 7.0),
+]
+BATCH2 = [
+    (4, D(2024, 1, 2, 9, 0), 1, 3.0),
+    (2, D(2024, 1, 1, 10, 5), 1, 5.0),  # duplicate event_id within watermark
+]
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    spark.createDataFrame(BATCH1, EVENT_SCHEMA).write.mode("append").parquet(src)
+    spark.createDataFrame(BATCH2, EVENT_SCHEMA).write.mode("append").parquet(src)
+    return src
+
+
+def _run_to_memory(df, name, tmp_path, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_aggregate_matches_batch(spark, tmp_path, event_dir):
+    stream = S.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    _run_to_memory(
+        S.tumbling_aggregate(stream, window="1 hour", watermark="0 seconds"),
+        "tumbling",
+        tmp_path,
+        output_mode="complete",
+    )
+    got = {
+        r["WINDOW_START"]: (r["N_EVENTS"], r["TOTAL_VALUE"])
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    assert got[D(2024, 1, 1, 10)] == (3, 20.0)  # includes the duplicate row
+    assert got[D(2024, 1, 1, 12)] == (1, 7.0)
+    assert got[D(2024, 1, 2, 9)] == (1, 3.0)
+
+
+def test_streaming_dedup_drops_watermark_duplicates(spark, tmp_path, event_dir):
+    stream = S.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    _run_to_memory(
+        S.streaming_dedup(stream, ["event_id"], watermark="10 days"), "dedup", tmp_path
+    )
+    rows = spark.sql("SELECT * FROM dedup").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_session_windows(spark, tmp_path, event_dir):
+    stream = S.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    _run_to_memory(
+        S.session_windows(stream, gap="30 minutes", watermark="0 seconds"),
+        "sessions",
+        tmp_path,
+        output_mode="complete",
+    )
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["SESSION_START"], r["N_EVENTS"]))
+    # user 1: events at 10:00/10:05 fuse into one session (+ dup row), 9:00 next day separate
+    u1 = sorted(by_user[1])
+    assert len(u1) == 2
+    assert u1[0] == (D(2024, 1, 1, 10, 0), 3)
+    assert by_user[2] == [(D(2024, 1, 1, 12, 0), 1)]
+
+
+def test_stateful_running_total_across_batches(spark, tmp_path, event_dir):
+    stream = S.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    _run_to_memory(
+        S.stateful_running_total(stream), "totals", tmp_path, output_mode="update"
+    )
+    rows = spark.sql("SELECT * FROM totals").collect()
+    # keep the final update per key (cumulative across micro-batches)
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["N"] > final[r["user_id"]][1]:
+            final[r["user_id"]] = (r["TOTAL"], r["N"])
+    assert final[1] == (23.0, 4)
+    assert final[2] == (7.0, 1)
+
+
+def test_cdc_upsert_sink(spark, tmp_path):
+    changes_dir = str(tmp_path / "changes_in")
+    snap_path = str(tmp_path / "snapshot")
+    schema = "pk long, val string, cdc_action string"
+    # seed snapshot
+    spark.createDataFrame([(1, "a"), (2, "b")], "pk long, val string").write.parquet(snap_path)
+    spark.createDataFrame(
+        [(2, "b2", "update"), (3, "c", "insert"), (1, None, "delete")], schema
+    ).write.mode("append").parquet(changes_dir)
+    changes = spark.readStream.schema(schema).parquet(changes_dir)
+    q = S.cdc_upsert_sink(changes, spark, snap_path, ["pk"], str(tmp_path / "ckpt_cdc"))
+    q.awaitTermination(120)
+    got = {r["pk"]: r["val"] for r in spark.read.parquet(snap_path).collect()}
+    assert got == {2: "b2", 3: "c"}
