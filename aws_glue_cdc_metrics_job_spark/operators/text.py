@@ -78,3 +78,25 @@ def language_guess(df: DataFrame, text_col: str = "text", threshold: float = 0.0
     return df.withColumn("EN_STOP_RATIO", rhu(stop, 6)).withColumn(
         "LANG_GUESS", F.when(stop >= threshold, "en").otherwise("unknown")
     )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+# marks -- the shape (not the vocab) of a GPT-2-style pre-tokenizer split.
+# ASCII classes only so the Java (Spark) and RE2 (DuckDB) regex dialects
+# agree exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting with a BPE-ish regex: total pre-tokens plus
+    alpha/digit/punctuation breakdowns, each a codegen'd
+    regexp_extract_all at scan stage."""
+    def n(pattern: str) -> F.Column:
+        return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))).cast("long")
+
+    return (
+        df.withColumn("N_BPE_TOKENS", n(BPE_ISH_PATTERN))
+        .withColumn("N_ALPHA_TOKENS", n(r"[A-Za-z]+"))
+        .withColumn("N_DIGIT_TOKENS", n(r"[0-9]+"))
+        .withColumn("N_PUNCT_TOKENS", n(r"[^A-Za-z0-9\s]"))
+    )

@@ -398,3 +398,28 @@ def q_sessionize(spark: SparkSession, sf_dir: str):
         F.max("ts").alias("SESSION_END"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("DURATION_US"),
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 0 THEN {rhu_bump}
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate
+FROM base WHERE o_orderkey % 11 <> 5
+""",
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str):
+    """MERGE semantics check: applying diff(cur, prev) onto prev must
+    reconstruct cur exactly (upsert + delete roundtrip, SURVEY.md C2)."""
+    from ..operators.cdc import apply_changes
+
+    cur, prev = _cdc_snapshots(spark, sf_dir)
+    changes = cdc_diff(cur, prev, pks=["o_orderkey"])
+    return apply_changes(prev, changes, pks=["o_orderkey"])

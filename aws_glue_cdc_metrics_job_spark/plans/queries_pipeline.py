@@ -259,3 +259,68 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str):
 
     docs = read_table(spark, sf_dir, "documents")
     return map_in_pandas_features(as_binary_column(docs))
+
+
+@query(
+    "docs_regex_tokens",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS N_BPE_TOKENS,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS N_ALPHA_TOKENS,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS N_DIGIT_TOKENS,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS N_PUNCT_TOKENS
+FROM documents
+""",
+)
+def q_docs_regex_tokens(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return text.regex_token_stats(docs).select(
+        "doc_id", "N_BPE_TOKENS", "N_ALPHA_TOKENS", "N_DIGIT_TOKENS", "N_PUNCT_TOKENS"
+    )
+
+
+@query(
+    "emb_cosine_dup_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS CELL, v AS cv FROM e WHERE vec_id % 31 = 1),
+scored AS (
+  SELECT e.vec_id, cents.CELL,
+         FLOOR((list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS sim
+  FROM e, cents
+),
+cells AS (
+  SELECT vec_id, CELL FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, CELL) = 1
+)
+SELECT a.vec_id AS ID_A, b.vec_id AS ID_B,
+       FLOOR((list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))))
+          * 1000000 + 0.5) / 1000000 AS COSINE
+FROM cells a
+JOIN cells b ON a.CELL = b.CELL AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE FLOOR((list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))))
+         * 1000000 + 0.5) / 1000000 >= 0.35
+""",
+)
+def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.cosine_dup_pairs(emb, centroids, threshold=0.35)
+
+
+@query("emb_cosine_topk_fast")  # no oracle: numpy matmul summation order differs in last ulp
+def q_emb_cosine_topk_fast(spark: SparkSession, sf_dir: str):
+    """Arrow/numpy mapInPandas fast path for exact top-k (rows-only check;
+    rank parity with the expression form is unit-tested)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk_fast(emb, queries, k=5)
+    return out.withColumn("NEIGHBOR_RANK", F.col("RANK").cast("long")).drop("RANK")

@@ -36,10 +36,16 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "events_sessionize",
     "events_tumbling_daily",
+    "cdc_apply_changes",
     "dedup_keep_latest",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
+    "docs_ngram_jaccard_pairs",
+    "docs_simhash",
+    "docs_regex_tokens",
     "emb_cosine_topk",
+    "emb_cosine_topk_fast",
+    "emb_cosine_dup_pairs",
 ]
 
 

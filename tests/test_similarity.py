@@ -69,3 +69,27 @@ def test_self_match_excluded(vectors):
     queries = df.filter(F.col("vec_id") == 0)
     got = similarity.brute_force_topk(df, queries, k=5).collect()
     assert all(r["NEIGHBOR_ID"] != 0 for r in got)
+
+
+def test_fast_topk_matches_expression_form(vectors):
+    rows, df = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    slow = similarity.brute_force_topk(df, queries, k=3)
+    fast = similarity.brute_force_topk_fast(df, queries, k=3)
+    s = {(r["QUERY_ID"], r["NEIGHBOR_ID"]): r["COSINE"] for r in slow.collect()}
+    f = {(r["QUERY_ID"], r["NEIGHBOR_ID"]): r["COSINE"] for r in fast.collect()}
+    assert set(s) == set(f)
+    for k_, v in s.items():
+        assert abs(v - f[k_]) < 1e-6
+
+
+def test_cosine_dup_pairs_blocked(vectors):
+    rows, df = vectors
+    centroids = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pairs = similarity.cosine_dup_pairs(df, centroids, threshold=0.9).collect()
+    assert pairs, "clustered fixture should contain high-cosine pairs"
+    for r in pairs:
+        assert r["ID_A"] < r["ID_B"] and r["COSINE"] >= 0.9
+        assert r["ID_A"] % 3 == r["ID_B"] % 3  # only within-cluster (within-cell) pairs

@@ -44,3 +44,17 @@ def test_language_guess(docs):
     assert got[1] == "en"       # 3/6 stopwords
     assert got[2] == "unknown"
     assert got[3] == "unknown"
+
+
+def test_regex_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times"), (2, ""), (3, "a1b2")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.regex_token_stats(df).collect()}
+    # Hello , world ! 42 times -> 6 bpe tokens (4 alpha, 1 digit, 2 punct)
+    assert got[1]["N_BPE_TOKENS"] == 6
+    assert got[1]["N_ALPHA_TOKENS"] == 3  # Hello world times
+    assert got[1]["N_DIGIT_TOKENS"] == 1
+    assert got[1]["N_PUNCT_TOKENS"] == 2
+    assert got[2]["N_BPE_TOKENS"] == 0
+    assert got[3]["N_BPE_TOKENS"] == 4  # a 1 b 2
