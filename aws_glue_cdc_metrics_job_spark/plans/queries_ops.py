@@ -423,3 +423,55 @@ def q_cdc_apply_changes(spark: SparkSession, sf_dir: str):
     cur, prev = _cdc_snapshots(spark, sf_dir)
     changes = cdc_diff(cur, prev, pks=["o_orderkey"])
     return apply_changes(prev, changes, pks=["o_orderkey"])
+
+
+# --- A-family extensions: multi-level aggregation + sketch cardinality
+
+
+@query(
+    "pricing_rollup",
+    oracle=f"""
+SELECT l_returnflag AS RETURN_FLAG, l_linestatus AS LINE_STATUS,
+       {sql_dsum("l_extendedprice", 2)} AS SUM_BASE_PRICE,
+       COUNT(*) AS N_ROWS
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_pricing_rollup(spark: SparkSession, sf_dir: str):
+    """Hierarchical subtotals via ROLLUP: per (flag, status), per flag, and
+    grand total in one pass (partial-aggregated like any groupBy)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup(
+        F.col("l_returnflag").alias("RETURN_FLAG"), F.col("l_linestatus").alias("LINE_STATUS")
+    ).agg(
+        dsum(F.col("l_extendedprice"), 2).alias("SUM_BASE_PRICE"),
+        F.count(F.lit(1)).alias("N_ROWS"),
+    )
+
+
+@query(
+    "orders_status_cube",
+    oracle="""
+SELECT o_orderstatus AS STATUS, o_orderpriority AS PRIORITY, COUNT(*) AS N
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("STATUS"), F.col("o_orderpriority").alias("PRIORITY")
+    ).agg(F.count(F.lit(1)).alias("N"))
+
+
+@query("events_approx_distinct_users")  # no oracle: HLL sketch values are engine-specific
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str):
+    """approx_count_distinct -- the 100TB substitute for exact countDistinct
+    (SURVEY.md A4): mergeable HLL sketch, no distinct-expand shuffle.
+    Relative error vs exact is unit-tested (< 5% at rsd=0.02)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("EVENT_TYPE")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("APPROX_USERS"),
+        F.count(F.lit(1)).alias("N_EVENTS"),
+    )
