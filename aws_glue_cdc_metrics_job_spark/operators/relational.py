@@ -96,3 +96,48 @@ def pct_change(cur: Column, prev: Column) -> Column:
     """Percent change with NULL on zero denominator
     (scripts/cdc_metrics_job.py:353-354)."""
     return F.when(prev == 0, F.lit(None).cast("double")).otherwise((cur - prev) / prev * 100)
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    alias: str,
+    salt: int = 64,
+) -> Column | DataFrame:
+    """Skew-resistant *exact* COUNT(DISTINCT value) per key, in two phases:
+    salt derived from the VALUE (pmod(xxhash64(value), salt)) splits each
+    hot key's distinct-set across ``salt`` reducers; per-(key, salt) counts
+    then sum exactly because a given value always lands in the same salt
+    bucket -- no double counting. Use when one key holds a large share of
+    the rows and the single-reducer distinct of plain countDistinct stalls
+    the stage (SURVEY.md A4 at 100TB)."""
+    s = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt))
+    partial = df.groupBy(*[F.col(k) for k in keys], s.alias("__salt")).agg(
+        F.countDistinct(value_col).alias("__c")
+    )
+    return partial.groupBy(*keys).agg(F.sum("__c").cast("long").alias(alias))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skewed equi-join: replicate the small side ``salt`` times and spread
+    the big side's rows across replicas with a per-row deterministic salt,
+    so one hot key occupies ``salt`` reducers instead of one. Exact for
+    inner/left joins (each big row meets exactly one replica). Prefer AQE's
+    skew-join first; this is the manual fallback when the skew is known and
+    extreme (SURVEY.md §4 hazards)."""
+    replicas = small.crossJoin(
+        F.broadcast(
+            small.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
+    )
+    return salted_big.join(replicas, keys + ["__salt"], how).drop("__salt")

@@ -63,3 +63,33 @@ def test_any_column_differs_null_safety(spark):
     j = a.join(b, F.col("curr.pk") == F.col("prev.pk"))
     assert j.filter(any_column_differs("curr", "prev", ["x"], null_safe=True)).count() == 1
     assert j.filter(any_column_differs("curr", "prev", ["x"], null_safe=False)).count() == 0
+
+
+def test_salted_count_distinct_exact(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.relational import salted_count_distinct
+
+    rows = [("hot", f"u{i % 37}") for i in range(500)] + [("cold", "u1"), ("cold", "u2")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {r["k"]: r["n"] for r in salted_count_distinct(df, ["k"], "v", "n", salt=16).collect()}
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == exact == {"hot": 37, "cold": 2}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"row{i}") for i in range(100)], "k int, payload string"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, dim string")
+    plain = sorted((r["k"], r["payload"], r["dim"]) for r in big.join(small, ["k"]).collect())
+    salted = sorted((r["k"], r["payload"], r["dim"]) for r in salted_join(big, small, ["k"], salt=4).collect())
+    assert plain == salted
+    # left join keeps unmatched big rows exactly once
+    big2 = big.union(spark.createDataFrame([(9, "orphan")], "k int, payload string"))
+    left = sorted((r["k"], r["payload"], r["dim"]) for r in salted_join(big2, small, ["k"], how="left", salt=4).collect())
+    plain_left = sorted((r["k"], r["payload"], r["dim"]) for r in big2.join(small, ["k"], "left").collect())
+    assert left == plain_left
