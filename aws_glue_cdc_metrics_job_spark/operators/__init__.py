@@ -1,3 +1,12 @@
-from . import cdc, dedup, incremental, multimodal, relational, similarity, text
+from . import cdc, dedup, incremental, multimodal, relational, similarity, temporal, text
 
-__all__ = ["cdc", "dedup", "incremental", "multimodal", "relational", "similarity", "text"]
+__all__ = [
+    "cdc",
+    "dedup",
+    "incremental",
+    "multimodal",
+    "relational",
+    "similarity",
+    "temporal",
+    "text",
+]

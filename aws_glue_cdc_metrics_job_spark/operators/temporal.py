@@ -1,0 +1,89 @@
+"""Temporal joins the reference lacks but a time-series/CDC engine needs:
+backward as-of join (latest right row at-or-before each left row's time).
+
+The naive formulation -- join on key + range predicate, then argmax per
+left row -- explodes to |left| x |right-per-key| intermediate rows before
+the argmax prunes them. At 100 TB that intermediate is the bottleneck, so
+this implementation never builds it: both sides are unioned, shuffled ONCE
+on the join key, and a running ``last(..., ignorenulls=True)`` window
+carries each right row forward to the left rows that follow it in time.
+Cost is one shuffle + one sort per key partition -- the same class as the
+piecewise merge join a native engine would use for as-of.
+
+No UDFs; everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: float | None = None,
+    matched_prefix: str = "matched_",
+) -> DataFrame:
+    """Backward (left) as-of join.
+
+    For every ``left`` row, attach the single ``right`` row with the same
+    ``on`` keys and the greatest ``right_ts`` <= ``left_ts``; NULLs when no
+    such row exists (left-outer semantics). ``right_cols`` are the payload
+    columns carried over, emitted as ``{matched_prefix}{col}`` alongside
+    ``{matched_prefix}{right_ts}``. With ``tolerance_seconds`` set, matches
+    older than the tolerance are nulled out (pandas ``merge_asof``
+    tolerance semantics).
+
+    The carried payload is wrapped in a single STRUCT before the window
+    fill: ``last(ignorenulls=True)`` must skip *absent* right rows yet
+    preserve right rows whose payload value is itself NULL, and the
+    non-null struct wrapper is what makes that distinction.
+
+    Ties: a right row at exactly ``left_ts`` matches (<=). Equal-timestamp
+    right rows within one key are broken deterministically: the greatest
+    payload under struct ordering (``right_ts``, then ``right_cols`` in
+    order) wins.
+    """
+    payload = [F.col(right_ts).alias(f"{matched_prefix}{right_ts}")] + [
+        F.col(c).alias(f"{matched_prefix}{c}") for c in right_cols
+    ]
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*payload).alias("__r"),
+    )
+    struct_type = r.schema["__r"].dataType
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(struct_type).alias("__r"),
+    )
+    # Right rows sort before left rows at the same timestamp (__side 0 < 1)
+    # so an exact-timestamp right row is visible to that left row; __r as a
+    # final key makes equal-timestamp right duplicates deterministic.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side", "__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l.unionByName(r, allowMissingColumns=True)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col(left_ts).cast("double") - F.col(f"__m.{matched_prefix}{right_ts}").cast("double")
+        ) <= F.lit(tolerance_seconds)
+        filled = filled.withColumn("__m", F.when(in_tol, F.col("__m")))
+    return (
+        filled.select("*", "__m.*")
+        .drop("__ts", "__side", "__r", "__m")
+    )

@@ -475,3 +475,83 @@ def q_events_approx_distinct(spark: SparkSession, sf_dir: str):
         F.approx_count_distinct("user_id", rsd=0.02).alias("APPROX_USERS"),
         F.count(F.lit(1)).alias("N_EVENTS"),
     )
+
+
+# --- temporal: backward as-of join (operator the reference lacks; union +
+# running-last fill, ONE shuffle, no range-join blow-up -- operators/temporal.py)
+
+
+@query(
+    "events_asof_attribution",
+    oracle="""
+SELECT p.event_id AS PURCHASE_ID, p.user_id AS USER_ID, p.ts AS PURCHASE_TS,
+       c.ts AS CLICK_TS, c.event_id AS CLICK_ID
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str):
+    """Last-click attribution: each purchase matched to the latest click by
+    the same user at-or-before the purchase, NULL when none (left as-of).
+    Deterministic here: (user_id, ts) is unique in the events fixture."""
+    from ..operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=["event_id"]
+    ).select(
+        F.col("event_id").alias("PURCHASE_ID"),
+        F.col("user_id").alias("USER_ID"),
+        F.col("ts").alias("PURCHASE_TS"),
+        F.col("matched_ts").alias("CLICK_TS"),
+        F.col("matched_event_id").alias("CLICK_ID"),
+    )
+
+
+# --- semi / anti joins (EXISTS / NOT EXISTS): no right-side payload, no
+# fan-out -- Catalyst keeps the build side a set-probe (broadcast here)
+
+
+@query(
+    "customers_semi_urgent",
+    oracle="""
+SELECT c_custkey AS CUSTOMER_ID, c_name AS NAME, c_mktsegment AS SEGMENT
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_customers_semi_urgent(spark: SparkSession, sf_dir: str):
+    """Customers with at least one urgent order (left-semi join: each
+    customer emitted at most once regardless of match multiplicity)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        F.col("c_custkey").alias("CUSTOMER_ID"),
+        F.col("c_name").alias("NAME"),
+        F.col("c_mktsegment").alias("SEGMENT"),
+    )
+
+
+@query(
+    "customers_anti_urgent",
+    oracle="""
+SELECT c_custkey AS CUSTOMER_ID, c_name AS NAME, c_mktsegment AS SEGMENT
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_customers_anti_urgent(spark: SparkSession, sf_dir: str):
+    """Customers with no urgent order (left-anti join -- the keyed EXCEPT
+    the reference approximates with full-row subtract, SURVEY.md O1)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        F.col("c_custkey").alias("CUSTOMER_ID"),
+        F.col("c_name").alias("NAME"),
+        F.col("c_mktsegment").alias("SEGMENT"),
+    )

@@ -1,0 +1,125 @@
+"""asof_join: backward-fill semantics vs hand-computed expectations."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_match_and_left_outer(spark):
+    left = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:00"), "p1"),  # after q1 -> q1
+            (1, _ts("2024-01-01 12:00:00"), "p2"),  # after q2 -> q2
+            (2, _ts("2024-01-01 09:00:00"), "p3"),  # before any quote -> NULL
+            (3, _ts("2024-01-01 09:00:00"), "p4"),  # key with no right rows
+        ],
+        "k int, ts timestamp, pid string",
+    )
+    right = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01 09:30:00"), 100.0),  # q1
+            (1, _ts("2024-01-01 11:00:00"), 110.0),  # q2
+            (2, _ts("2024-01-01 09:30:00"), 200.0),
+        ],
+        "k int, qts timestamp, px double",
+    )
+    got = {
+        r["pid"]: (r["matched_qts"], r["matched_px"])
+        for r in asof_join(left, right, ["k"], "ts", "qts", ["px"]).collect()
+    }
+    assert got["p1"] == (_ts("2024-01-01 09:30:00"), 100.0)
+    assert got["p2"] == (_ts("2024-01-01 11:00:00"), 110.0)
+    assert got["p3"] == (None, None)
+    assert got["p4"] == (None, None)
+
+
+def test_asof_exact_timestamp_matches(spark):
+    left = _mk(spark, [(1, _ts("2024-01-01 10:00:00"), "p")], "k int, ts timestamp, pid string")
+    right = _mk(spark, [(1, _ts("2024-01-01 10:00:00"), 5.0)], "k int, qts timestamp, px double")
+    [r] = asof_join(left, right, ["k"], "ts", "qts", ["px"]).collect()
+    assert r["matched_px"] == 5.0
+
+
+def test_asof_preserves_null_payload(spark):
+    # a matched right row whose payload is NULL must yield NULL, not fall
+    # back to an older non-null right row (struct wrapper semantics)
+    left = _mk(spark, [(1, _ts("2024-01-01 12:00:00"), "p")], "k int, ts timestamp, pid string")
+    right = _mk(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"), 1.0), (1, _ts("2024-01-01 11:00:00"), None)],
+        "k int, qts timestamp, px double",
+    )
+    [r] = asof_join(left, right, ["k"], "ts", "qts", ["px"]).collect()
+    assert r["matched_qts"] == _ts("2024-01-01 11:00:00")
+    assert r["matched_px"] is None
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = _mk(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"), "fresh"), (1, _ts("2024-01-01 13:00:00"), "stale")],
+        "k int, ts timestamp, pid string",
+    )
+    right = _mk(spark, [(1, _ts("2024-01-01 09:59:00"), 1.0)], "k int, qts timestamp, px double")
+    got = {
+        r["pid"]: r["matched_px"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "qts", ["px"], tolerance_seconds=3600
+        ).collect()
+    }
+    assert got == {"fresh": 1.0, "stale": None}
+
+
+def test_asof_equal_ts_right_rows_deterministic(spark):
+    left = _mk(spark, [(1, _ts("2024-01-01 10:00:00"), "p")], "k int, ts timestamp, pid string")
+    right = _mk(
+        spark,
+        [(1, _ts("2024-01-01 09:00:00"), 1.0), (1, _ts("2024-01-01 09:00:00"), 2.0)],
+        "k int, qts timestamp, px double",
+    )
+    for _ in range(3):
+        [r] = asof_join(
+            left.repartition(4), right.repartition(3), ["k"], "ts", "qts", ["px"]
+        ).collect()
+        assert r["matched_px"] == 2.0  # greatest payload under struct order wins
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    lrows = [(i % 5, _ts(f"2024-01-0{1 + i % 9} {i % 24:02d}:00:00"), float(i)) for i in range(200)]
+    rrows = [(i % 5, _ts(f"2024-01-0{1 + (i * 3) % 9} {(i * 7) % 24:02d}:30:00"), float(i)) for i in range(80)]
+    left = _mk(spark, lrows, "k int, ts timestamp, lv double")
+    right = _mk(spark, rrows, "k int, rts timestamp, rv double")
+    got = (
+        asof_join(left, right, ["k"], "ts", "rts", ["rv"])
+        .select("k", "ts", "lv", "matched_rts", "matched_rv")
+        .toPandas()
+        .sort_values(["k", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = (
+        pd.DataFrame(rrows, columns=["k", "rts", "rv"])
+        .drop_duplicates(["k", "rts"], keep="last")
+        .sort_values("rts")
+    )
+    exp = (
+        pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k")
+        .rename(columns={"rts": "matched_rts", "rv": "matched_rv"})
+        .sort_values(["k", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
