@@ -1,4 +1,14 @@
-from . import cdc, dedup, incremental, multimodal, relational, similarity, temporal, text
+from . import (
+    cdc,
+    dedup,
+    incremental,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    temporal,
+    text,
+)
 
 __all__ = [
     "cdc",
@@ -6,6 +16,7 @@ __all__ = [
     "incremental",
     "multimodal",
     "relational",
+    "sampling",
     "similarity",
     "temporal",
     "text",

@@ -87,3 +87,50 @@ def asof_join(
         filled.select("*", "__m.*")
         .drop("__ts", "__side", "__r", "__m")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+) -> DataFrame:
+    """Keyed interval (range) join: all (left, right) pairs sharing ``on``
+    keys with ``right_ts`` in ``[left_ts + lower, left_ts + upper]``.
+
+    A bare key + BETWEEN join makes Catalyst build every same-key pair and
+    post-filter -- quadratic in rows-per-key. Here both sides are bucketed
+    on time (bucket width = the interval span), the left side explodes to
+    the <=2 buckets its window overlaps, the join is a plain equi-join on
+    (keys, bucket), and the exact BETWEEN runs as a residual filter on the
+    already-banded candidates. Candidate count scales with rows per
+    (key, bucket), not rows per key; each true pair appears exactly once
+    because a right row lives in exactly one bucket.
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    if left_ts == right_ts:
+        raise ValueError("rename one side: left_ts and right_ts must differ for the residual filter")
+    width = upper_seconds - lower_seconds
+    l_epoch = F.col(left_ts).cast("double")
+    r_epoch = F.col(right_ts).cast("double")
+    l = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((l_epoch + lower_seconds) / width),
+                F.floor((l_epoch + upper_seconds) / width),
+            )
+        ),
+    )
+    r = right.withColumn("__bucket", F.floor(r_epoch / width))
+    return (
+        l.join(r, on + ["__bucket"])
+        .filter(
+            r_epoch.between(l_epoch + lower_seconds, l_epoch + upper_seconds)
+        )
+        .drop("__bucket")
+    )

@@ -555,3 +555,91 @@ def q_customers_anti_urgent(spark: SparkSession, sf_dir: str):
         F.col("c_name").alias("NAME"),
         F.col("c_mktsegment").alias("SEGMENT"),
     )
+
+
+# --- keyed interval (range) join: banded buckets, no per-key cross product
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+SELECT e.event_id AS ERROR_ID, e.user_id AS USER_ID, e.ts AS ERROR_TS,
+       c.click_id AS CLICK_ID, c.click_ts AS CLICK_TS
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.click_ts BETWEEN e.ts - INTERVAL 86400 SECOND AND e.ts
+""",
+)
+def q_events_interval_join(spark: SparkSession, sf_dir: str):
+    """Errors paired with every click by the same user in the preceding
+    24 h (operators/temporal.py interval_join: time-bucketed equi-join +
+    residual BETWEEN, never the per-key cross product)."""
+    from ..operators.temporal import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return interval_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        lower_seconds=-86400, upper_seconds=0,
+    ).select(
+        F.col("event_id").alias("ERROR_ID"),
+        F.col("user_id").alias("USER_ID"),
+        F.col("ts").alias("ERROR_TS"),
+        F.col("click_id").alias("CLICK_ID"),
+        F.col("click_ts").alias("CLICK_TS"),
+    )
+
+
+# --- deterministic hash sampling / splitting (operators/sampling.py):
+# md5-keyed so membership is reproducible in ANY engine, including the oracle
+
+
+@query(
+    "lineitem_hash_sample",
+    oracle="""
+SELECT CAST(l_orderkey AS BIGINT) AS ORDER_ID,
+       CAST(l_linenumber AS BIGINT) AS LINEITEM_ID,
+       l_quantity AS QTY
+FROM lineitem
+WHERE SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                    CAST(l_linenumber AS VARCHAR) || '|s42'), 1, 8) < '0ccccccc'
+""",
+)
+def q_lineitem_hash_sample(spark: SparkSession, sf_dir: str):
+    """~5% reproducible sample of lineitem keyed by PK hash: stateless map,
+    no shuffle, identical membership at any partitioning/cluster size
+    ('0ccccccc'/16^8 = 0.050000000)."""
+    from ..operators.sampling import hash_sample
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return hash_sample(li, ["l_orderkey", "l_linenumber"], 0.05, seed="s42").select(
+        F.col("l_orderkey").cast("long").alias("ORDER_ID"),
+        F.col("l_linenumber").cast("long").alias("LINEITEM_ID"),
+        F.col("l_quantity").alias("QTY"),
+    )
+
+
+@query(
+    "docs_train_split",
+    oracle="""
+SELECT doc_id AS DOC_ID,
+       CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|s7'), 1, 8) < 'cccccccc' THEN 'train'
+            WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|s7'), 1, 8) < 'e6666666' THEN 'val'
+            ELSE 'test' END AS SPLIT
+FROM documents
+""",
+)
+def q_docs_train_split(spark: SparkSession, sf_dir: str):
+    """80/10/10 train/val/test assignment by document key hash -- the
+    reproducible split a training pipeline snapshots with the data."""
+    from ..operators.sampling import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s7"
+    ).select(F.col("doc_id").alias("DOC_ID"), "SPLIT")

@@ -1,0 +1,57 @@
+"""hash_sample / hash_split: determinism, partitioning-independence, rates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators.sampling import (
+    _hex_threshold,
+    hash_sample,
+    hash_split,
+)
+
+
+def test_hex_thresholds():
+    assert _hex_threshold(0.05) == "0ccccccc"
+    assert _hex_threshold(0.8) == "cccccccc"
+    assert _hex_threshold(0.9) == "e6666666"
+
+
+def test_sample_rate_and_determinism(spark):
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in hash_sample(df, ["k"], 0.1, seed="a").collect()}
+    s2 = {r["k"] for r in hash_sample(df.repartition(13), ["k"], 0.1, seed="a").collect()}
+    assert s1 == s2  # partitioning-independent membership
+    assert abs(len(s1) / 20000 - 0.1) < 0.01
+    s3 = {r["k"] for r in hash_sample(df, ["k"], 0.1, seed="b").collect()}
+    assert s3 != s1  # seed changes the draw
+
+
+def test_sample_edge_fractions(spark):
+    df = spark.range(100)
+    assert hash_sample(df, ["id"], 1.0).count() == 100
+    assert hash_sample(df, ["id"], 0.0).count() == 0
+
+
+def test_split_partitions_exhaustively(spark):
+    df = spark.range(10000).withColumnRenamed("id", "k")
+    out = hash_split(df, ["k"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s")
+    counts = {r["SPLIT"]: r["n"] for r in out.groupBy("SPLIT").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10000  # every row assigned exactly once
+    assert abs(counts["train"] / 10000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10000 - 0.1) < 0.01
+    assert abs(counts["test"] / 10000 - 0.1) < 0.01
+
+
+def test_split_consistent_with_sample(spark):
+    # same key+seed -> sample membership == the first split band
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    sampled = {r["k"] for r in hash_sample(df, ["k"], 0.3, seed="x").collect()}
+    split = hash_split(df, ["k"], {"a": 0.3, "b": 0.7}, seed="x")
+    in_a = {r["k"] for r in split.filter(F.col("SPLIT") == "a").collect()}
+    assert sampled == in_a
+
+
+def test_split_weights_must_sum_to_one(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        hash_split(df, ["id"], {"a": 0.5, "b": 0.4})

@@ -123,3 +123,55 @@ def test_asof_matches_pandas_merge_asof(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_interval_join_matches_naive(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import interval_join
+
+    lrows = [(i % 4, _ts(f"2024-01-01 {i % 24:02d}:{(i * 13) % 60:02d}:00"), i) for i in range(120)]
+    rrows = [(i % 4, _ts(f"2024-01-01 {(i * 5) % 24:02d}:{(i * 7) % 60:02d}:30"), i) for i in range(90)]
+    left = _mk(spark, lrows, "k int, lts timestamp, lid int")
+    right = _mk(spark, rrows, "k int, rts timestamp, rid int")
+    lo, hi = -1800.0, 1800.0  # rts within +/-30min of lts
+    banded = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, ["k"], "lts", "rts", lo, hi).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(right, "k").filter(
+            (F.col("rts").cast("double") >= F.col("lts").cast("double") + lo)
+            & (F.col("rts").cast("double") <= F.col("lts").cast("double") + hi)
+        ).collect()
+    )
+    assert banded == naive and len(banded) > 0
+
+
+def test_interval_join_one_sided_band(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import interval_join
+
+    left = _mk(spark, [(1, _ts("2024-01-01 10:00:00"), 0)], "k int, lts timestamp, lid int")
+    right = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01 09:59:00"), 1),   # in [-300, 0]
+            (1, _ts("2024-01-01 10:00:00"), 2),   # boundary: included
+            (1, _ts("2024-01-01 10:00:01"), 3),   # after: excluded
+            (1, _ts("2024-01-01 09:54:59"), 4),   # too old: excluded
+        ],
+        "k int, rts timestamp, rid int",
+    )
+    got = sorted(
+        r["rid"] for r in interval_join(left, right, ["k"], "lts", "rts", -300, 0).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_interval_join_rejects_same_ts_name(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import interval_join
+
+    df = _mk(spark, [(1, _ts("2024-01-01 10:00:00"))], "k int, ts timestamp")
+    import pytest
+
+    with pytest.raises(ValueError):
+        interval_join(df, df, ["k"], "ts", "ts", -1, 1)
