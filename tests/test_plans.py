@@ -72,3 +72,30 @@ def test_every_query_runs_at_smoke_scale(spark, sf_dir, catalog):
 
 def test_oracle_queries_have_matching_spark_entries():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir, catalog):
+    # union + running-last as-of: exactly ONE Exchange (hash on the key),
+    # never a join node -- the piecewise-merge shape (operators/temporal.py)
+    import re
+
+    plan = _plan(catalog["events_asof_attribution"](spark, sf_dir))
+    # formatted explain repeats node headers in the details section: count
+    # unique node ids, not substring occurrences
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_hash_sample_is_stateless_map(spark, sf_dir, catalog):
+    # md5-threshold sampling must not shuffle: scan -> filter -> project only
+    plan = _plan(catalog["lineitem_hash_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_interval_join_is_equi_join(spark, sf_dir, catalog):
+    # banded range join: a hash/broadcast equi-join on (key, bucket), NOT a
+    # BroadcastNestedLoopJoin / cartesian the bare BETWEEN would produce
+    plan = _plan(catalog["events_interval_join"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
