@@ -27,4 +27,4 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query-defining module (idempotent)."""
-    from . import queries_marts, queries_ops, queries_pipeline  # noqa: F401
+    from . import queries_analytics, queries_marts, queries_ops, queries_pipeline  # noqa: F401

@@ -1,0 +1,267 @@
+"""Graded queries widening the standard-analytics surface beyond the
+reference's own operator set (SURVEY.md §2 "Not present" rows): INTERSECT,
+pivot/unpivot, lead + range frames, exact percentiles, ntile bucketing,
+grouping sets, JSON extraction, and ordered string aggregation. Each is an
+operator a reference user would expect from a general engine; each has a
+DuckDB oracle.
+
+Scale notes (SCALE.md posture): all queries are single-pass declarative
+plans — pivot is a partial-aggregated groupBy with a fixed value list (no
+distinct-scan for column discovery), percentiles run per-group (no global
+sort), ntile's lone global window runs on an already-aggregated or bounded
+input only, and JSON extraction is a codegen'd projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, rhu, sql_dsum, sql_rhu
+from ..sources import read_table
+from .catalog import query
+
+# --- set op the reference lacks: INTERSECT (distinct semantics, like O1)
+
+
+@query(
+    "orders_intersect_custkeys",
+    oracle="""
+SELECT o_custkey AS CUST_ID FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS CUST_ID FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_orders_intersect(spark: SparkSession, sf_dir: str):
+    """Customers with both a finished and an open order. Physically a
+    key-only distinct + join — same single-shuffle shape as set_except."""
+    o = read_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("CUST_ID"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("CUST_ID"))
+    return f.intersect(op)
+
+
+# --- pivot (wide conditional aggregation with a FIXED value list: one pass,
+# no pre-scan for distinct pivot values — the 100TB-safe form)
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "orders_priority_pivot",
+    oracle="""
+SELECT o_orderstatus AS STATUS,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+FROM orders GROUP BY 1
+""",
+)
+def q_orders_priority_pivot(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("STATUS"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PRIORITIES)
+    )
+
+
+# --- unpivot / melt (wide metrics -> long (metric, value) rows)
+
+
+@query(
+    "pricing_unpivot",
+    oracle=f"""
+WITH w AS (
+  SELECT l_returnflag AS RETURN_FLAG,
+         {sql_dsum("l_quantity", 2)} AS sum_qty,
+         {sql_dsum("l_extendedprice", 2)} AS sum_base_price,
+         {sql_dsum("l_discount", 2)} AS sum_discount
+  FROM lineitem GROUP BY 1
+)
+SELECT RETURN_FLAG, 'sum_qty' AS METRIC, sum_qty AS VAL FROM w
+UNION ALL SELECT RETURN_FLAG, 'sum_base_price', sum_base_price FROM w
+UNION ALL SELECT RETURN_FLAG, 'sum_discount', sum_discount FROM w
+""",
+)
+def q_pricing_unpivot(spark: SparkSession, sf_dir: str):
+    """Aggregate-then-melt: unpivot runs on the tiny aggregated frame, so
+    the long form never multiplies the fact-table row count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy(F.col("l_returnflag").alias("RETURN_FLAG")).agg(
+        dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        dsum(F.col("l_discount"), 2).alias("sum_discount"),
+    )
+    return wide.unpivot(
+        ["RETURN_FLAG"], ["sum_qty", "sum_base_price", "sum_discount"], "METRIC", "VAL"
+    )
+
+
+# --- lead + event-time RANGE frame (trailing 7-day sum per user). Frames
+# keyed on integer microsecond epochs so Spark and the oracle bound peers
+# identically at full timestamp precision.
+
+
+@query(
+    "events_lead_trailing7d",
+    oracle=f"""
+SELECT event_id AS EVENT_ID, user_id AS USER_ID, ts AS TS,
+       date_diff('microsecond', ts,
+                 LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS GAP_US,
+       {sql_rhu(
+           "SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)"
+           " RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)", 6)} AS TRAILING_7D_VALUE
+FROM events
+""",
+)
+def q_events_lead_trailing7d(spark: SparkSession, sf_dir: str):
+    """LEAD (forward analog of the reference's W3 lag) plus a true
+    event-time RANGE frame — the sliding-window form C6's trailing compare
+    generalizes to. State per user is bounded by the 7-day span."""
+    ev = read_table(spark, sf_dir, "events")
+    w_lead = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        F.col("event_id").alias("EVENT_ID"),
+        F.col("user_id").alias("USER_ID"),
+        F.col("ts").alias("TS"),
+        (F.unix_micros(F.lead("ts").over(w_lead)) - F.unix_micros(F.col("ts"))).alias("GAP_US"),
+        rhu(F.sum("value").over(w_range), 6).alias("TRAILING_7D_VALUE"),
+    )
+
+
+# --- exact interpolated percentiles (generalizes Q1's quantile machinery
+# to a grouped aggregate; both engines use linear interpolation)
+
+
+@query(
+    "orders_price_percentiles",
+    oracle=f"""
+SELECT o_orderstatus AS STATUS,
+       {sql_rhu("quantile_cont(o_totalprice, 0.5)", 4)} AS MEDIAN_PRICE,
+       {sql_rhu("quantile_cont(o_totalprice, 0.9)", 4)} AS P90_PRICE,
+       COUNT(*) AS N_ORDERS
+FROM orders GROUP BY 1
+""",
+)
+def q_orders_price_percentiles(spark: SparkSession, sf_dir: str):
+    """Exact percentile is a sort-based aggregate per group — fine at any
+    group count; for 100TB single-group cases swap approx_percentile
+    (mergeable sketch) at the call site."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("STATUS")).agg(
+        rhu(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("MEDIAN_PRICE"),
+        rhu(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("P90_PRICE"),
+        F.count(F.lit(1)).alias("N_ORDERS"),
+    )
+
+
+# --- ntile bucketing (rank-based quartiles; deterministic via full-order
+# tiebreak). Global window, but over events' value column post-filter this
+# is the documented bounded-input exception; the scalable quantile path is
+# functions/quantile.py.
+
+
+@query(
+    "events_value_ntile",
+    oracle="""
+WITH b AS (
+  SELECT value, NTILE(4) OVER (ORDER BY value, event_id) AS BUCKET
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT BUCKET, COUNT(*) AS N, MIN(value) AS MIN_VALUE, MAX(value) AS MAX_VALUE
+FROM b GROUP BY 1
+""",
+)
+def q_events_value_ntile(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(4).over(w).alias("BUCKET"))
+        .groupBy("BUCKET")
+        .agg(
+            F.count(F.lit(1)).alias("N"),
+            F.min("value").alias("MIN_VALUE"),
+            F.max("value").alias("MAX_VALUE"),
+        )
+    )
+
+
+# --- GROUPING SETS with grouping flags (finer control than rollup/cube;
+# SQL surface — Spark's DataFrame API exposes only rollup/cube)
+
+
+@query(
+    "orders_grouping_sets",
+    oracle="""
+SELECT o_orderstatus AS STATUS, o_orderpriority AS PRIORITY,
+       GROUPING(o_orderstatus) AS G_STATUS, GROUPING(o_orderpriority) AS G_PRIORITY,
+       COUNT(*) AS N
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS STATUS, o_orderpriority AS PRIORITY,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS G_STATUS,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS G_PRIORITY,
+               COUNT(*) AS N
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --- JSON extraction (events.props is a JSON document column)
+
+
+@query(
+    "events_json_props",
+    oracle="""
+SELECT event_type AS EVENT_TYPE,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS SUM_K,
+       COUNT(json_extract_string(props, '$.k')) AS N_WITH_K
+FROM events GROUP BY 1
+""",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str):
+    """get_json_object is a codegen'd projection — JSON parse cost is
+    per-row CPU in the scan stage, no extra shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy(F.col("event_type").alias("EVENT_TYPE")).agg(
+        F.sum(k).alias("SUM_K"), F.count(k).alias("N_WITH_K")
+    )
+
+
+# --- ordered distinct string aggregation (portable form of collect_set:
+# sort imposed explicitly so the array/string is engine-independent)
+
+
+@query(
+    "users_event_type_profile",
+    oracle="""
+SELECT user_id AS USER_ID,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS EVENT_TYPES,
+       COUNT(DISTINCT event_type) AS N_TYPES
+FROM events GROUP BY 1
+""",
+)
+def q_users_event_type_profile(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("USER_ID")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("EVENT_TYPES"),
+        F.countDistinct("event_type").alias("N_TYPES"),
+    )
