@@ -264,6 +264,60 @@ def simhash(
     return df.join(sigs, id_col, "left").na.fill({out_col: 0})
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "ID_A",
+    dst_col: str = "ID_B",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every document
+    gets a CLUSTER_ID = the minimum doc id reachable through dup pairs, so
+    "keep one per near-dup cluster" becomes a filter on
+    ``DOC_ID = CLUSTER_ID``. Singletons (no pairs) are their own cluster.
+
+    Algorithm: iterative min-label propagation. Each round every node takes
+    the min of its own label and its neighbors' labels; converged when the
+    global label sum stops decreasing (labels only ever decrease, so the
+    sum is a strictly-decreasing convergence witness — one scalar action
+    per round, no change-count join). Lineage is truncated per round with
+    ``localCheckpoint`` so the plan doesn't grow with iterations.
+
+    Scale notes: rounds needed = graph diameter; near-dup clusters are
+    shallow (dozens of docs, diameter ≲ 5), so this settles in a handful of
+    key-only shuffles over (node, label) pairs — the document bodies never
+    enter the loop. For adversarial long-chain graphs swap in alternating
+    large-star/small-star (Kiveris et al.), which converges in O(log n)
+    rounds with the same per-round plan shape. This is the engine's lone
+    driver-side loop by design (iterative fixpoint — not expressible as one
+    Catalyst plan); each round is still a fully distributed job.
+    """
+    fwd = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    rev = pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = edges.join(labels, edges["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), F.col("label")
+        )
+        labels = (
+            labels.union(nbr_min).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("DOC_ID"),
+        F.col("label").alias("CLUSTER_ID"),
+        (F.col("node") == F.col("label")).alias("IS_REPRESENTATIVE"),
+    )
+
+
 def hamming_distance(a: str, b: str, bits: int = 32) -> F.Column:
     return F.expr(
         f"""aggregate(sequence(0, {bits - 1}), 0, (acc, i) ->

@@ -145,6 +145,42 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "docs_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_SQL.lstrip()},
+p AS (
+  SELECT a.doc_id AS ID_A, b.doc_id AS ID_B
+  FROM sh a
+  JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE (CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
+              ELSE len(list_intersect(a.shingles, b.shingles))
+                   / len(list_distinct(list_concat(a.shingles, b.shingles)))
+         END) >= 0.05
+),
+edges AS (SELECT ID_A AS src, ID_B AS dst FROM p UNION SELECT ID_B, ID_A FROM p),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS DOC_ID, MIN(label) AS CLUSTER_ID,
+       (node = MIN(label)) AS IS_REPRESENTATIVE
+FROM reach GROUP BY node
+""",
+)
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str):
+    """Near-dup cluster assignment: n-gram-Jaccard pair graph (same pairs
+    as docs_ngram_jaccard_pairs) -> connected components by min-label
+    propagation (operators/dedup.dup_clusters). The oracle walks the same
+    graph with a recursive CTE. The one iterative op in the catalog."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, blocking_cols=["lang", "source"], n=3, threshold=0.05
+    )
+    return dedup.dup_clusters(pairs, docs)
+
+
 @query("docs_minhash_lsh_pairs")  # no oracle: ml-based banding is not SQL-expressible
 def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str):
     """MinHash+LSH near-dup candidates (rows-only driver check; exactness is

@@ -78,3 +78,29 @@ def test_simhash_near_dup_small_hamming(corpus):
     d = [r["d"] for r in df.select(dedup.hamming_distance("a", "b").alias("d")).collect()]
     assert d[0] < d[1]  # near-dup closer than unrelated
     assert d[0] <= 8
+
+
+def test_dup_clusters_components(spark):
+    # components: {1,2,3} via chain 1-2, 2-3; {10,11}; singletons 20, 21
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "ID_A long, ID_B long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long")
+    got = {
+        r["DOC_ID"]: (r["CLUSTER_ID"], r["IS_REPRESENTATIVE"])
+        for r in dedup.dup_clusters(pairs, nodes).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (21, True),
+    }
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], "ID_A long, ID_B long")
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = dedup.dup_clusters(pairs, nodes).collect()
+    assert {r["CLUSTER_ID"] for r in rows} == {0}
+    assert sum(r["IS_REPRESENTATIVE"] for r in rows) == 1
