@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, dsum_over, rhu
+from ..functions.numeric import dsum, dsum_over, money, rhu
 from ..functions.quantile import quantile_bucket
 from ..operators.relational import pct_change
 
@@ -241,10 +241,19 @@ def location_performance(items: DataFrame, revenue: DataFrame) -> DataFrame:
         .withColumn("ORDER_DATE", F.to_date("CREATION_TIME_UTC"))
         .withColumn("WEEK", F.weekofyear("ORDER_DATE"))
     )
+    # Two-level aggregation: collapse the line x line fan-out to one row
+    # per (restaurant, order, date, week) first (exact decimal partials, so
+    # the re-sum is identical). Line timestamps vary within an order, so
+    # the distinct keys all stay countDistinct — but the multi-distinct
+    # expand (x3 row multiplication) now runs over the collapsed frame
+    # instead of the raw join output.
+    per_key = df.groupBy("RESTAURANT_ID", "ORDER_ID", "ORDER_DATE", "WEEK").agg(
+        F.sum(money("TOTAL_REVENUE", 4)).alias("__rev")
+    )
     metrics = (
-        df.groupBy("RESTAURANT_ID")
+        per_key.groupBy("RESTAURANT_ID")
         .agg(
-            dsum("TOTAL_REVENUE", 4).alias("TOTAL_REVENUE"),
+            F.sum("__rev").cast("double").alias("TOTAL_REVENUE"),
             F.countDistinct("ORDER_ID").alias("NUM_ORDERS"),
             F.countDistinct("ORDER_DATE").alias("ACTIVE_DAYS"),
             F.countDistinct("WEEK").alias("ACTIVE_WEEKS"),
@@ -278,8 +287,11 @@ def discount_effectiveness(items: DataFrame, options: DataFrame, revenue: DataFr
             F.when(F.col("DISCOUNTED_LINES") > 0, "Yes").otherwise("No"),
         )
     )
+    # flags is grouped by ORDER_ID, so the key is unique here: plain count
+    # replaces the reference's countDistinct (identical value, no
+    # distinct-expand in the plan).
     return flags.groupBy("IS_DISCOUNTED_ORDER").agg(
-        F.countDistinct("ORDER_ID").alias("NUM_ORDERS"),
+        F.count("ORDER_ID").alias("NUM_ORDERS"),
         dsum("ORDER_REVENUE", 4).alias("TOTAL_REVENUE"),
         rhu(dsum("ORDER_REVENUE", 4) / F.count("ORDER_REVENUE"), 4).alias("AVG_ORDER_VALUE"),
     )
