@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(catalog.QUERIES)
+    return catalog.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

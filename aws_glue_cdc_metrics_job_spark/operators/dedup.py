@@ -83,17 +83,28 @@ def ngram_jaccard_pairs(
     blocking_cols: list[str] | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by word n-gram Jaccard, computed only
     within blocks (``blocking_cols``). Blocking is the scale lever: the join
     is an equi-join on the block key, so Catalyst shuffles each block to one
     place and the quadratic comparison stays bounded per block.
 
+    ``blocking_cols`` is required: a blockless call is a global O(n^2) cross
+    join -- the exact all-pairs blowup this module exists to avoid -- and
+    raises unless the caller explicitly opts in with ``allow_cross_join=True``
+    (tiny/test corpora only; at scale use :func:`minhash_lsh_pairs`).
+
     Shingle sets are carried as 64-bit hash arrays (shingle_hashes), not
     strings: set intersections over longs, identical Jaccard values up to a
     ~1e-15 collision probability, and the shingling stays codegen'd. A doc
     with no shingles (< n words) can never clear a positive threshold, so
     such docs drop out of the pair space entirely."""
+    if not blocking_cols and not allow_cross_join:
+        raise ValueError(
+            "ngram_jaccard_pairs without blocking_cols is a global cross join; "
+            "pass blocking_cols, or allow_cross_join=True for tiny corpora"
+        )
     blocking_cols = blocking_cols or []
     hset = (
         shingle_hashes(df, id_col, text_col, n)
@@ -239,8 +250,16 @@ def minhash_lsh_pairs(
         .join(hset.select(F.col(id_col).alias("ID_B"), F.col("hset").alias("hs_b")), "ID_B")
         .withColumn("JACCARD", rhu(F.when(union == 0, 0.0).otherwise(inter / union), 6))
         .filter(F.col("JACCARD") >= threshold)
+        .select("ID_A", "ID_B", "JACCARD")
     )
-    return verified.select("ID_A", "ID_B", "JACCARD")
+    # Materialize the (small) verified pair set, then release the cache:
+    # without this, each call over a *different* input leaks a cache entry
+    # for the process lifetime (plan-canonicalization dedup only collapses
+    # identical inputs). localCheckpoint pins the result on executors so it
+    # stays valid after the unpersist.
+    verified = verified.localCheckpoint(eager=True)
+    sighset.unpersist()
+    return verified
 
 
 def simhash(

@@ -45,7 +45,7 @@ from .operators.cdc import CDC_ACTION, CDC_TS, cdc_diff, tag_appends
 from .operators.incremental import advance_watermark, incremental_read
 from .operators.relational import keep_latest
 from .session import Clock
-from .sources import MedallionLayout, read_parquet, write_parquet
+from .sources import MedallionLayout, path_exists, read_parquet, write_parquet
 from .state import WatermarkStore
 
 
@@ -86,9 +86,12 @@ class CdcPipeline:
                 delta = tag_appends(cur, now)
             else:
                 snap_path = self.layout.snapshot(spec.name)
-                try:
+                # Cold start is a path probe, not a broad except: a transient
+                # read failure must fail the run, or the diff would tag every
+                # row 'insert' and corrupt the durable CDC log (S8, :95).
+                if path_exists(self.spark, snap_path):
                     prev = read_parquet(self.spark, snap_path)
-                except Exception:  # cold start: empty frame with current schema (S8, :95)
+                else:
                     prev = self.spark.createDataFrame([], cur.schema)
                 delta = cdc_diff(cur, prev, pks=spec.pks).withColumn(
                     CDC_TS, F.lit(now).cast("timestamp")

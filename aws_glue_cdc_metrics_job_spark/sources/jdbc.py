@@ -49,9 +49,17 @@ def jdbc_read(
     return reader.load()
 
 
+_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
 def incremental_query(table: str, ts_col: str, watermark: str) -> str:
     """The reference's watermark pushdown query
-    (scripts/cdc_metrics_job.py:64) built safely."""
+    (scripts/cdc_metrics_job.py:64) built safely: the watermark value is
+    quote-checked AND the interpolated identifiers are validated, so a
+    config-sourced table/column name can't smuggle SQL into the source."""
     if "'" in watermark:
         raise ValueError("invalid watermark")
+    for ident in (table, ts_col):
+        if not _IDENT.match(ident):
+            raise ValueError(f"invalid SQL identifier: {ident!r}")
     return f"SELECT * FROM {table} WHERE {ts_col} >= '{watermark}'"

@@ -36,11 +36,48 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds
     and is converted to a microsecond timestamp here (floor division --
     lossless for this data, whose timestamps are whole microseconds, and
-    consistent with DuckDB's ns->us truncation)."""
+    consistent with DuckDB's ns->us truncation).
+
+    The conf is set at read time (it is a runtime-settable SQL conf) so the
+    read works under ANY session, not just the engine's own ``get_spark``
+    (which also sets it at build time). Without it a vanilla session throws
+    ``PARQUET_TYPE_ILLEGAL`` on the NANOS column."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API -- works for
+    any scheme the cluster's Hadoop conf knows (file://, hdfs://, s3a://)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Cold-start probe: does the path exist? Used instead of catching broad
+    read exceptions, so transient IO failures surface instead of being
+    mistaken for a first run."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def swap_directory(spark: SparkSession, src: str, dst: str) -> None:
+    """Replace directory ``dst`` with ``src`` (delete + rename). Rename is
+    atomic on HDFS/posix; object stores should use a table format instead.
+    The read-merge-overwrite cycle writes to a temp dir then calls this, so
+    a failure before the swap leaves the previous snapshot intact."""
+    fs, jdst = _hadoop_fs(spark, dst)
+    _, jsrc = _hadoop_fs(spark, src)
+    if fs.exists(jdst):
+        fs.delete(jdst, True)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")
 
 
 def write_parquet(

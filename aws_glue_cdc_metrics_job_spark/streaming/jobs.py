@@ -102,20 +102,28 @@ def cdc_upsert_sink(
     to the snapshot with the batch ``apply_changes`` merge (upsert+delete).
     Returns the started StreamingQuery."""
     from ..operators.cdc import apply_changes
+    from ..sources.parquet_io import path_exists, swap_directory
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        try:
+        # Cold start is detected by probing the path, not by swallowing
+        # exceptions: a transient read/merge failure must fail the batch (and
+        # be retried from the checkpoint) rather than silently overwrite the
+        # snapshot with only this batch's rows.
+        if path_exists(spark, snapshot_path):
             snap = spark.read.parquet(snapshot_path)
             merged = apply_changes(snap, batch, pks)
-        except Exception:  # cold start: inserts/updates only
+        else:
             merged = batch.filter(F.col("cdc_action") != "delete").drop("cdc_action", "cdc_timestamp")
-        # collect to driver-side rows then rewrite: required because the
-        # merge reads the same path it overwrites; at scale this becomes a
-        # MERGE INTO on a table format with the identical apply_changes plan
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(snapshot_path)
+        # The merge reads the same path it overwrites, so materialize to a
+        # sibling temp dir first, then swap directories -- never a driver
+        # collect. On HDFS the rename is atomic; on object stores swap this
+        # sink for a MERGE INTO on a table format, keeping the identical
+        # apply_changes plan.
+        tmp = f"{snapshot_path.rstrip('/')}.__tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_directory(spark, tmp, snapshot_path)
 
     return (
         changes.writeStream.foreachBatch(_apply)

@@ -35,7 +35,7 @@ def test_exact_dedup_groups(corpus):
 
 
 def test_ngram_jaccard_pairs_exact_values(corpus):
-    pairs = {(r["ID_A"], r["ID_B"]): r["JACCARD"] for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.05).collect()}
+    pairs = {(r["ID_A"], r["ID_B"]): r["JACCARD"] for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.05, allow_cross_join=True).collect()}
     assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
     assert 0.5 < pairs[(1, 4)] < 1.0
     assert (1, 5) not in pairs
@@ -58,7 +58,7 @@ def test_minhash_recall_vs_brute_force(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     exact = {
         (r["ID_A"], r["ID_B"])
-        for r in dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.9, allow_cross_join=True).collect()
     }
     lsh = {(r["ID_A"], r["ID_B"]) for r in dedup.minhash_lsh_pairs(df, threshold=0.9).collect()}
     assert exact, "fixture should contain true near-dup pairs"
