@@ -60,6 +60,33 @@ class TableSpec:
     casts: dict[str, str] = field(default_factory=dict)
 
 
+# The reference's TABLES_CONFIG (scripts/cdc_metrics_job.py:41-46) expressed
+# as specs. date_dim goes through the same generic silver conform
+# (CREATION_DATE = to_date(date_key), strictly-greater watermark filter,
+# dedup on date_key, append partitioned by CREATION_DATE, watermark advanced
+# to max processed date) that the reference hand-writes as its own
+# process_silver_date_dim variant (:194-215).
+REFERENCE_TABLES: list[TableSpec] = [
+    TableSpec(
+        name="order_items",
+        pks=["ORDER_ID", "LINEITEM_ID"],
+        ts_col="CREATION_TIME_UTC",
+        event_date_col="CREATION_TIME_UTC",
+        casts={"ITEM_PRICE": "double"},
+    ),
+    TableSpec(
+        name="order_item_options",
+        pks=["ORDER_ID", "LINEITEM_ID", "OPTION_NAME"],
+        casts={"OPTION_PRICE": "double"},
+    ),
+    TableSpec(
+        name="date_dim",
+        pks=["date_key"],
+        event_date_col="date_key",
+    ),
+]
+
+
 @dataclass
 class CdcPipeline:
     spark: SparkSession

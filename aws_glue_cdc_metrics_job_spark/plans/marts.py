@@ -26,23 +26,32 @@ from ..functions.quantile import quantile_bucket
 from ..operators.relational import pct_change
 
 
-def build_order_revenue(items: DataFrame, options: DataFrame) -> DataFrame:
+def build_order_revenue(
+    items: DataFrame, options: DataFrame, parity_round: bool = False
+) -> DataFrame:
     """Silver order_revenue (scripts/cdc_metrics_job.py:174-190): items ⟕
     options with 0-fill, TOTAL_REVENUE = ITEM_PRICE + OPTION_PRICE.
     Options are pre-aggregated per line item (one small partial-agg shuffle)
     which also guards the join against fan-out (SURVEY.md J7).
 
-    TOTAL_REVENUE stays at the natural 4-decimal scale (exact decimal sum of
-    options, single IEEE add) instead of the reference's ROUND(...,2) (:184)
-    whose half-cent ties resolve differently across engines."""
+    Default (corrected) mode: TOTAL_REVENUE stays at the natural 4-decimal
+    scale (exact decimal sum of options, single IEEE add) instead of the
+    reference's ROUND(...,2) (:184) whose half-cent ties resolve differently
+    across engines. ``parity_round=True`` reproduces the reference's 2 dp
+    output bit-for-bit (pyspark ``round`` = HALF_UP, same call the reference
+    makes) for consumers that must match the reference byte-wise -- the
+    parity/corrected dual documented in SURVEY.md §5.5."""
     opt_sum = options.groupBy("ORDER_ID", "LINEITEM_ID").agg(
         dsum("OPTION_PRICE", 4).alias("OPTION_PRICE")
     )
+    total = F.col("ITEM_PRICE") + F.col("OPTION_PRICE")
+    if parity_round:
+        total = F.round(total, 2)
     return (
         items.join(opt_sum, ["ORDER_ID", "LINEITEM_ID"], "left")
         .na.fill({"OPTION_PRICE": 0.0})
         .withColumn("CREATION_DATE", F.to_date("CREATION_TIME_UTC"))
-        .withColumn("TOTAL_REVENUE", F.col("ITEM_PRICE") + F.col("OPTION_PRICE"))
+        .withColumn("TOTAL_REVENUE", total)
     )
 
 

@@ -51,6 +51,28 @@ def test_order_revenue_join_fill_and_sum(revenue):
     assert got[(3, 1)] == (0.5, 8.5)
 
 
+def test_order_revenue_parity_round_dual(spark):
+    # SURVEY.md §5.5 parity/corrected dual: the reference rounds
+    # TOTAL_REVENUE to 2 dp (scripts/cdc_metrics_job.py:184). A half-cent
+    # option sum (10.0 + 0.005) distinguishes the modes: corrected keeps the
+    # 4-decimal value, parity reproduces the reference's HALF_UP 2 dp.
+    items = spark.createDataFrame(
+        [(1, 1, 10, 100, "pizza", True, 10.0, D(2024, 1, 1, 12))],
+        "ORDER_ID int, LINEITEM_ID int, USER_ID int, RESTAURANT_ID int, "
+        "ITEM_CATEGORY string, IS_LOYALTY boolean, ITEM_PRICE double, CREATION_TIME_UTC timestamp",
+    )
+    options = spark.createDataFrame(
+        [(1, 1, "tiny", 0.005)],
+        "ORDER_ID int, LINEITEM_ID int, OPTION_NAME string, OPTION_PRICE double",
+    )
+    corrected = marts.build_order_revenue(items, options).collect()[0]
+    parity = marts.build_order_revenue(items, options, parity_round=True).collect()[0]
+    assert corrected["TOTAL_REVENUE"] == 10.005
+    assert parity["TOTAL_REVENUE"] == 10.01
+    # off-tie values agree between the modes at 2 dp
+    assert round(corrected["TOTAL_REVENUE"], 2) in (10.0, 10.01)
+
+
 def test_fact_ltv_daily_cumulative(revenue):
     rows = marts.fact_ltv_daily(revenue).collect()
     u10 = sorted(

@@ -6,7 +6,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from aws_glue_cdc_metrics_job_spark.pipeline import CdcPipeline, TableSpec
+from aws_glue_cdc_metrics_job_spark.pipeline import REFERENCE_TABLES, CdcPipeline, TableSpec
 from aws_glue_cdc_metrics_job_spark.session import Clock
 from aws_glue_cdc_metrics_job_spark.sources import MedallionLayout, read_parquet
 from aws_glue_cdc_metrics_job_spark.state import WatermarkStore
@@ -38,20 +38,14 @@ OPTS_R2 = [  # cheese price changed (update), coupon removed (delete), new dress
     ("o3", "1", "dressing", "0.5"),
 ]
 
-TABLES = [
-    TableSpec(
-        name="order_items",
-        pks=["ORDER_ID", "LINEITEM_ID"],
-        ts_col="CREATION_TIME_UTC",
-        event_date_col="CREATION_TIME_UTC",
-        casts={"ITEM_PRICE": "double"},
-    ),
-    TableSpec(
-        name="order_item_options",
-        pks=["ORDER_ID", "LINEITEM_ID", "OPTION_NAME"],
-        casts={"OPTION_PRICE": "double"},
-    ),
-]
+# The reference's three-table config (scripts/cdc_metrics_job.py:41-46),
+# including date_dim's dedicated silver variant (:194-215).
+TABLES = REFERENCE_TABLES
+assert [t.name for t in TABLES] == ["order_items", "order_item_options", "date_dim"]
+
+DATE_SCHEMA = "date_key string, day_of_week int"
+DATES_R1 = [("2024-01-01", 1), ("2024-01-02", 2)]
+DATES_R2 = DATES_R1 + [("2024-01-05", 5)]  # one new calendar row
 
 
 @pytest.fixture(scope="module")
@@ -63,21 +57,22 @@ def pipeline_runs(spark, tmp_path_factory):
     def mk_pipeline(day):
         return CdcPipeline(spark, layout, store, Clock.fixed(day), TABLES)
 
-    def src(items, opts):
+    def src(items, opts, dates):
         frames = {
             "order_items": spark.createDataFrame(items, ITEM_SCHEMA),
             "order_item_options": spark.createDataFrame(opts, OPT_SCHEMA),
+            "date_dim": spark.createDataFrame(dates, DATE_SCHEMA),
         }
         return lambda name: frames[name]
 
     p1 = mk_pipeline("2024-01-03T00:00:00")
-    p1.run_all(src(ITEMS_R1, OPTS_R1))
+    p1.run_all(src(ITEMS_R1, OPTS_R1, DATES_R1))
     changes1 = {
-        t: read_parquet(spark, layout.cdc(t, "2024-01-03")).collect() for t, _ in
-        [("order_items", 0), ("order_item_options", 0)]
+        t: read_parquet(spark, layout.cdc(t, "2024-01-03")).collect()
+        for t in ("order_items", "order_item_options", "date_dim")
     }
     p2 = mk_pipeline("2024-01-06T00:00:00")
-    changes2_frames = p2.run_bronze(src(ITEMS_R2, OPTS_R2))
+    changes2_frames = p2.run_bronze(src(ITEMS_R2, OPTS_R2, DATES_R2))
     changes2 = {t: df.collect() for t, df in changes2_frames.items()}
     p2.run_silver()
     p2.build_order_revenue("order_items", "order_item_options")
@@ -161,6 +156,24 @@ def test_gold_ltv_consistent_with_silver_revenue(pipeline_runs):
     # u1: o1 lines (10 + 1.75 cheese, 2.0) on Jan1, o3 (20 + 0.5) on Jan5
     assert got[("u1", "2024-01-01")] == (13.75, 13.75)
     assert got[("u1", "2024-01-05")] == (20.5, 34.25)
+
+
+def test_date_dim_silver_accumulates_and_watermark_advances(pipeline_runs):
+    # the reference's process_silver_date_dim variant (:194-215): run 1
+    # conforms both seed dates, run 2 appends only the strictly-newer one
+    spark, layout, store, changes1, changes2 = pipeline_runs
+    assert {r["date_key"] for r in changes1["date_dim"]} == {"2024-01-01", "2024-01-02"}
+    assert {(r["date_key"], r["cdc_action"]) for r in changes2["date_dim"]} == {
+        ("2024-01-05", "insert")
+    }
+    silver = read_parquet(spark, layout.silver("date_dim"))
+    got = {(r["date_key"], str(r["CREATION_DATE"])) for r in silver.collect()}
+    assert got == {
+        ("2024-01-01", "2024-01-01"),
+        ("2024-01-02", "2024-01-02"),
+        ("2024-01-05", "2024-01-05"),
+    }
+    assert store.get("silver/date_dim") == "2024-01-05"
 
 
 def test_cdc_log_partitioned_by_action(pipeline_runs):
