@@ -109,6 +109,32 @@ def assign_cells(
     return best.withColumnRenamed("__v", vec_col).drop("__cent", "__sim")
 
 
+def probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """The ``nprobe`` nearest cells per query vector (one row per
+    (query, probed cell)). nprobe=1 reduces to :func:`assign_cells` on the
+    query side; larger values are the standard IVF recall lever -- each
+    query searches its nprobe most promising cells, multiplying the scanned
+    corpus fraction by nprobe/K while recovering neighbors that sit just
+    across a cell boundary."""
+    q = as_double_vec(queries, vec_col).withColumnRenamed(vec_col, "__v")
+    cents = as_double_vec(centroids, vec_col).select(
+        F.col(centroid_id_col).alias("CELL"), F.col(vec_col).alias("__cent")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", rhu(cosine("__v", "__cent", dim), 6)
+    )
+    best = top_k_per_group(scored, [id_col], [F.col("__sim").desc(), F.col("CELL")], k=nprobe)
+    return best.withColumnRenamed("__v", vec_col).drop("__cent", "__sim")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,13 +143,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: both sides are assigned to cells, then the
-    exact ranking runs only within the query's cell (equi-join on CELL
-    instead of a cross join). Recall < 1 near cell boundaries; raise
-    centroid count or probe multiple cells to trade cost for recall."""
+    """Approximate top-k: the corpus is assigned to cells once, each query
+    probes its ``nprobe`` nearest cells, and the exact ranking runs only
+    within probed cells (equi-join on CELL instead of a cross join). A
+    corpus vector lives in exactly one cell, so (query, neighbor) pairs are
+    unique across probes -- no dedup needed. Recall < 1 only for true
+    neighbors outside all probed cells; raise ``nprobe`` (cost x nprobe/K)
+    or the centroid count to trade cost for recall."""
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, dim=dim)
-    query_cells = assign_cells(queries, centroids, id_col, vec_col, dim=dim)
+    query_cells = probe_cells(queries, centroids, nprobe, id_col, vec_col, dim=dim)
     c = corpus_cells.select("CELL", F.col(id_col).alias("NEIGHBOR_ID"), F.col(vec_col).alias("__cv"))
     q = query_cells.select("CELL", F.col(id_col).alias("QUERY_ID"), F.col(vec_col).alias("__qv"))
     pairs = (

@@ -259,13 +259,15 @@ def q_emb_ivf_assign(spark: SparkSession, sf_dir: str):
 
 @query("emb_ivf_topk")  # no oracle: approximate by design; recall unit-tested vs brute force
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str):
-    """IVF-cell-restricted ANN top-k (rows-only driver check)."""
+    """IVF-cell-restricted ANN top-k with multi-probe (rows-only driver
+    check; recall vs the exact emb_cosine_topk is bounded in
+    tests/test_catalog_parity.py)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, centroids, k=5)
+    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=4)
 
 
 @query(
