@@ -48,3 +48,80 @@ def top_ranked(df: DataFrame, rank_col: str, k: int = 1) -> DataFrame:
     """Presentation top-k by a precomputed rank column
     (streamlit_app/app.py:290 REVENUE_RANK == 1)."""
     return df.filter(F.col(rank_col) <= k)
+
+
+# ---- Per-tab KPI summaries -------------------------------------------------
+# One builder per dashboard tab, computing in Spark exactly the pandas
+# aggregations each tab performs on its gold mart (SURVEY.md A9). Every
+# builder returns a small DataFrame meant for `to_pandas` at the edge.
+
+
+def clv_kpis(segment: DataFrame) -> DataFrame:
+    """Tab 1 metric row (streamlit_app/app.py:45-48): customer count, mean
+    CLV, count of High-group customers."""
+    return segment.agg(
+        F.countDistinct("USER_ID").alias("TOTAL_CUSTOMERS"),
+        F.avg("CUMULATIVE_LTV").alias("AVG_CLV"),
+        F.countDistinct(F.when(F.col("CLV_GROUP") == "High", F.col("USER_ID"))).alias(
+            "HIGH_VALUE_CUSTOMERS"
+        ),
+    )
+
+
+def rfm_kpis(rfm: DataFrame) -> DataFrame:
+    """Tab 2 metric row (app.py:96-99)."""
+    return rfm.agg(
+        F.countDistinct("USER_ID").alias("TOTAL_CUSTOMERS"),
+        F.avg("RECENCY").alias("AVG_RECENCY"),
+        F.avg("FREQUENCY").alias("AVG_FREQUENCY"),
+        F.avg("MONETARY").alias("AVG_MONETARY"),
+    )
+
+
+def rfm_segment_summary(rfm: DataFrame) -> DataFrame:
+    """Tab 2 segment-level table (app.py:120-126): per-segment customer
+    count and rounded mean R/F/M."""
+    return rfm.groupBy("SEGMENT").agg(
+        F.count("USER_ID").alias("CUSTOMERS"),
+        F.round(F.avg("RECENCY"), 2).alias("RECENCY"),
+        F.round(F.avg("FREQUENCY"), 2).alias("FREQUENCY"),
+        F.round(F.avg("MONETARY"), 2).alias("MONETARY"),
+    )
+
+
+def churn_kpis(churn: DataFrame) -> DataFrame:
+    """Tab 3 metric row (app.py:147-150); PCT_SPEND_CHANGE nulls count as 0
+    in the mean, exactly like the dashboard's fillna(0)."""
+    return churn.agg(
+        F.countDistinct("USER_ID").alias("TOTAL_CUSTOMERS"),
+        F.avg("DAYS_SINCE_LAST_ORDER").alias("AVG_DAYS_SINCE_LAST_ORDER"),
+        F.avg("AVG_ORDER_GAP_DAYS").alias("AVG_ORDER_GAP"),
+        F.avg(F.coalesce(F.col("PCT_SPEND_CHANGE"), F.lit(0.0))).alias("AVG_PCT_SPEND_CHANGE"),
+    )
+
+
+def daily_revenue_series(daily: DataFrame) -> DataFrame:
+    """Tab 4 daily line series (app.py:206-208): total revenue per date
+    across whatever other grouping columns the mart carries."""
+    return daily.groupBy("CREATION_DATE").agg(
+        F.sum("DAILY_REVENUE").alias("DAILY_REVENUE")
+    ).orderBy("CREATION_DATE")
+
+
+def loyalty_labeled(loyalty: DataFrame) -> DataFrame:
+    """Tab 5 label mapping (app.py:240)."""
+    return label_flags(loyalty, "IS_LOYALTY", {True: "Loyalty Member", False: "Non-Member"})
+
+
+def location_top(location: DataFrame) -> DataFrame:
+    """Tab 6 top-location metric row (app.py:289-294)."""
+    return top_ranked(location, "REVENUE_RANK", 1).select(
+        "RESTAURANT_ID", "TOTAL_REVENUE", "ORDERS_PER_DAY"
+    )
+
+
+def discount_labeled(discount: DataFrame) -> DataFrame:
+    """Tab 7 label mapping (app.py:334)."""
+    return label_flags(
+        discount, "IS_DISCOUNTED_ORDER", {"Yes": "Discounted", "No": "Full Price"}
+    )
