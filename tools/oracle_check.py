@@ -2,7 +2,11 @@
 its oracle in DuckDB over the same parquet, compare row count + column names
 + order-insensitive canonicalized values.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla builds a bare SparkSession (like the driver's harness) instead of
+the engine's get_spark, so session-dependent bugs (e.g. the round-1
+nanosAsLong miss) surface here instead of in CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -72,14 +76,28 @@ def duckdb_run(sf_dir: str, sql: str):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    vanilla = "--vanilla" in argv
+    argv = [a for a in argv if a != "--vanilla"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, ".")
     import __spark_entry__ as e
-    from aws_glue_cdc_metrics_job_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-vanilla")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+    else:
+        from aws_glue_cdc_metrics_job_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle-check")
     qs = e.queries()
     oracles = e.oracle_sql()
     failed, passed, skipped = [], [], []
