@@ -354,6 +354,64 @@ def dup_clusters(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash signature distance: documents whose
+    ``bits``-bit signatures differ in at most ``max_hamming`` bit positions.
+
+    Candidate generation bands the signature into ``bands`` contiguous
+    chunks and self-joins on (band index, chunk value). By pigeonhole, two
+    signatures within Hamming distance ``max_hamming < bands`` agree on at
+    least one full chunk, so the banded equi-join has **exact recall** --
+    unlike MinHash-LSH banding this is not probabilistic. Verification is
+    one codegen expression: ``bit_count(sig_a XOR sig_b)``.
+
+    Scale shape: the join shuffles (band, chunk, id, sig) rows -- 4 longs
+    per doc per band, never text -- and each chunk-value bucket is tiny for
+    well-mixed signatures, so the within-bucket pair expansion stays
+    bounded (same blocking argument as IVF cells / LSH bands)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banding gives exact recall only for max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    r = bits // bands
+    sigs = simhash(df, text_col, bits, "SIMHASH", id_col).select(id_col, "SIMHASH")
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("SIMHASH", b * r).bitwiseAND(F.lit((1 << r) - 1)).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.col("SIMHASH"), F.explode(chunk_structs).alias("c")).select(
+        id_col, "SIMHASH", "c.band", "c.chunk"
+    )
+    a = banded.select(
+        F.col(id_col).alias("ID_A"), F.col("SIMHASH").alias("__sa"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("ID_B"), F.col("SIMHASH").alias("__sb"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("ID_A") < F.col("ID_B"))
+        .select("ID_A", "ID_B", "__sa", "__sb")
+        .distinct()
+        .withColumn("HAMMING", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long"))
+        .filter(F.col("HAMMING") <= max_hamming)
+        .select("ID_A", "ID_B", "HAMMING")
+    )
+
+
 def hamming_distance(a: str, b: str, bits: int = 32) -> F.Column:
     return F.expr(
         f"""aggregate(sequence(0, {bits - 1}), 0, (acc, i) ->

@@ -7,7 +7,7 @@ parquet scan stage with zero extra shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import rhu
@@ -77,6 +77,57 @@ def language_guess(df: DataFrame, text_col: str = "text", threshold: float = 0.0
     stop = stopword_ratio(text_col)
     return df.withColumn("EN_STOP_RATIO", rhu(stop, 6)).withColumn(
         "LANG_GUESS", F.when(stop >= threshold, "en").otherwise("unknown")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition profile -- the standard corpus-quality
+    signals for detecting boilerplate/templated text (the shape of the
+    MassiveText/Gopher repetition filters):
+
+    - ``DUP_GRAM_RATIO``: fraction of word ``n``-grams that are repeats of
+      an earlier n-gram in the same document (1 - distinct/total).
+    - ``TOP_TOKEN_SHARE``: share of all tokens taken by the single most
+      frequent token.
+
+    One narrow explode of the token stream feeds both aggregations; grams
+    are carried as strings so the DuckDB oracle reproduces the distinct
+    count exactly (at 100TB swap the gram string for xxhash64 -- same plan,
+    8-byte shuffle keys). Everything stays whole-stage codegen; the only
+    shuffles are the two per-document aggregations."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.split(normalized_text(text_col), " ")).alias("__pos", "__tok")
+    ).filter(F.col("__tok") != "")
+    tok_counts = (
+        ex.groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("N_TOKENS"), F.max("__c").alias("__top"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    grams = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, n)]
+    gram_stats = (
+        ex.select(F.col(id_col), F.concat_ws(" ", *grams).alias("__g"), grams[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("N_GRAMS"), F.countDistinct("__g").alias("N_DISTINCT_GRAMS"))
+    )
+    share = F.when(
+        F.col("N_TOKENS") > 0, F.col("__top").cast("double") / F.col("N_TOKENS")
+    ).otherwise(F.lit(0.0))
+    dup = F.when(
+        F.col("N_GRAMS") > 0,
+        1.0 - F.col("N_DISTINCT_GRAMS").cast("double") / F.col("N_GRAMS"),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.join(tok_counts, id_col, "left")
+        .join(gram_stats, id_col, "left")
+        .na.fill({"N_TOKENS": 0, "N_GRAMS": 0, "N_DISTINCT_GRAMS": 0})
+        .withColumn("TOP_TOKEN_SHARE", rhu(share, 6))
+        .withColumn("DUP_GRAM_RATIO", rhu(dup, 6))
+        .drop("__top")
     )
 
 

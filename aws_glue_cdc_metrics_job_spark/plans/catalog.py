@@ -31,11 +31,14 @@ def query(name: str, oracle: str | None = None):
 # oracle-equipped representative of every distinct operator:
 # - the 5 rows-only queries (weaker check by design: probabilistic /
 #   approximate ops whose exactness is asserted in unit tests instead), and
-# - 6 oracle-equipped siblings whose BUILDER is already graded by another
-#   entry (sales-trends weekly/monthly/hourly share build_sales_trends with
-#   daily; tumbling_hourly shares the tumbling builder with daily;
-#   docs_fingerprint is the first stage of docs_exact_dedup; the exact
-#   quantile operator is graded via mart_customer_clv_segment).
+# - 8 oracle-equipped siblings whose BUILDER/mechanism is already graded by
+#   another entry (sales-trends weekly/monthly/hourly share
+#   build_sales_trends with daily; tumbling_hourly shares the tumbling
+#   builder with daily; docs_fingerprint is the first stage of
+#   docs_exact_dedup; the exact quantile operator is graded via
+#   mart_customer_clv_segment; scan_filter_project's P1-P10 surface is
+#   exercised by every graded mart; docs_train_split shares the md5-keyed
+#   hash-membership mechanism with lineitem_hash_sample).
 DEFERRED: list[str] = [
     "mart_sales_trends_weekly",
     "mart_sales_trends_monthly",
@@ -43,6 +46,8 @@ DEFERRED: list[str] = [
     "events_tumbling_hourly",
     "docs_fingerprint",
     "orders_price_percentiles",
+    "scan_filter_project",
+    "docs_train_split",
     "events_approx_distinct_users",
     "docs_minhash_lsh_pairs",
     "emb_ivf_topk",

@@ -207,6 +207,73 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str):
     return dedup.simhash(docs).select("doc_id", "SIMHASH")
 
 
+_SIMHASH_SQL = f"""
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs FROM t),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), b ->
+           CASE WHEN list_sum(list_transform(hs, x ->
+                       CASE WHEN (x // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS SIMHASH
+  FROM h
+)"""
+
+
+@query(
+    "docs_simhash_pairs",
+    oracle=f"""
+WITH {_SIMHASH_SQL}
+SELECT a.doc_id AS ID_A, b.doc_id AS ID_B,
+       CAST(bit_count(xor(a.SIMHASH, b.SIMHASH)) AS BIGINT) AS HAMMING
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.SIMHASH, b.SIMHASH)) <= 3
+""",
+)
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str):
+    """SimHash near-dup pairs: banded chunk equi-join (exact recall by
+    pigeonhole for max_hamming < bands) + bit_count(xor) verify. The oracle
+    brute-forces all pairs -- same result, quadratic plan; the engine's
+    banding is the scale path."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, bits=32, bands=4, max_hamming=3)
+
+
+@query(
+    "docs_repetition",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(0, len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2])
+         END AS grams
+  FROM t
+),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY 1, 2
+),
+tt AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top FROM tc GROUP BY 1)
+SELECT g.doc_id,
+       COALESCE(CAST(tt.n_tokens AS BIGINT), 0) AS N_TOKENS,
+       CAST(len(g.grams) AS BIGINT) AS N_GRAMS,
+       CAST(len(list_distinct(g.grams)) AS BIGINT) AS N_DISTINCT_GRAMS,
+       {sql_rhu("COALESCE(tt.top / tt.n_tokens, 0.0)", 6)} AS TOP_TOKEN_SHARE,
+       {sql_rhu("CASE WHEN len(g.grams) > 0 THEN 1.0 - len(list_distinct(g.grams)) / len(g.grams) ELSE 0.0 END", 6)} AS DUP_GRAM_RATIO
+FROM g LEFT JOIN tt USING (doc_id)
+""",
+)
+def q_docs_repetition(spark: SparkSession, sf_dir: str):
+    """Within-doc repetition profile (duplicate-bigram ratio + top-token
+    share), the boilerplate-detection quality signals."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).select(
+        "doc_id", "N_TOKENS", "N_GRAMS", "N_DISTINCT_GRAMS", "TOP_TOKEN_SHARE", "DUP_GRAM_RATIO"
+    )
+
+
 @query(
     "emb_cosine_topk",
     oracle="""

@@ -104,3 +104,33 @@ def test_dup_clusters_long_chain_converges(spark):
     rows = dedup.dup_clusters(pairs, nodes).collect()
     assert {r["CLUSTER_ID"] for r in rows} == {0}
     assert sum(r["IS_REPRESENTATIVE"] for r in rows) == 1
+
+
+def test_simhash_near_pairs_matches_brute_force(corpus):
+    """Banded candidate generation must have EXACT recall (pigeonhole:
+    hamming <= 3 over 4 bands leaves one band untouched)."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["ID_A"], r["ID_B"]): r["HAMMING"]
+        for r in dedup.simhash_near_pairs(corpus, bands=4, max_hamming=3).collect()
+    }
+    sigs = dedup.simhash(corpus).select("doc_id", "SIMHASH")
+    a = sigs.select(F.col("doc_id").alias("ID_A"), F.col("SIMHASH").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("ID_B"), F.col("SIMHASH").alias("sb"))
+    brute = {
+        (r["ID_A"], r["ID_B"]): r["H"]
+        for r in a.crossJoin(b)
+        .filter(F.col("ID_A") < F.col("ID_B"))
+        .withColumn("H", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"))
+        .filter(F.col("H") <= 3)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_simhash_near_pairs_rejects_lossy_banding():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_pairs(None, bands=4, max_hamming=4)

@@ -58,3 +58,21 @@ def test_regex_token_stats(spark):
     assert got[1]["N_PUNCT_TOKENS"] == 2
     assert got[2]["N_BPE_TOKENS"] == 0
     assert got[3]["N_BPE_TOKENS"] == 4  # a 1 b 2
+
+
+def test_repetition_stats_hand_computed(spark):
+    # doc 1: "a b a b a" -> 5 tokens, top 'a' x3; bigrams [a b, b a, a b, b a]
+    #   -> 4 grams, 2 distinct, dup ratio 0.5
+    # doc 2: all-distinct tokens -> dup ratio 0.0
+    # doc 3: empty -> zero counts, ratios 0.0
+    # doc 4: single token -> no grams
+    rows = [(1, "a b a b a"), (2, "w x y z"), (3, ""), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert got[1]["N_TOKENS"] == 5 and got[1]["TOP_TOKEN_SHARE"] == 0.6
+    assert got[1]["N_GRAMS"] == 4 and got[1]["N_DISTINCT_GRAMS"] == 2
+    assert got[1]["DUP_GRAM_RATIO"] == 0.5
+    assert got[2]["DUP_GRAM_RATIO"] == 0.0 and got[2]["TOP_TOKEN_SHARE"] == 0.25
+    assert got[3]["N_TOKENS"] == 0 and got[3]["DUP_GRAM_RATIO"] == 0.0
+    assert got[3]["TOP_TOKEN_SHARE"] == 0.0
+    assert got[4]["N_GRAMS"] == 0 and got[4]["DUP_GRAM_RATIO"] == 0.0
