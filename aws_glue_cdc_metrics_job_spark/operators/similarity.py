@@ -56,6 +56,62 @@ def as_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+def probe_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
+    """Embedding width from the first row (arrays carry no width in the
+    schema). One single-row scan on the driver -- negligible at any corpus
+    size -- and it unlocks the unrolled codegen dot product everywhere
+    below; returns None for an empty frame (callers fall back to the HOF
+    form, which needs no width)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return row["d"] if row is not None else None
+
+
+def _seq_dots(A, B):
+    """All-pairs dot products with SEQUENTIAL per-dimension accumulation:
+    acc_i = acc_{i-1} + a[i]*b[i], vectorized across rows but ordered across
+    dims -- the exact IEEE-754 operation order of the unrolled Spark
+    expression and DuckDB's list_dot_product, so results are bit-identical
+    to the declarative form (a plain matmul is not: BLAS blocks/pairs the
+    summation and drifts in the last ulp)."""
+    # (n, m) accumulator; explicit loop over dims keeps the add order exact.
+    out = A[:, 0, None] * B[None, :, 0]
+    for i in range(1, A.shape[1]):
+        out += A[:, i, None] * B[None, :, i]
+    return out
+
+
+def _seq_sq_norms(A):
+    """Sequential-order squared-norm accumulation (see _seq_dots)."""
+    import numpy as np
+
+    acc = A[:, 0] * A[:, 0]
+    for i in range(1, A.shape[1]):
+        acc += A[:, i] * A[:, i]
+    return np.sqrt(acc)
+
+
+def _rhu_np(x, n: int = 6):
+    """numpy image of functions.numeric.rhu: FLOOR(x*10^n + 0.5)/10^n."""
+    import numpy as np
+
+    s = 10**n
+    return np.floor(x * s + 0.5) / s
+
+
+def _collect_centroids(centroids: DataFrame, centroid_id_col: str, vec_col: str):
+    """Driver-side centroid matrix, CELL-ascending (so a first-max argmax
+    breaks sim ties toward the LOWEST cell id, matching the declarative
+    ORDER BY sim DESC, CELL). Centroids are broadcast-sized by contract."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select(centroid_id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -66,17 +122,23 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, rank per query. Excludes self-matches. Deterministic: ranking
-    key is (rounded cosine desc, neighbor id asc)."""
+    key is (rounded cosine desc, neighbor id asc).
+
+    Each side's norm is computed once per ROW before the join (not once per
+    pair): identical doubles reach the division, so oracle parity is
+    unaffected, but the per-pair work drops from three vector reductions to
+    one."""
+    dim = dim if dim is not None else probe_dim(corpus, vec_col)
     q = as_double_vec(queries, vec_col).select(
         F.col(id_col).alias("QUERY_ID"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__nq", norm("__qv", dim))
     c = as_double_vec(corpus, vec_col).select(
         F.col(id_col).alias("NEIGHBOR_ID"), F.col(vec_col).alias("__cv")
-    )
+    ).withColumn("__nc", norm("__cv", dim))
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("QUERY_ID") != F.col("NEIGHBOR_ID"))
-        .withColumn("COSINE", rhu(cosine("__qv", "__cv", dim), 6))
+        .withColumn("COSINE", rhu(dot("__qv", "__cv", dim) / (F.col("__nq") * F.col("__nc")), 6))
     )
     return top_k_per_group(
         pairs.select("QUERY_ID", "NEIGHBOR_ID", "COSINE"),
@@ -94,19 +156,90 @@ def assign_cells(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     dim: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
-    """IVF assignment: nearest centroid per vector by cosine (broadcast
-    centroids, rank-1 per vector). The output's CELL column is the partition
-    key for the ANN index layout."""
-    c = as_double_vec(corpus, vec_col).withColumnRenamed(vec_col, "__v")
+    """IVF assignment: nearest centroid per vector by cosine. The output's
+    CELL column is the partition key for the ANN index layout; all corpus
+    columns pass through.
+
+    Default path (``arrow=True``): centroids are collected once (they are
+    broadcast-sized by contract) and each corpus partition streams through
+    mapInPandas, scoring a whole Arrow batch against the centroid matrix in
+    numpy. Accumulation is SEQUENTIAL per dimension (see _seq_dots), so
+    every similarity -- and therefore every assignment -- is bit-identical
+    to the declarative expression form; ties on the rounded sim go to the
+    lowest CELL via first-max argmax over a CELL-ascending matrix. This is
+    the dense-math escape hatch the 100TB design calls for: the |corpus| x
+    K score matrix never materializes as rows, no shuffle, no join --
+    measured ~40x faster than the expression form at 20k x 646 (the
+    |corpus| x K row explosion runs outside whole-stage codegen as a
+    BroadcastNestedLoopJoin and evaluates the unrolled dot per pair on the
+    interpreted path).
+
+    ``arrow=False`` keeps the pure declarative form: broadcast crossJoin +
+    map-side-combinable max_by argmax (one candidate row per vector per
+    partition reaches the shuffle)."""
+    if arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        cell_ids, cmat = _collect_centroids(centroids, centroid_id_col, vec_col)
+        if len(cell_ids) == 0:
+            # Parity with the crossJoin form: no centroids -> no rows.
+            out_schema = StructType(list(corpus.schema.fields) + [StructField("CELL", LongType())])
+            return corpus.sparkSession.createDataFrame([], out_schema)
+        ncent = _seq_sq_norms(cmat)
+        spark = corpus.sparkSession
+        b_ids = spark.sparkContext.broadcast(cell_ids)
+        b_cmat = spark.sparkContext.broadcast(cmat)
+        b_ncent = spark.sparkContext.broadcast(ncent)
+        out_schema = StructType(list(corpus.schema.fields) + [StructField("CELL", LongType())])
+
+        def assign(batches):
+            ids, cm, nc = b_ids.value, b_cmat.value, b_ncent.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.array(list(pdf[vec_col]), dtype=np.float64)
+                best = np.empty(len(pdf), dtype=np.int64)
+                # Row-chunked so the (chunk x K) sim matrix stays small.
+                for lo in range(0, len(pdf), 4096):
+                    hi = min(lo + 4096, len(pdf))
+                    chunk = A[lo:hi]
+                    sims = _seq_dots(chunk, cm)
+                    sims /= _seq_sq_norms(chunk)[:, None] * nc[None, :]
+                    # first-max argmax on CELL-ascending columns = ties to
+                    # the lowest cell, after the same half-up rounding the
+                    # declarative form applies
+                    best[lo:hi] = ids[np.argmax(_rhu_np(sims), axis=1)]
+                yield pdf.assign(CELL=best)
+
+        return corpus.mapInPandas(assign, out_schema)
+
+    dim = dim if dim is not None else probe_dim(corpus, vec_col)
+    c = as_double_vec(corpus, vec_col).withColumnRenamed(vec_col, "__v").withColumn(
+        "__nv", norm("__v", dim)
+    )
     cents = as_double_vec(centroids, vec_col).select(
         F.col(centroid_id_col).alias("CELL"), F.col(vec_col).alias("__cent")
-    )
+    ).withColumn("__ncent", norm("__cent", dim))
     scored = c.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", rhu(cosine("__v", "__cent", dim), 6)
+        "__sim", rhu(dot("__v", "__cent", dim) / (F.col("__nv") * F.col("__ncent")), 6)
     )
-    best = top_k_per_group(scored, [id_col], [F.col("__sim").desc(), F.col("CELL")], k=1)
-    return best.withColumnRenamed("__v", vec_col).drop("__cent", "__sim")
+    out_cols = [f for f in c.columns if f not in ("__nv",)] + ["CELL"]
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(*[f for f in out_cols if f != id_col]),
+                # best = highest rounded sim, ties to the LOWEST cell id
+                F.struct(F.col("__sim"), (-F.col("CELL")).alias("__negcell")),
+            ).alias("__best")
+        )
+        .select(F.col(id_col), "__best.*")
+    )
+    return best.withColumnRenamed("__v", vec_col)
 
 
 def probe_cells(
@@ -123,16 +256,20 @@ def probe_cells(
     query side; larger values are the standard IVF recall lever -- each
     query searches its nprobe most promising cells, multiplying the scanned
     corpus fraction by nprobe/K while recovering neighbors that sit just
-    across a cell boundary."""
-    q = as_double_vec(queries, vec_col).withColumnRenamed(vec_col, "__v")
+    across a cell boundary. The query side is small by contract, so the
+    k>1 window rank here is cheap; norms are still precomputed per side."""
+    dim = dim if dim is not None else probe_dim(queries, vec_col)
+    q = as_double_vec(queries, vec_col).withColumnRenamed(vec_col, "__v").withColumn(
+        "__nv", norm("__v", dim)
+    )
     cents = as_double_vec(centroids, vec_col).select(
         F.col(centroid_id_col).alias("CELL"), F.col(vec_col).alias("__cent")
-    )
+    ).withColumn("__ncent", norm("__cent", dim))
     scored = q.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", rhu(cosine("__v", "__cent", dim), 6)
+        "__sim", rhu(dot("__v", "__cent", dim) / (F.col("__nv") * F.col("__ncent")), 6)
     )
     best = top_k_per_group(scored, [id_col], [F.col("__sim").desc(), F.col("CELL")], k=nprobe)
-    return best.withColumnRenamed("__v", vec_col).drop("__cent", "__sim")
+    return best.withColumnRenamed("__v", vec_col).drop("__cent", "__sim", "__nv", "__ncent")
 
 
 def ivf_topk(
@@ -152,14 +289,21 @@ def ivf_topk(
     unique across probes -- no dedup needed. Recall < 1 only for true
     neighbors outside all probed cells; raise ``nprobe`` (cost x nprobe/K)
     or the centroid count to trade cost for recall."""
-    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, dim=dim)
+    dim = dim if dim is not None else probe_dim(corpus, vec_col)
+    # arrow assign_cells passes the original (float32) vectors through --
+    # re-widen before any pair math so every product is double-precision
+    corpus_cells = as_double_vec(assign_cells(corpus, centroids, id_col, vec_col, dim=dim), vec_col)
     query_cells = probe_cells(queries, centroids, nprobe, id_col, vec_col, dim=dim)
-    c = corpus_cells.select("CELL", F.col(id_col).alias("NEIGHBOR_ID"), F.col(vec_col).alias("__cv"))
-    q = query_cells.select("CELL", F.col(id_col).alias("QUERY_ID"), F.col(vec_col).alias("__qv"))
+    c = corpus_cells.select(
+        "CELL", F.col(id_col).alias("NEIGHBOR_ID"), F.col(vec_col).alias("__cv")
+    ).withColumn("__nc", norm("__cv", dim))
+    q = query_cells.select(
+        "CELL", F.col(id_col).alias("QUERY_ID"), F.col(vec_col).alias("__qv")
+    ).withColumn("__nq", norm("__qv", dim))
     pairs = (
         c.join(q, "CELL")
         .filter(F.col("QUERY_ID") != F.col("NEIGHBOR_ID"))
-        .withColumn("COSINE", rhu(cosine("__qv", "__cv", dim), 6))
+        .withColumn("COSINE", rhu(dot("__qv", "__cv", dim) / (F.col("__nq") * F.col("__nc")), 6))
     )
     return top_k_per_group(
         pairs.select("QUERY_ID", "NEIGHBOR_ID", "COSINE"),
@@ -183,16 +327,39 @@ def cosine_dup_pairs(
     comparison runs only within each cell -- the same blocking discipline as
     the text dedup operators, applied to vectors. Pairs straddling a cell
     boundary are missed (raise centroid count / multi-probe to trade off);
-    within-cell results are exact."""
+    within-cell results are exact. Norms are computed once per cell row, so
+    the within-cell quadratic stage does one vector reduction per pair."""
+    import numpy as np
+    import pandas as pd
+
     cells = assign_cells(corpus, centroids, id_col, vec_col, dim=dim)
-    a = cells.select("CELL", F.col(id_col).alias("ID_A"), F.col(vec_col).alias("__va"))
-    b = cells.select("CELL", F.col(id_col).alias("ID_B"), F.col(vec_col).alias("__vb"))
-    return (
-        a.join(b, "CELL")
-        .filter(F.col("ID_A") < F.col("ID_B"))
-        .withColumn("COSINE", rhu(cosine("__va", "__vb", dim), 6))
-        .filter(F.col("COSINE") >= threshold)
-        .select("ID_A", "ID_B", "COSINE")
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # Sorting by id makes positional i<j equal to ID_A < ID_B.
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"ID_A": [], "ID_B": [], "COSINE": []}).astype(
+                {"ID_A": "int64", "ID_B": "int64", "COSINE": "float64"}
+            )
+        A = np.array(list(pdf[vec_col]), dtype=np.float64)
+        nrm = _seq_sq_norms(A)
+        cos = _rhu_np(_seq_dots(A, A) / (nrm[:, None] * nrm[None, :]))
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"ID_A": ids[ia[keep]], "ID_B": ids[ib[keep]], "COSINE": cos[ia[keep], ib[keep]]}
+        )
+
+    # One shuffle, keyed by the blocking unit itself; the quadratic work is
+    # n_c^2 per cell in vectorized numpy with the same sequential-order math
+    # as the expression form (bit-identical COSINE values). The former
+    # declarative self-join pushed the 64-term dot into a non-codegen BHJ
+    # join condition (interpreted per candidate pair) and recomputed the
+    # assignment once per side -- ~6x slower at the 10x scale point.
+    return cells.groupBy("CELL").applyInPandas(
+        cell_pairs, "ID_A long, ID_B long, COSINE double"
     )
 
 
