@@ -119,15 +119,81 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, rank per query. Excludes self-matches. Deterministic: ranking
     key is (rounded cosine desc, neighbor id asc).
 
-    Each side's norm is computed once per ROW before the join (not once per
-    pair): identical doubles reach the division, so oracle parity is
-    unaffected, but the per-pair work drops from three vector reductions to
-    one."""
+    Default path (``arrow=True``): the query set is collected once (it is
+    broadcast-sized by contract) and each corpus partition scores a whole
+    Arrow batch against the query matrix in numpy with sequential
+    per-dimension accumulation -- bit-identical cosines to the declarative
+    expression and the DuckDB oracle (see _seq_dots; products commute
+    exactly, so scoring (corpus x queries) preserves the (query x corpus)
+    values). Per-partition, only the k+1 best rows per query survive under
+    the final (rounded cosine desc, id asc) order -- the +1 absorbs the
+    self-match removed later -- so the shuffle carries k+1 rows per query
+    per partition into the global window rank.
+
+    ``arrow=False`` keeps the declarative form: each side's norm computed
+    once per ROW before the broadcast crossJoin, ranked per query."""
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        q_rows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
+        if not q_rows:
+            empty = corpus.sparkSession.createDataFrame(
+                [], "QUERY_ID long, NEIGHBOR_ID long, COSINE double, RANK int"
+            )
+            return empty
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+        nq = _seq_sq_norms(Q)
+        spark = corpus.sparkSession
+        # same small-input parallelism guard as assign_cells
+        target = spark.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < target:
+            corpus = corpus.repartition(target)
+        b_q = spark.sparkContext.broadcast((q_ids, Q, nq))
+
+        def score(batches):
+            qids, qm, qn = b_q.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy()
+                A = np.array(list(pdf[vec_col]), dtype=np.float64)
+                cos = _rhu_np(_seq_dots(A, qm) / (_seq_sq_norms(A)[:, None] * qn[None, :]))
+                top = min(k + 1, len(ids))
+                out_q, out_n, out_c = [], [], []
+                for j in range(len(qids)):
+                    # exact final order: rounded cosine desc, neighbor id asc
+                    idx = np.lexsort((ids, -cos[:, j]))[:top]
+                    out_q.append(np.full(top, qids[j]))
+                    out_n.append(ids[idx])
+                    out_c.append(cos[idx, j])
+                yield pd.DataFrame(
+                    {
+                        "QUERY_ID": np.concatenate(out_q),
+                        "NEIGHBOR_ID": np.concatenate(out_n),
+                        "COSINE": np.concatenate(out_c),
+                    }
+                )
+
+        partial = corpus.select(id_col, vec_col).mapInPandas(
+            score, "QUERY_ID long, NEIGHBOR_ID long, COSINE double"
+        )
+        pairs = partial.filter(F.col("QUERY_ID") != F.col("NEIGHBOR_ID"))
+        return top_k_per_group(
+            pairs,
+            ["QUERY_ID"],
+            [F.col("COSINE").desc(), F.col("NEIGHBOR_ID")],
+            k=k,
+            rank_col="RANK",
+        )
+
     dim = dim if dim is not None else probe_dim(corpus, vec_col)
     q = as_double_vec(queries, vec_col).select(
         F.col(id_col).alias("QUERY_ID"), F.col(vec_col).alias("__qv")
@@ -191,6 +257,13 @@ def assign_cells(
             return corpus.sparkSession.createDataFrame([], out_schema)
         ncent = _seq_sq_norms(cmat)
         spark = corpus.sparkSession
+        # Scoring is O(|corpus| x K) -- far heavier than the input bytes --
+        # so a compact input (one small parquet file -> 1-2 partitions) must
+        # not pin the whole scan to 1-2 cores. The round-robin shuffle moves
+        # only the corpus bytes; on a real many-file table this is a no-op.
+        target = spark.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < target:
+            corpus = corpus.repartition(target)
         b_ids = spark.sparkContext.broadcast(cell_ids)
         b_cmat = spark.sparkContext.broadcast(cmat)
         b_ncent = spark.sparkContext.broadcast(ncent)
