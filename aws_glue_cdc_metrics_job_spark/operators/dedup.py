@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import rhu
-from .relational import keep_latest
+from .relational import ensure_min_parallelism, keep_latest, salted_join
 
 # Normalization shared by fingerprint/shingle ops: collapse whitespace,
 # lowercase, trim. (Deliberately simple + deterministic.)
@@ -107,7 +107,7 @@ def ngram_jaccard_pairs(
         )
     blocking_cols = blocking_cols or []
     hset = (
-        shingle_hashes(df, id_col, text_col, n)
+        shingle_hashes(ensure_min_parallelism(df), id_col, text_col, n)
         .groupBy(id_col)
         .agg(F.collect_set("h").alias("hset"))
         .join(df.select(F.col(id_col), *[F.col(c) for c in blocking_cols]), id_col)
@@ -204,7 +204,9 @@ def minhash_lsh_pairs(
     positives are filtered by the exact check. Deterministic for a fixed
     seed. Not SQL-expressible -> rows-only driver check + unit tests."""
     r = num_perm // bands
-    hs = shingle_hashes(df, id_col, text_col, n, seed)
+    # the shingle explode + 128 permutation-min aggregates are the heavy
+    # narrow stage -- don't let a compact input pin them to 1-2 cores
+    hs = shingle_hashes(ensure_min_parallelism(df), id_col, text_col, n, seed)
     # Signature AND exact-verification hash set in ONE aggregation over the
     # exploded shingle frame: the per-doc grouped subplan is then identical
     # for the banding input and both verification join sides, so Catalyst's
@@ -281,7 +283,7 @@ def simhash(
     stays in whole-stage codegen at well under a second. Documents are
     joined back by ``id_col`` (a tokenless doc keeps signature 0)."""
     toks = F.array_distinct(F.split(normalized_text(text_col), " "))
-    ex = df.select(F.col(id_col), F.explode(toks).alias("__tok")).withColumn(
+    ex = ensure_min_parallelism(df).select(F.col(id_col), F.explode(toks).alias("__tok")).withColumn(
         "__h", F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
     )
     votes = ex.groupBy(id_col).agg(
@@ -372,10 +374,18 @@ def simhash_near_pairs(
     unlike MinHash-LSH banding this is not probabilistic. Verification is
     one codegen expression: ``bit_count(sig_a XOR sig_b)``.
 
-    Scale shape: the join shuffles (band, chunk, id, sig) rows -- 4 longs
-    per doc per band, never text -- and each chunk-value bucket is tiny for
-    well-mixed signatures, so the within-bucket pair expansion stays
-    bounded (same blocking argument as IVF cells / LSH bands)."""
+    Scale shape: the search runs on DISTINCT signatures, not documents.
+    Duplicate-heavy corpora collapse to few signatures (measured 50k docs ->
+    2,949 sigs with a 3,390-doc hottest group on the 10x synthetic corpus),
+    and doc-level banding would put that whole group's quadratic pair
+    expansion -- every band of it -- into ONE shuffle partition, a stall
+    AQE's skew-join cannot see because the hot partition is small in BYTES
+    and quadratic only in OUTPUT. Collapsing first makes the banded
+    self-join's buckets well-mixed by construction; member pairs are then
+    expanded separately: equal-signature (Hamming 0) pairs via a salted
+    self-join on the signature (the one remaining hot key, spread across
+    ``salt`` reducers), cross-signature pairs by joining the signature-pair
+    table back to members on each side (keys spread across signatures)."""
     if max_hamming >= bands:
         raise ValueError(
             f"banding gives exact recall only for max_hamming < bands "
@@ -383,6 +393,7 @@ def simhash_near_pairs(
         )
     r = bits // bands
     sigs = simhash(df, text_col, bits, "SIMHASH", id_col).select(id_col, "SIMHASH")
+    reps = sigs.select("SIMHASH").distinct()
     chunk_structs = F.array(
         *[
             F.struct(
@@ -392,24 +403,45 @@ def simhash_near_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.col("SIMHASH"), F.explode(chunk_structs).alias("c")).select(
-        id_col, "SIMHASH", "c.band", "c.chunk"
+    banded = reps.select(F.col("SIMHASH"), F.explode(chunk_structs).alias("c")).select(
+        "SIMHASH", "c.band", "c.chunk"
     )
-    a = banded.select(
-        F.col(id_col).alias("ID_A"), F.col("SIMHASH").alias("__sa"), "band", "chunk"
-    )
-    b = banded.select(
-        F.col(id_col).alias("ID_B"), F.col("SIMHASH").alias("__sb"), "band", "chunk"
-    )
-    return (
+    a = banded.select(F.col("SIMHASH").alias("SIG_A"), "band", "chunk")
+    b = banded.select(F.col("SIMHASH").alias("SIG_B"), "band", "chunk")
+    sig_pairs = (
         a.join(b, ["band", "chunk"])
-        .filter(F.col("ID_A") < F.col("ID_B"))
-        .select("ID_A", "ID_B", "__sa", "__sb")
+        .filter(F.col("SIG_A") < F.col("SIG_B"))
+        .select("SIG_A", "SIG_B")
         .distinct()
-        .withColumn("HAMMING", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long"))
+        .withColumn("HAMMING", F.bit_count(F.col("SIG_A").bitwiseXOR(F.col("SIG_B"))).cast("long"))
         .filter(F.col("HAMMING") <= max_hamming)
-        .select("ID_A", "ID_B", "HAMMING")
     )
+    # Hamming-0 pairs: all doc pairs sharing a signature. Salted so one
+    # giant equal-signature group spreads across reducers instead of
+    # serializing on its key.
+    intra = (
+        salted_join(
+            sigs.select(F.col(id_col).alias("ID_A"), "SIMHASH"),
+            sigs.select(F.col(id_col).alias("ID_B"), "SIMHASH"),
+            ["SIMHASH"],
+        )
+        .filter(F.col("ID_A") < F.col("ID_B"))
+        .select("ID_A", "ID_B", F.lit(0).cast("long").alias("HAMMING"))
+    )
+    # Cross-signature pairs: every member of SIG_A pairs with every member
+    # of SIG_B; groups are disjoint so pairs are unique, normalized by id.
+    mem_a = sigs.select(F.col("SIMHASH").alias("SIG_A"), F.col(id_col).alias("__ma"))
+    mem_b = sigs.select(F.col("SIMHASH").alias("SIG_B"), F.col(id_col).alias("__mb"))
+    cross = (
+        sig_pairs.join(mem_a, "SIG_A")
+        .join(mem_b, "SIG_B")
+        .select(
+            F.least("__ma", "__mb").alias("ID_A"),
+            F.greatest("__ma", "__mb").alias("ID_B"),
+            "HAMMING",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def hamming_distance(a: str, b: str, bits: int = 32) -> F.Column:

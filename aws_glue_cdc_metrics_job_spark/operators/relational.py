@@ -15,6 +15,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to defaultParallelism when the input has
+    fewer partitions. Compute-heavy narrow stages (shingle explode, Arrow
+    scoring) otherwise inherit a compact file's 1-2 scan partitions and pin
+    the work to 1-2 cores; on a many-file production table this is a no-op.
+    The shuffle moves only the input bytes -- negligible next to the
+    downstream per-row work these operators exist for."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def keep_latest(
     df: DataFrame,
     keys: list[str],

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import rhu
-from .relational import top_k_per_group
+from .relational import ensure_min_parallelism, top_k_per_group
 
 
 def dot(a: str, b: str, dim: int | None = None) -> F.Column:
@@ -153,9 +153,7 @@ def brute_force_topk(
         nq = _seq_sq_norms(Q)
         spark = corpus.sparkSession
         # same small-input parallelism guard as assign_cells
-        target = spark.sparkContext.defaultParallelism
-        if corpus.rdd.getNumPartitions() < target:
-            corpus = corpus.repartition(target)
+        corpus = ensure_min_parallelism(corpus)
         b_q = spark.sparkContext.broadcast((q_ids, Q, nq))
 
         def score(batches):
@@ -259,11 +257,8 @@ def assign_cells(
         spark = corpus.sparkSession
         # Scoring is O(|corpus| x K) -- far heavier than the input bytes --
         # so a compact input (one small parquet file -> 1-2 partitions) must
-        # not pin the whole scan to 1-2 cores. The round-robin shuffle moves
-        # only the corpus bytes; on a real many-file table this is a no-op.
-        target = spark.sparkContext.defaultParallelism
-        if corpus.rdd.getNumPartitions() < target:
-            corpus = corpus.repartition(target)
+        # not pin the whole scan to 1-2 cores.
+        corpus = ensure_min_parallelism(corpus)
         b_ids = spark.sparkContext.broadcast(cell_ids)
         b_cmat = spark.sparkContext.broadcast(cmat)
         b_ncent = spark.sparkContext.broadcast(ncent)
