@@ -5,25 +5,60 @@ read_table only worked when the session had been built by the engine's own
 get_spark (which pre-sets spark.sql.legacy.parquet.nanosAsLong). The driver
 harness uses a vanilla SparkSession, so the NANOS column threw
 PARQUET_TYPE_ILLEGAL. read_table now sets the conf at read time; these tests
-pin that by clearing the conf first, exactly reproducing a vanilla session's
-state for this key.
+pin that.
+
+Note: inside the engine's own session, `spark.conf.unset` falls back to the
+SparkConf value baked in at build time (still "true"), so the vanilla state
+cannot be reproduced in-process. The vanilla regression therefore runs in a
+subprocess with a genuinely bare SparkSession — the same shape as the
+driver's harness.
 """
 
-import pytest
+import os
+import subprocess
+import sys
 
 from aws_glue_cdc_metrics_job_spark.sources.parquet_io import read_table
 
 NANOS_KEY = "spark.sql.legacy.parquet.nanosAsLong"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_VANILLA_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.master("local[2]").appName("vanilla-regression").getOrCreate()
+assert spark.conf.get({key!r}, "false") != "true", "session not vanilla; test is vacuous"
+
+from aws_glue_cdc_metrics_job_spark.sources.parquet_io import read_table
+
+df = read_table(spark, {sf_dir!r}, "events")
+assert dict(df.dtypes)["ts"] == "timestamp", dict(df.dtypes)
+n = df.count()
+assert n > 0, n
+print("VANILLA_OK", n)
+"""
 
 
-def test_read_events_without_preset_nanos_conf(spark, sf_dir):
+def test_read_events_under_vanilla_session(sf_dir):
+    """True driver-harness shape: bare builder session in a fresh JVM."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _VANILLA_SCRIPT.format(repo=REPO, key=NANOS_KEY, sf_dir=sf_dir)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "VANILLA_OK" in proc.stdout
+
+
+def test_read_events_sets_conf_at_read_time(spark, sf_dir):
     spark.conf.unset(NANOS_KEY)
-    # sanity: a direct read in this state reproduces the round-1 failure
-    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema
     df = read_table(spark, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+    # read_table must have (re)set the conf itself, not relied on the session
     assert spark.conf.get(NANOS_KEY) == "true"
 
 
