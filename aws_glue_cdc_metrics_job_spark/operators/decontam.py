@@ -1,0 +1,89 @@
+"""Benchmark decontamination: flag corpus documents that share word n-grams
+with an evaluation/benchmark set (the standard test-set-overlap check run
+before LLM training, cf. GPT-3 appendix C / PaLM sec. 8: 8-13-gram overlap).
+
+Shape, not UDFs: tokenize -> n-gram -> md5 -> equi-join. At 100 TB the
+benchmark side is tiny (eval sets are MBs), so Catalyst broadcasts its
+distinct-gram set and the corpus side never shuffles: tokenization, n-gram
+expansion and the hash join all run inside the corpus scan stage. The
+explode multiplies corpus rows by ~tokens-per-doc, but each exploded row is
+a single 32-char hash, and the per-doc hit count collapses it right back
+(partial aggregation before the single doc_id shuffle).
+
+md5 (not xxhash64) keeps gram identity engine-portable, so the whole
+operator is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def ngram_hashes(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "NGRAM_H",
+) -> DataFrame:
+    """Distinct (id, md5-of-space-joined-word-n-gram) pairs.
+
+    ``sequence(1, size-n+1)`` is guarded: Spark's ``sequence(1, 0)`` counts
+    DOWN ([1, 0]), so short documents must yield an empty array explicitly.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias(out_col))
+        .dropDuplicates([id_col, out_col])
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per corpus document: how many of its distinct n-grams appear anywhere
+    in the benchmark set, and a CONTAMINATED flag (any overlap).
+
+    Returns (id_col, N_HIT_NGRAMS, CONTAMINATED) with one row per corpus
+    document -- clean documents included with a zero count, so the output is
+    directly joinable as a filter column.
+
+    The benchmark gram set is deduplicated globally before the join: a gram
+    occurring in many benchmark docs must count once per corpus doc.
+    """
+    bench_grams = (
+        ngram_hashes(benchmark, n, id_col=id_col, text_col=text_col)
+        .select("NGRAM_H")
+        .distinct()
+    )
+    corpus_grams = ngram_hashes(corpus, n, id_col=id_col, text_col=text_col)
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "NGRAM_H")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("N_HIT_NGRAMS"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("N_HIT_NGRAMS"), F.lit(0)).cast("long").alias("N_HIT_NGRAMS"),
+            (F.coalesce(F.col("N_HIT_NGRAMS"), F.lit(0)) > 0).alias("CONTAMINATED"),
+        )
+    )

@@ -67,3 +67,31 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default_fraction: float = 0.0,
+    seed: str = "0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]`` of
+    each stratum's rows (``default_fraction`` for unlisted strata), chosen by
+    key hash exactly like ``hash_sample``.
+
+    This is the rebalancing step of a training-data mix ("keep 50% of en,
+    10% of everything else"): one stateless comparison per row, no shuffle,
+    membership reproducible in any engine. The per-stratum threshold is a
+    compiled CASE expression -- strata counts are small by definition, so no
+    join is needed and the whole filter stays in the scan stage."""
+    h = _bucket_hex(key_cols, seed)
+    thr = None
+    for value, frac in fractions.items():
+        cond = F.col(stratum_col) == value
+        lit = F.lit(_hex_threshold(frac))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    default_lit = F.lit(_hex_threshold(default_fraction))
+    thr = default_lit if thr is None else thr.otherwise(default_lit)
+    return df.filter(h < thr)

@@ -151,3 +151,30 @@ def regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("N_DIGIT_TOKENS", n(r"[0-9]+"))
         .withColumn("N_PUNCT_TOKENS", n(r"[^A-Za-z0-9\s]"))
     )
+
+
+def vocab_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 50) -> DataFrame:
+    """Corpus vocabulary statistics: for the ``top_k`` tokens by document
+    frequency, the term frequency (total occurrences) and document frequency
+    (docs containing it). The first step of vocabulary construction /
+    BPE-corpus profiling.
+
+    Two-level aggregation: explode once, collapse to per-(doc, token) counts
+    (partial aggregation runs map-side inside the scan stage), then a single
+    shuffle on token for the corpus rollup -- the exploded token stream is
+    never shuffled. Tiebreak on the unique token string keeps top-k
+    deterministic across engines."""
+    per_doc = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("TOKEN"))
+        .groupBy(id_col, "TOKEN")
+        .agg(F.count("*").alias("__tf"))
+    )
+    return (
+        per_doc.groupBy("TOKEN")
+        .agg(
+            F.sum("__tf").cast("long").alias("TERM_FREQ"),
+            F.count("*").cast("long").alias("DOC_FREQ"),
+        )
+        .orderBy(F.col("DOC_FREQ").desc(), F.col("TOKEN"))
+        .limit(top_k)
+    )

@@ -38,8 +38,12 @@ def query(name: str, oracle: str | None = None):
 #   docs_exact_dedup; the exact quantile operator is graded via
 #   mart_customer_clv_segment; scan_filter_project's P1-P10 surface is
 #   exercised by every graded mart; docs_train_split shares the md5-keyed
-#   hash-membership mechanism with lineitem_hash_sample).
+#   hash-membership mechanism with lineitem_hash_sample; pricing_rollup and
+#   orders_status_cube share the grouping-expand mechanism with
+#   orders_grouping_sets, its general form).
 DEFERRED: list[str] = [
+    "pricing_rollup",
+    "orders_status_cube",
     "mart_sales_trends_weekly",
     "mart_sales_trends_monthly",
     "mart_sales_trends_hourly",

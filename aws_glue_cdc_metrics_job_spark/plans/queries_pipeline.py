@@ -429,3 +429,91 @@ def q_emb_cosine_topk_fast(spark: SparkSession, sf_dir: str):
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.brute_force_topk_fast(emb, queries, k=5)
     return out.withColumn("NEIGHBOR_RANK", F.col("RANK").cast("long")).drop("RANK")
+
+
+# --- benchmark decontamination / data-mix sampling / vocabulary profiling
+# (operators/decontam.py, sampling.stratified_hash_sample, text.vocab_stats)
+
+
+@query(
+    "docs_decontaminate",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_NE} AS t FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS h
+  FROM tok, UNNEST(range(1, len(t)-1)) AS u(i)
+  WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT h FROM ng WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT ng.doc_id, count(*) AS n
+  FROM ng JOIN bench USING (h)
+  WHERE ng.doc_id % 97 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id AS DOC_ID,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS N_HIT_NGRAMS,
+       COALESCE(hits.n, 0) > 0 AS CONTAMINATED
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % 97 <> 0
+""",
+)
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str):
+    """Test-set-overlap check before training: corpus docs sharing any word
+    3-gram with the benchmark subset (doc_id % 97 == 0) are flagged, with
+    the count of distinct overlapping grams. n=3 because the synthetic docs
+    are short random-word strings; real pipelines use 8-13 (GPT-3 app. C).
+    Benchmark gram set broadcasts; corpus side never shuffles pre-count."""
+    from ..operators.decontam import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=3).select(
+        F.col("doc_id").alias("DOC_ID"), "N_HIT_NGRAMS", "CONTAMINATED"
+    )
+
+
+@query(
+    "docs_stratified_sample",
+    oracle="""
+SELECT doc_id AS DOC_ID, lang AS LANG
+FROM documents
+WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000' ELSE '19999999' END
+""",
+)
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str):
+    """Data-mix rebalancing: keep 50% of en, 25% of de, 10% of every other
+    language, membership decided by md5 of the doc key -- reproducible at
+    any cluster size and re-derivable by any engine. One CASE-compiled
+    comparison per row in the scan stage; no shuffle, no join."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25}, ["doc_id"], default_fraction=0.1, seed="mix1"
+    )
+    return out.select(F.col("doc_id").alias("DOC_ID"), F.col("lang").alias("LANG"))
+
+
+@query(
+    "docs_vocab_topk",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_NE}) AS TOKEN FROM documents),
+per AS (SELECT doc_id, TOKEN, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT TOKEN,
+       CAST(SUM(tf) AS BIGINT) AS TERM_FREQ,
+       CAST(COUNT(*) AS BIGINT) AS DOC_FREQ
+FROM per
+GROUP BY TOKEN
+ORDER BY DOC_FREQ DESC, TOKEN
+LIMIT 50
+""",
+)
+def q_docs_vocab_topk(spark: SparkSession, sf_dir: str):
+    """Corpus vocabulary profile: top-50 tokens by document frequency with
+    term frequencies -- the first step of vocab/BPE construction. Two-level
+    aggregation so the exploded token stream collapses map-side before the
+    single shuffle on token."""
+    return text.vocab_stats(read_table(spark, sf_dir, "documents"), top_k=50)

@@ -99,10 +99,16 @@ def main() -> int:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"),
     )
     if os.path.isdir(sf1_dir):
+        # Same warm-up treatment as the sf0.1 pass (silver-cache
+        # materialization and plan compilation happen once, outside the
+        # timed loop) so the sf1/sf0.1 ratios compare steady-state to
+        # steady-state instead of charging one-time setup to whichever
+        # query runs first.
+        scale_names = [n for n in names if n not in SCALE_EXCLUDE]
+        for name in scale_names:
+            qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         t1: dict[str, float] = {}
-        for name in names:
-            if name in SCALE_EXCLUDE:
-                continue
+        for name in scale_names:
             t0 = time.monotonic()
             qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
             t1[name] = round(time.monotonic() - t0, 3)

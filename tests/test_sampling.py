@@ -55,3 +55,36 @@ def test_split_weights_must_sum_to_one(spark):
     df = spark.range(10)
     with pytest.raises(ValueError):
         hash_split(df, ["id"], {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(30000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("lang"),
+    )
+    out = stratified_hash_sample(df, "lang", {"en": 0.5, "de": 0.2}, ["k"], default_fraction=0.05, seed="s")
+    rates = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert abs(rates["en"] / 10000 - 0.5) < 0.02
+    assert abs(rates["de"] / 10000 - 0.2) < 0.02
+    assert abs(rates.get("fr", 0) / 10000 - 0.05) < 0.02
+    # same membership under a different partitioning
+    out2 = stratified_hash_sample(
+        df.repartition(7), "lang", {"en": 0.5, "de": 0.2}, ["k"], default_fraction=0.05, seed="s"
+    )
+    assert {r["k"] for r in out.collect()} == {r["k"] for r in out2.collect()}
+
+
+def test_stratified_sample_consistent_with_hash_sample(spark):
+    # a stratum's membership must equal plain hash_sample at that fraction:
+    # the stratification only switches thresholds, never the draw
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(5000).select(F.col("id").alias("k"), F.lit("en").alias("lang"))
+    a = {r["k"] for r in stratified_hash_sample(df, "lang", {"en": 0.3}, ["k"], seed="z").collect()}
+    b = {r["k"] for r in hash_sample(df, ["k"], 0.3, seed="z").collect()}
+    assert a == b

@@ -76,3 +76,23 @@ def test_repetition_stats_hand_computed(spark):
     assert got[3]["N_TOKENS"] == 0 and got[3]["DUP_GRAM_RATIO"] == 0.0
     assert got[3]["TOP_TOKEN_SHARE"] == 0.0
     assert got[4]["N_GRAMS"] == 0 and got[4]["DUP_GRAM_RATIO"] == 0.0
+
+
+def test_vocab_stats_hand_computed(spark):
+    rows = [
+        (1, "a b a"),
+        (2, "a c"),
+        (3, "c a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["TOKEN"], r["TERM_FREQ"], r["DOC_FREQ"]) for r in text.vocab_stats(df).collect()]
+    # doc_freq: a in 3 docs, b in 2, c in 2; term_freq: a=4, b=2, c=2
+    assert got == [("a", 4, 3), ("b", 2, 2), ("c", 2, 2)]  # df desc, token asc
+
+
+def test_vocab_stats_top_k_cutoff(spark):
+    rows = [(i, "w%d common" % (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.vocab_stats(df, top_k=3).collect()
+    assert len(got) == 3
+    assert got[0]["TOKEN"] == "common" and got[0]["DOC_FREQ"] == 40
