@@ -178,3 +178,31 @@ def vocab_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", t
         .orderBy(F.col("DOC_FREQ").desc(), F.col("TOKEN"))
         .limit(top_k)
     )
+
+
+def quality_top_fraction(
+    df: DataFrame,
+    fraction: float = 0.5,
+    id_col: str = "doc_id",
+    partition_cols: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the top ``fraction`` of documents per group by quality score --
+    the rank-based corpus filter ("top half of each language"). Rank-based
+    (row_number over score desc, id asc) rather than a percentile threshold:
+    integer comparisons have no interpolation ulp at the cut boundary, so
+    the kept set is deterministic and engine-portable. One shuffle on the
+    group key; both window functions share it."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    scored = quality_score(df, text_col)
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col("QUALITY_SCORE").desc(), F.col(id_col)
+    )
+    grp = Window.partitionBy(*partition_cols)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count("*").over(grp))
+        .filter(F.col("__rn") <= F.ceil(F.col("__cnt") * F.lit(fraction)))
+        .drop("__rn", "__cnt")
+    )

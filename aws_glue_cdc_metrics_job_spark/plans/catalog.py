@@ -53,6 +53,7 @@ DEFERRED: list[str] = [
     "scan_filter_project",
     "docs_train_split",
     "events_approx_distinct_users",
+    "docs_pack_sequences",
     "docs_minhash_lsh_pairs",
     "emb_ivf_topk",
     "multimodal_features",

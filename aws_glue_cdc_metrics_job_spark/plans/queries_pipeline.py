@@ -517,3 +517,52 @@ def q_docs_vocab_topk(spark: SparkSession, sf_dir: str):
     aggregation so the exploded token stream collapses map-side before the
     single shuffle on token."""
     return text.vocab_stats(read_table(spark, sf_dir, "documents"), top_k=50)
+
+
+@query(
+    "docs_quality_filter",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_NE} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         least(len(toks) / 200.0, 1.0) AS len_score
+  FROM t
+),
+scored AS (
+  SELECT doc_id, lang,
+         FLOOR((0.7 * len_score + 0.3 * stop_ratio) * 1000000 + 0.5) / 1000000 AS QUALITY_SCORE
+  FROM s
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY QUALITY_SCORE DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM scored
+)
+SELECT doc_id AS DOC_ID, lang AS LANG, QUALITY_SCORE
+FROM r WHERE rn <= CEIL(cnt * 0.5)
+""",
+)
+def q_docs_quality_filter(spark: SparkSession, sf_dir: str):
+    """Corpus quality filter: keep the top half of each language by quality
+    score. Rank-based cut (not a percentile threshold) so the boundary is
+    interpolation-free and deterministic in any engine."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = text.quality_top_fraction(docs, fraction=0.5)
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"), F.col("lang").alias("LANG"), "QUALITY_SCORE"
+    )
+
+
+@query("docs_pack_sequences")  # no oracle: greedy next-fit is sequential per shard
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str):
+    """Sequence packing into 512-token packs (rows-only check; budget and
+    determinism invariants are unit-tested in test_packing)."""
+    from ..operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = text.token_stats(docs).select("doc_id", "N_TOKENS")
+    return pack_sequences(sized, budget=512, num_shards=8)

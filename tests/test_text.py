@@ -96,3 +96,27 @@ def test_vocab_stats_top_k_cutoff(spark):
     got = text.vocab_stats(df, top_k=3).collect()
     assert len(got) == 3
     assert got[0]["TOKEN"] == "common" and got[0]["DOC_FREQ"] == 40
+
+
+def test_quality_top_fraction(spark):
+    rows = [
+        (1, "en", "the a of and to in is on for it extra words here now"),  # high stopword ratio
+        (2, "en", "zz yy xx"),
+        (3, "en", "aa bb cc dd ee ff gg hh"),
+        (4, "de", "und der das"),
+        (5, "de", "qq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = {r["doc_id"] for r in text.quality_top_fraction(df, fraction=0.5).collect()}
+    # en: ceil(3*0.5)=2 kept; de: ceil(2*0.5)=1 kept
+    assert len([d for d in kept if d in (1, 2, 3)]) == 2
+    assert len([d for d in kept if d in (4, 5)]) == 1
+    assert 1 in kept  # highest-scoring en doc must survive
+
+
+def test_quality_top_fraction_full_keep(spark):
+    rows = [(i, "en", "some words here") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    assert text.quality_top_fraction(df, fraction=1.0).count() == 4
+    with pytest.raises(ValueError):
+        text.quality_top_fraction(df, fraction=0.0)
