@@ -450,3 +450,53 @@ def hamming_distance(a: str, b: str, bits: int = 32) -> F.Column:
               acc + CASE WHEN (({a} div shiftleft(1L, i)) % 2) != (({b} div shiftleft(1L, i)) % 2)
                          THEN 1 ELSE 0 END)"""
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprint set: hash every char k-gram of the
+    normalized text, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum, distinct the selections. Guarantees any shared
+    substring of length >= k + w - 1 contributes at least one shared
+    fingerprint (the winnowing theorem), so partial/positional overlap is
+    detectable without comparing full texts -- the rolling-hash complement
+    to the whole-document md5 ``fingerprint``.
+
+    Shape: explode positions (codegen'd substring+md5, no HOF lambdas in
+    the hot path -- SCALE.md), one shuffle on the doc key shared by both
+    window functions, then distinct on an ~n/w-sized sketch. The hash is
+    the first 8 hex chars of md5 (uniform, engine-portable, and 4x smaller
+    through the shuffle than the full digest; min-selection only needs a
+    consistent total order, not collision resistance).
+
+    Returns (id_col, FP_HASH) rows -- directly self-joinable on FP_HASH for
+    overlap candidates."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    pos = (
+        df.select(F.col(id_col), normalized_text(text_col).alias("__s"))
+        .filter(F.length("__s") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("__s") - (k - 1))).alias("__i"),
+            F.col("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__i"),
+            F.expr(f"substring(md5(substring(__s, __i, {k})), 1, 8)").alias("__h"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
+    return (
+        pos.withColumn("__mh", F.min("__h").over(win))
+        .withColumn("__c", F.count("__h").over(win))
+        .filter(F.col("__c") == w)  # full windows only, per the algorithm
+        .select(F.col(id_col), F.col("__mh").alias("FP_HASH"))
+        .distinct()
+    )

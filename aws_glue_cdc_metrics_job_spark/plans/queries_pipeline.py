@@ -566,3 +566,32 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     sized = text.token_stats(docs).select("doc_id", "N_TOKENS")
     return pack_sequences(sized, budget=512, num_shards=8)
+
+
+@query(
+    "docs_winnow_fingerprints",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+pos AS (
+  SELECT doc_id, i, SUBSTRING(md5(s[i:i+4]), 1, 8) AS h
+  FROM norm, UNNEST(range(1, len(s)-5+2)) AS u(i)
+  WHERE len(s) >= 5
+),
+win AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+  FROM pos
+)
+SELECT DISTINCT doc_id AS DOC_ID, mh AS FP_HASH FROM win WHERE c = 4
+""",
+)
+def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str):
+    """Winnowing (rolling k-gram hash, window-min selection) fingerprint
+    sets: any shared substring of length >= k+w-1 = 8 chars yields a shared
+    fingerprint, enabling partial-overlap detection by equi-join."""
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, k=5, w=4)
+    return out.select(F.col("doc_id").alias("DOC_ID"), "FP_HASH")

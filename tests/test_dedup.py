@@ -134,3 +134,58 @@ def test_simhash_near_pairs_rejects_lossy_banding():
 
     with _pytest.raises(ValueError):
         dedup.simhash_near_pairs(None, bands=4, max_hamming=4)
+
+
+# --- winnowing fingerprints
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import winnow_fingerprints
+
+    # k=5, w=4: sharing any substring of length >= 8 guarantees a shared
+    # fingerprint (winnowing theorem)
+    shared = "quantized attention kernels"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "other text " + shared + " different tail"),
+        (3, "completely unrelated words nothing common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=5, w=4)
+    collected = fp.collect()
+    by_doc = {}
+    for r in collected:
+        by_doc.setdefault(r["doc_id"], set()).add(r["FP_HASH"])
+    assert by_doc[1] & by_doc[2], "shared substring must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) or len(by_doc[1] & by_doc[3]) < len(by_doc[1] & by_doc[2])
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import winnow_fingerprints
+
+    rows = [(1, "abcd"), (2, ""), (3, "abcdefgh")]  # 1,2 too short for k=5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, k=5, w=4).collect()
+    assert {r["doc_id"] for r in got} == {3}
+    # doc 3: 4 k-grams -> exactly one full window -> one fingerprint
+    assert len(got) == 1
+
+
+def test_winnow_deterministic_under_repartition(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import winnow_fingerprints
+
+    rows = [(i, f"document number {i} with some shared boilerplate text") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r["doc_id"], r["FP_HASH"]) for r in winnow_fingerprints(df).collect()}
+    b = {(r["doc_id"], r["FP_HASH"]) for r in winnow_fingerprints(df.repartition(7)).collect()}
+    assert a == b
+
+
+def test_winnow_rejects_bad_params(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
