@@ -1,0 +1,42 @@
+"""Scale-guard over the WHOLE catalog: no query may plan an all-pairs join.
+
+CartesianProduct / BroadcastNestedLoopJoin are the two physical shapes that
+explode quadratically at scale; every operator module forswears them
+(SCALE.md). This meta-test catches a regression in ANY catalog query the
+moment it's introduced, rather than in a per-operator test someone forgot
+to write.
+
+Whitelist: quantile bucketing cross-joins a BROADCAST ONE-ROW cut frame
+(functions/quantile.py) -- a constant-size build side by construction, not
+a data-sized product.
+"""
+
+import pytest
+
+from aws_glue_cdc_metrics_job_spark.plans import catalog
+
+catalog.load_all()
+
+# queries whose plan legitimately contains a BOUNDED broadcast cross join
+BOUNDED_BROADCAST_OK = {
+    # exact-quantile cut: cross join with a broadcast ONE-ROW frame
+    "mart_customer_clv_segment": "1-row quantile cut frame (functions/quantile.py)",
+    # salted_join replicates the small side against a broadcast range(salt)
+    # frame (8 rows) -- the standard skew-spreading pattern
+    "docs_simhash_pairs": "broadcast 8-row salt range (relational.salted_join)",
+    # probe scoring crosses the contractually-small query set with the
+    # centroid table (~sqrt(N) rows), both broadcast-sized by construction
+    "emb_ivf_topk": "bounded query-set x centroids probe scoring",
+}
+
+BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+@pytest.mark.parametrize("name", sorted(catalog.QUERIES))
+def test_no_all_pairs_join_shapes(spark, sf_dir, name):
+    df = catalog.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in BOUNDED_BROADCAST_OK:
+        pytest.skip(f"whitelisted: {BOUNDED_BROADCAST_OK[name]}")
+    for shape in BAD_SHAPES:
+        assert shape not in plan, f"{name} plans {shape}:\n{plan[:3000]}"
