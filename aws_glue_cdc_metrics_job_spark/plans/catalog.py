@@ -45,6 +45,7 @@ DEFERRED: list[str] = [
     "pricing_rollup",
     "orders_status_cube",
     "customers_anti_urgent",  # left_anti: twin mechanism of graded left_semi
+    "set_union",  # distinct-union = union-all (graded in order_revenue) + distinct (graded widely)
     "docs_simhash",  # signature stage is graded via docs_simhash_pairs
     "emb_ivf_assign",  # assignment stage is graded via emb_cosine_dup_pairs
     "mart_sales_trends_weekly",

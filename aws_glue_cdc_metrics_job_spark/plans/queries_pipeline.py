@@ -595,3 +595,84 @@ def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     out = winnow_fingerprints(docs, k=5, w=4)
     return out.select(F.col("doc_id").alias("DOC_ID"), "FP_HASH")
+
+
+@query(
+    "docs_curation_pipeline",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_NORM} AS norm, {_TOKS_NE} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang, norm, toks,
+         FLOOR((0.7 * least(len(toks) / 200.0, 1.0)
+                + 0.3 * CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) / len(toks)
+                             ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS QUALITY_SCORE
+  FROM t WHERE doc_id % 97 <> 0
+),
+quality AS (
+  SELECT * FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY QUALITY_SCORE DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS cnt
+    FROM scored
+  ) WHERE rn <= CEIL(cnt * 0.5)
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS dk
+    FROM quality
+  ) WHERE dk = 1
+),
+bench_ng AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i+2], ' ')) AS h
+  FROM t, UNNEST(range(1, len(toks)-1)) AS u(i)
+  WHERE doc_id % 97 = 0 AND len(toks) >= 3
+),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM deduped d, UNNEST(range(1, len(d.toks)-1)) AS u(i)
+  JOIN bench_ng ON md5(array_to_string(d.toks[i:i+2], ' ')) = bench_ng.h
+  WHERE len(d.toks) >= 3
+)
+SELECT doc_id AS DOC_ID, lang AS LANG, QUALITY_SCORE
+FROM deduped
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000' ELSE '19999999' END
+""",
+)
+def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str):
+    """Flagship composite: the four curation stages a training-data build
+    chains -- per-language quality filtering (top half), exact dedup (min-id
+    survivor), benchmark decontamination (3-gram overlap vs the eval
+    subset), stratified mix sampling -- composed as one declarative plan.
+    Catalyst pipelines the stages: the quality window and dedup window
+    reuse the same scan, the benchmark gram set broadcasts, and the mix
+    filter is a scan-stage CASE."""
+    from ..operators.decontam import decontaminate
+    from ..operators.dedup import fingerprint
+    from ..operators.sampling import stratified_hash_sample
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    quality = text.quality_top_fraction(corpus, fraction=0.5)
+    dk = Window.partitionBy("FINGERPRINT").orderBy("doc_id")
+    deduped = (
+        fingerprint(quality)
+        .withColumn("__dk", F.row_number().over(dk))
+        .filter(F.col("__dk") == 1)
+        .drop("__dk", "FINGERPRINT")
+    )
+    flags = decontaminate(deduped, bench, n=3)
+    clean = deduped.join(
+        flags.filter(~F.col("CONTAMINATED")).select("doc_id"), "doc_id"
+    )
+    mixed = stratified_hash_sample(
+        clean, "lang", {"en": 0.5, "de": 0.25}, ["doc_id"], default_fraction=0.1, seed="mix1"
+    )
+    return mixed.select(
+        F.col("doc_id").alias("DOC_ID"), F.col("lang").alias("LANG"), "QUALITY_SCORE"
+    )

@@ -96,3 +96,24 @@ def test_multimodal_features_bitwise_deterministic(spark, sf_dir):
     a = sorted(map(tuple, Q["multimodal_features"](spark, sf_dir).collect()))
     b = sorted(map(tuple, Q["multimodal_features"](spark, sf_dir).collect()))
     assert a == b and len(a) == 500
+
+
+def test_curation_pipeline_is_subset_of_stages(spark, sf_dir):
+    """The composite must agree with its stages run independently: every
+    curated doc survives quality filter, is its fingerprint group's min id,
+    is uncontaminated, and passes the mix filter."""
+    from aws_glue_cdc_metrics_job_spark.plans import catalog
+
+    catalog.load_all()
+    curated = {r["DOC_ID"] for r in catalog.QUERIES["docs_curation_pipeline"](spark, sf_dir).collect()}
+    quality = {r["DOC_ID"] for r in catalog.QUERIES["docs_quality_filter"](spark, sf_dir).collect()}
+    mixed = {r["DOC_ID"] for r in catalog.QUERIES["docs_stratified_sample"](spark, sf_dir).collect()}
+    contaminated = {
+        r["DOC_ID"]
+        for r in catalog.QUERIES["docs_decontaminate"](spark, sf_dir).collect()
+        if r["CONTAMINATED"]
+    }
+    assert curated, "curation output must be non-empty on the test corpus"
+    assert curated <= quality, "curated docs must pass the quality filter"
+    assert curated <= mixed, "curated docs must pass the mix filter"
+    assert not (curated & contaminated), "curated docs must be uncontaminated"
