@@ -487,3 +487,104 @@ def brute_force_topk_fast(
         k=k,
         rank_col="RANK",
     )
+
+
+def kmeans_update(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    dim: int | None = None,
+    arrow: bool = True,
+) -> DataFrame:
+    """One Lloyd/k-means update over the current IVF centroids: assign every
+    vector to its nearest centroid (cosine, via assign_cells -- bit-identical
+    to the declarative form), then recompute each cell's elementwise mean.
+
+    Returns long form (CELL, DIM, N_MEMBERS, CENTROID_VAL): one row per
+    (cell, dimension), CENTROID_VAL rounded to 6 dp. Cells that lose all
+    members simply emit no rows (the standard drop-empty-cell policy).
+
+    Engine-portable by construction: per-dimension sums run in
+    DECIMAL(27,15) (order-independent, so the result is deterministic at
+    any partitioning -- the same trick the money aggregates use), and only
+    the final decimal->double->round happens in floating point. A plain
+    double sum would drift in the last ulp run-to-run at 1000 executors,
+    making the trained centroids non-reproducible.
+
+    Scale: assignment is the narrow Arrow pass (no shuffle); the mean is
+    posexplode + two-level-friendly partial aggregation shuffling only
+    (cell, dim) pairs -- K*dim rows however large the corpus."""
+    assigned = assign_cells(
+        corpus, centroids, id_col, vec_col, centroid_id_col, dim=dim, arrow=arrow
+    )
+    ex = assigned.select(
+        "CELL", F.posexplode(F.col(vec_col).cast("array<double>")).alias("DIM", "__x")
+    )
+    mean = (F.sum(F.col("__x").cast("decimal(27,15)")).cast("double") / F.count("*"))
+    return ex.groupBy("CELL", "DIM").agg(
+        F.count("*").cast("long").alias("N_MEMBERS"),
+        rhu(mean, 6).alias("CENTROID_VAL"),
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Train IVF centroids with bounded Lloyd iterations. Initialization is
+    deterministic: the k lowest md5-hashed vector ids seed the cells (a
+    reproducible stand-in for k-means++; at 100 TB swap in a sampled
+    sketch). Each round is one kmeans_update; the long-form means pivot
+    back to array centroids for the next assignment. Driver traffic per
+    round is nothing but the loop counter -- centroids stay distributed
+    (they are broadcast-sized, so the final frame is cheap to materialize).
+
+    Returns (centroid_id, embedding array<double>) after ``iters`` rounds
+    (or earlier if an update leaves every coordinate unchanged at 6 dp,
+    checked with a count of changed rows -- one scalar per round)."""
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+    )
+    cents = seeds
+    for _ in range(iters):
+        upd = kmeans_update(corpus, cents, id_col, vec_col, dim=dim)
+        new_cents = (
+            upd.groupBy("CELL")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("DIM", "CENTROID_VAL"))),
+                    lambda s: s["CENTROID_VAL"],
+                ).alias(vec_col)
+            )
+            .select(F.col("CELL").alias("centroid_id"), vec_col)
+            .localCheckpoint()  # truncate the growing lineage each round
+        )
+        changed = (
+            new_cents.select("centroid_id", F.col(vec_col).alias("__new"))
+            .join(cents.select("centroid_id", F.col(vec_col).alias("__old")), "centroid_id", "full")
+            .filter(
+                F.col("__new").isNull()
+                | F.col("__old").isNull()
+                | (F.col("__new") != F.col("__old"))
+            )
+            .count()
+        )
+        cents = new_cents
+        if changed == 0:
+            break
+    return cents

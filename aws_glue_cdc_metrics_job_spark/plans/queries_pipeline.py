@@ -676,3 +676,42 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str):
     return mixed.select(
         F.col("doc_id").alias("DOC_ID"), F.col("lang").alias("LANG"), "QUALITY_SCORE"
     )
+
+
+@query(
+    "emb_kmeans_update",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS CELL, v AS cv FROM e WHERE vec_id % 31 = 1),
+scored AS (
+  SELECT e.vec_id, cents.CELL,
+         FLOOR((list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS sim
+  FROM e, cents
+),
+assign AS (
+  SELECT vec_id, CELL FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, CELL) = 1
+),
+ex AS (
+  SELECT a.CELL, u.i - 1 AS DIM, e.v[u.i] AS x
+  FROM assign a JOIN e USING (vec_id), UNNEST(range(1, len(e.v)+1)) AS u(i)
+)
+SELECT CELL, CAST(DIM AS INT) AS DIM, CAST(COUNT(*) AS BIGINT) AS N_MEMBERS,
+       FLOOR((CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS CENTROID_VAL
+FROM ex GROUP BY CELL, DIM
+""",
+)
+def q_emb_kmeans_update(spark: SparkSession, sf_dir: str):
+    """One Lloyd/k-means centroid update (IVF training step): nearest-
+    centroid assignment then per-cell elementwise means with DECIMAL
+    sums, so the trained centroids are bit-reproducible at any
+    partitioning -- the property that makes a distributed k-means
+    restartable."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.kmeans_update(emb, centroids)
