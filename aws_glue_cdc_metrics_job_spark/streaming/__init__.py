@@ -1,5 +1,6 @@
 from .jobs import (
     cdc_upsert_sink,
+    decontaminate_sink,
     read_event_stream,
     session_windows,
     stateful_running_total,
@@ -9,6 +10,7 @@ from .jobs import (
 
 __all__ = [
     "cdc_upsert_sink",
+    "decontaminate_sink",
     "read_event_stream",
     "session_windows",
     "stateful_running_total",

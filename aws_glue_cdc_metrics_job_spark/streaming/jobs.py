@@ -173,3 +173,44 @@ def stateful_running_total(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decontaminate_sink(
+    doc_stream: DataFrame,
+    benchmark: DataFrame,
+    clean_path: str,
+    checkpoint: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Ingestion-time contamination firewall: per micro-batch, run the SAME
+    batch decontamination operator (operators/decontam.decontaminate)
+    against the static benchmark set and append only clean documents to the
+    corpus zone -- contaminated docs never land, rather than being scrubbed
+    later.
+
+    foreachBatch is the right streaming shape here: the operator needs a
+    per-document distinct-gram aggregation, which as a direct streaming
+    transform would either hold unbounded dedup state or force a stateful
+    aggregation mode. Inside foreachBatch each micro-batch is a plain
+    bounded DataFrame, the benchmark gram set broadcasts, and -- because
+    the exact batch operator is reused -- a batch backfill and the
+    streaming firewall can never disagree on what counts as contaminated."""
+    from ..operators.decontam import decontaminate
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        flags = decontaminate(batch, benchmark, n=n, id_col=id_col, text_col=text_col)
+        clean = batch.join(
+            flags.filter(~F.col("CONTAMINATED")).select(id_col), id_col
+        )
+        clean.write.mode("append").parquet(clean_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

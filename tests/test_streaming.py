@@ -118,3 +118,33 @@ def test_cdc_upsert_sink(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["pk"]: r["val"] for r in spark.read.parquet(snap_path).collect()}
     assert got == {2: "b2", 3: "c"}
+
+
+def test_decontaminate_sink_blocks_contaminated_docs(spark, tmp_path):
+    DOC_SCHEMA = "doc_id long, text string"
+    bench = spark.createDataFrame([(100, "b c d e")], DOC_SCHEMA)
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w")], DOC_SCHEMA  # 1 shares 'b c d'
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "c d e f g"), (4, "m n o p")], DOC_SCHEMA  # 3 shares 'c d e'
+    ).write.mode("append").parquet(src)
+
+    stream = S.read_event_stream(spark, src, DOC_SCHEMA)
+    clean_path = str(tmp_path / "clean")
+    q = S.decontaminate_sink(
+        stream, bench, clean_path, checkpoint=str(tmp_path / "ckpt_decon"), n=3
+    )
+    q.awaitTermination(120)
+
+    clean_ids = {r["doc_id"] for r in spark.read.parquet(clean_path).collect()}
+    assert clean_ids == {2, 4}
+
+    # batch/stream agreement: the batch operator on the full input set
+    # flags exactly the complement
+    from aws_glue_cdc_metrics_job_spark.operators.decontam import decontaminate
+
+    full = spark.read.parquet(src)
+    flags = {r["doc_id"]: r["CONTAMINATED"] for r in decontaminate(full, bench, n=3).collect()}
+    assert {d for d, c in flags.items() if not c} == clean_ids
