@@ -31,23 +31,30 @@ def ngram_hashes(
 ) -> DataFrame:
     """Distinct (id, md5-of-space-joined-word-n-gram) pairs.
 
-    ``sequence(1, size-n+1)`` is guarded: Spark's ``sequence(1, 0)`` counts
-    DOWN ([1, 0]), so short documents must yield an empty array explicitly.
-    """
+    Shape matters: positions explode FIRST and the md5(concat_ws(slice))
+    runs as a plain projected expression, which stays inside whole-stage
+    codegen. The tempting one-liner -- ``transform(sequence(...), i ->
+    md5(...))`` -- evaluates the lambda on Catalyst's interpreted path and
+    measured ~20x slower at sf0.1 (SCALE.md "Codegen discipline").
+
+    The filter guards Spark's ``sequence(1, 0)``, which counts DOWN, so
+    short documents contribute no rows rather than a bogus descending
+    range."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    t = tokens(text_col)
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias(out_col))
-        .dropDuplicates([id_col, out_col])
+    pos = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(
+            F.col(id_col),
+            F.col("__t"),
+            F.explode(F.sequence(F.lit(1), F.size("__t") - (n - 1))).alias("__i"),
+        )
     )
+    return pos.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.expr(f"slice(__t, __i, {n})"))).alias(out_col),
+    ).dropDuplicates([id_col, out_col])
 
 
 def decontaminate(

@@ -649,7 +649,7 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str):
     Catalyst pipelines the stages: the quality window and dedup window
     reuse the same scan, the benchmark gram set broadcasts, and the mix
     filter is a scan-stage CASE."""
-    from ..operators.decontam import decontaminate
+    from ..operators.decontam import ngram_hashes
     from ..operators.dedup import fingerprint
     from ..operators.sampling import stratified_hash_sample
     from pyspark.sql import Window
@@ -665,11 +665,19 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str):
         .withColumn("__dk", F.row_number().over(dk))
         .filter(F.col("__dk") == 1)
         .drop("__dk", "FINGERPRINT")
+        # Two consumers below (gram expansion + the anti join) and AQE
+        # plans them as independent subtrees with no exchange reuse; the
+        # lazy checkpoint materializes the two-window pipeline once.
+        .localCheckpoint(eager=False)
     )
-    flags = decontaminate(deduped, bench, n=3)
-    clean = deduped.join(
-        flags.filter(~F.col("CONTAMINATED")).select("doc_id"), "doc_id"
+    bench_grams = ngram_hashes(bench, 3).select("NGRAM_H").distinct()
+    dirty = (
+        ngram_hashes(deduped, 3)
+        .join(F.broadcast(bench_grams), "NGRAM_H")
+        .select("doc_id")
+        .distinct()
     )
+    clean = deduped.join(dirty, "doc_id", "left_anti")
     mixed = stratified_hash_sample(
         clean, "lang", {"en": 0.5, "de": 0.25}, ["doc_id"], default_fraction=0.1, seed="mix1"
     )
