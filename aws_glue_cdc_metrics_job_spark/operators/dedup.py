@@ -467,36 +467,43 @@ def winnow_fingerprints(
     detectable without comparing full texts -- the rolling-hash complement
     to the whole-document md5 ``fingerprint``.
 
-    Shape: explode positions (codegen'd substring+md5, no HOF lambdas in
-    the hot path -- SCALE.md), one shuffle on the doc key shared by both
-    window functions, then distinct on an ~n/w-sized sketch. The hash is
-    the first 8 hex chars of md5 (uniform, engine-portable, and 4x smaller
-    through the shuffle than the full digest; min-selection only needs a
-    consistent total order, not collision resistance).
+    Shape (all linear, one shuffle): each character's code point explodes
+    ONCE (posexplode of a character split -- NOT substring(s, i, 1) per
+    position, whose start-relative scan makes the naive form O(len^2) per
+    doc; and NOT a HOF transform, which runs interpreted -- SCALE.md), then
+    a true Rabin-Karp polynomial hash assembles each k-gram from the
+    current code plus lead() codes over the doc-key window, and the
+    min-selection runs over the SAME window spec -- Catalyst reuses one
+    Exchange+Sort for all of it. The hash is exact 64-bit integer math
+    (multiply-adds + a multiplicative mix), engine-portable with no digest
+    library; winnowing's guarantee holds for ANY fixed hash, the mix only
+    de-biases min-selection away from space-prefixed grams.
 
-    Returns (id_col, FP_HASH) rows -- directly self-joinable on FP_HASH for
-    overlap candidates."""
+    Returns (id_col, FP_HASH bigint) rows -- directly self-joinable on
+    FP_HASH for overlap candidates."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
-    pos = (
+    codes = (
         df.select(F.col(id_col), normalized_text(text_col).alias("__s"))
         .filter(F.length("__s") >= k)
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.length("__s") - (k - 1))).alias("__i"),
-            F.col("__s"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("__i"),
-            F.expr(f"substring(md5(substring(__s, __i, {k})), 1, 8)").alias("__h"),
-        )
+        .select(F.col(id_col), F.posexplode(F.split("__s", "")).alias("__i", "__ch"))
+        # BIGINT before the 31^j products: code points reach 0x10FFFF and
+        # the mix multiply would overflow int32.
+        .select(F.col(id_col), F.col("__i"), F.ascii("__ch").cast("bigint").alias("__c"))
     )
-    win = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
+    order = Window.partitionBy(id_col).orderBy("__i")
+    gram = None
+    for j in range(k):
+        term = (F.col("__c") if j == 0 else F.lead("__c", j).over(order)) * (31 ** (k - 1 - j))
+        gram = term if gram is None else gram + term
+    # lead() past the end is null -> __h is null exactly at positions with
+    # no full k-gram, which the full-window count below then excludes.
+    pos = codes.withColumn("__h", F.pmod(gram * F.lit(2654435761), F.lit(4294967296)))
+    win = order.rowsBetween(0, w - 1)
     return (
         pos.withColumn("__mh", F.min("__h").over(win))
-        .withColumn("__c", F.count("__h").over(win))
-        .filter(F.col("__c") == w)  # full windows only, per the algorithm
+        .withColumn("__c2", F.count("__h").over(win))
+        .filter(F.col("__c2") == w)  # w consecutive full k-grams = full window
         .select(F.col(id_col), F.col("__mh").alias("FP_HASH"))
         .distinct()
     )

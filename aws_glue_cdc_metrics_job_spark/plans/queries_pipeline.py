@@ -573,7 +573,8 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str):
     oracle=f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
 pos AS (
-  SELECT doc_id, i, SUBSTRING(md5(s[i:i+4]), 1, 8) AS h
+  SELECT doc_id, i,
+         ((CAST(ascii(s[i+0:i+0]) AS BIGINT) * 923521 + CAST(ascii(s[i+1:i+1]) AS BIGINT) * 29791 + CAST(ascii(s[i+2:i+2]) AS BIGINT) * 961 + CAST(ascii(s[i+3:i+3]) AS BIGINT) * 31 + CAST(ascii(s[i+4:i+4]) AS BIGINT) * 1) * 2654435761) % 4294967296 AS h
   FROM norm, UNNEST(range(1, len(s)-5+2)) AS u(i)
   WHERE len(s) >= 5
 ),
@@ -672,7 +673,7 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str):
     )
     bench_grams = ngram_hashes(bench, 3).select("NGRAM_H").distinct()
     dirty = (
-        ngram_hashes(deduped, 3)
+        ngram_hashes(deduped, 3, distinct=False)  # join prunes before any dedup shuffle
         .join(F.broadcast(bench_grams), "NGRAM_H")
         .select("doc_id")
         .distinct()

@@ -43,6 +43,11 @@ HEADLINE = [
     "docs_ngram_jaccard_pairs",
     "docs_simhash",
     "docs_regex_tokens",
+    "docs_decontaminate",
+    "docs_winnow_fingerprints",
+    "docs_pack_sequences",
+    "docs_curation_pipeline",
+    "emb_kmeans_update",
     "emb_cosine_topk",
     "emb_cosine_topk_fast",
     "emb_cosine_dup_pairs",
