@@ -215,3 +215,73 @@ def quality_top_fraction(
         .filter(F.col("__rn") <= F.ceil(F.col("__cnt") * F.lit(fraction)))
         .drop("__rn", "__cnt")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag of query terms.
+
+    Classic Robertson/Sparck-Jones BM25 with the +1 idf smoothing
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5))). Shape: ONE token explode
+    feeds both the per-doc query-term tf (filtered to the query bag before
+    any shuffle) and nothing else -- doc lengths ride along from size();
+    per-term document frequencies and the global (N, avgdl) row are
+    dimension-sized and broadcast, so the corpus never shuffles more than
+    its per-doc query-term hits. Ranking uses the 6-dp-rounded score with
+    an id tiebreak so the top-k set is engine-portable.
+
+    The per-doc score sums its per-term contributions in FIXED query-term
+    order (conditional aggs over singleton (doc, term) groups, then a
+    left-to-right add) -- a plain SUM over the term rows would accumulate
+    in partition order and drift in the last ulp between engines.
+
+    Returns (id_col, SCORE) rows, highest first."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    query_terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col), F.size("__t").cast("double").alias("__dl"), F.col("__t")
+    )
+    hits = (
+        base.select(F.col(id_col), F.col("__dl"), F.explode("__t").alias("TERM"))
+        .filter(F.col("TERM").isin(*query_terms))
+        .groupBy(id_col, "__dl", "TERM")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    dfreq = hits.groupBy("TERM").agg(F.countDistinct(id_col).cast("double").alias("__df"))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+    per_term = (
+        hits.join(F.broadcast(dfreq), "TERM")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__s",
+            idf
+            * (F.col("__tf") * (k1 + 1))
+            / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))),
+        )
+    )
+    per_term_cols = [
+        F.sum(F.when(F.col("TERM") == t, F.col("__s"))).alias(f"__s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    total = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    scored = (
+        per_term.groupBy(id_col)
+        .agg(*per_term_cols)
+        .select(F.col(id_col), rhu(total, 6).alias("SCORE"))
+    )
+    return scored.orderBy(F.col("SCORE").desc(), F.col(id_col)).limit(k)

@@ -47,6 +47,7 @@ DEFERRED: list[str] = [
     "customers_anti_urgent",  # left_anti: twin mechanism of graded left_semi
     "set_union",  # distinct-union = union-all (graded in order_revenue) + distinct (graded widely)
     "orders_intersect_custkeys",  # INTERSECT = keyed semi join (graded) + distinct (graded widely)
+    "docs_vocab_topk",  # tf/df rollup mechanism is graded via docs_bm25_topk's retrieval form
     "docs_simhash",  # signature stage is graded via docs_simhash_pairs
     "emb_ivf_assign",  # assignment stage is graded via emb_cosine_dup_pairs
     "mart_sales_trends_weekly",

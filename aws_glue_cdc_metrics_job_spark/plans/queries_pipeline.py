@@ -724,3 +724,45 @@ def q_emb_kmeans_update(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return similarity.kmeans_update(emb, centroids)
+
+
+@query(
+    "docs_bm25_topk",
+    oracle=f"""
+WITH b2 AS (SELECT doc_id, CAST(len({_TOKS_NE}) AS DOUBLE) AS dl, {_TOKS_NE} AS toks FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM b2),
+hits AS (
+  SELECT doc_id, dl, TERM, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS TERM FROM b2)
+  WHERE TERM IN ('table', 'scan', 'fast')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT TERM, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfx FROM hits GROUP BY 1),
+per AS (
+  SELECT h.doc_id,
+         h.TERM,
+         ln(1.0 + (s.n - d.dfx + 0.5) / (d.dfx + 0.5))
+           * (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl)) AS sc
+  FROM hits h JOIN dfreq d USING (TERM), stats s
+),
+agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN TERM = 'table' THEN sc END) AS s0,
+         SUM(CASE WHEN TERM = 'scan' THEN sc END) AS s1,
+         SUM(CASE WHEN TERM = 'fast' THEN sc END) AS s2
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id,
+       FLOOR((COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)) * 1000000 + 0.5) / 1000000 AS SCORE
+FROM agg
+ORDER BY SCORE DESC, doc_id
+LIMIT 10
+""",
+)
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str):
+    """BM25 keyword retrieval over the corpus for a fixed 3-term query:
+    one token explode filtered to the query bag before any shuffle,
+    broadcast df/global stats, fixed-order per-term score addition so the
+    ranking is engine-portable."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, ["table", "scan", "fast"], k=10)

@@ -120,3 +120,33 @@ def test_quality_top_fraction_full_keep(spark):
     assert text.quality_top_fraction(df, fraction=1.0).count() == 4
     with pytest.raises(ValueError):
         text.quality_top_fraction(df, fraction=0.0)
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    rows = [
+        (1, "table scan fast table scan"),     # all three terms, repeats
+        (2, "table and other words here"),     # one term
+        (3, "nothing relevant at all"),        # no terms
+        (4, "fast scan"),                      # two terms, short doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.bm25_topk(df, ["table", "scan", "fast"], k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids  # zero-hit docs never appear
+    assert ids[0] in (1, 4)  # term-dense docs outrank the one-term doc
+    assert ids.index(2) == len(ids) - 1
+    scores = [r["SCORE"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_deterministic_and_k_bound(spark):
+    rows = [(i, "table word%d scan" % i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [(r["doc_id"], r["SCORE"]) for r in text.bm25_topk(df, ["table", "scan"], k=7).collect()]
+    b = [(r["doc_id"], r["SCORE"]) for r in text.bm25_topk(df.repartition(5), ["table", "scan"], k=7).collect()]
+    assert a == b and len(a) == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.bm25_topk(df, [])
