@@ -27,6 +27,8 @@ BOUNDED_BROADCAST_OK = {
     # probe scoring crosses the contractually-small query set with the
     # centroid table (~sqrt(N) rows), both broadcast-sized by construction
     "emb_ivf_topk": "bounded query-set x centroids probe scoring",
+    # BM25 crosses each per-term hit row with the ONE-ROW (N, avgdl) frame
+    "docs_bm25_topk": "1-row corpus-stats frame (text.bm25_topk)",
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")
