@@ -47,6 +47,7 @@ HEADLINE = [
     "docs_winnow_fingerprints",
     "docs_pack_sequences",
     "docs_curation_pipeline",
+    "docs_bm25_topk",
     "emb_kmeans_update",
     "emb_cosine_topk",
     "emb_cosine_topk_fast",
