@@ -285,3 +285,53 @@ def bm25_topk(
         .select(F.col(id_col), rhu(total, 6).alias("SCORE"))
     )
     return scored.orderBy(F.col("SCORE").desc(), F.col(id_col)).limit(k)
+
+
+def encode_token_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "TOKEN",
+    vocab_id_col: str = "TOKEN_ID",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document's token stream to an ``array<bigint>`` of ids
+    using a vocabulary frame -- the step between tokenization and sequence
+    packing. Out-of-vocabulary tokens map to ``oov_id`` (a real encoder
+    swaps in a subword fallback; the plumbing is identical).
+
+    Shape: posexplode keeps every token's position, the vocabulary is
+    dimension-sized by definition and broadcasts (left join, no corpus
+    shuffle for the lookup), and the array reassembles with
+    array_sort(collect_list(struct(pos, id))) -- order restored by the
+    struct's leading pos field, so the result is deterministic at any
+    partitioning even though collect_list itself is not.
+
+    Returns (id_col, TOKEN_IDS, N_TOKENS); empty docs yield empty arrays
+    (preserved via the left join back to the input keys)."""
+    pos = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", token_col)
+    )
+    looked = (
+        pos.join(F.broadcast(vocab.select(token_col, vocab_id_col)), token_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.coalesce(F.col(vocab_id_col), F.lit(oov_id)).cast("long").alias("__tid"),
+        )
+    )
+    encoded = looked.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__tid"))), lambda s: s["__tid"]
+        ).alias("TOKEN_IDS")
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("TOKEN_IDS"), F.array().cast("array<bigint>")).alias("TOKEN_IDS"),
+        )
+        .withColumn("N_TOKENS", F.size("TOKEN_IDS").cast("long"))
+    )

@@ -766,3 +766,48 @@ def q_docs_bm25_topk(spark: SparkSession, sf_dir: str):
     ranking is engine-portable."""
     docs = read_table(spark, sf_dir, "documents")
     return text.bm25_topk(docs, ["table", "scan", "fast"], k=10)
+
+
+@query(
+    "docs_encode_ids",
+    oracle=f"""
+WITH per AS (
+  SELECT doc_id, TOKEN
+  FROM (SELECT doc_id, unnest({_TOKS_NE}) AS TOKEN FROM documents)
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT TOKEN, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, TOKEN) - 1 AS TOKEN_ID
+  FROM per GROUP BY TOKEN
+  ORDER BY COUNT(*) DESC, TOKEN LIMIT 50
+),
+tok AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS TOKEN
+  FROM (SELECT doc_id, {_TOKS_NE} AS t FROM documents), UNNEST(range(1, len(t)+1)) AS u(i)
+),
+enc AS (
+  SELECT tok.doc_id, list(COALESCE(v.TOKEN_ID, -1) ORDER BY tok.pos) AS TOKEN_IDS
+  FROM tok LEFT JOIN vocab v USING (TOKEN)
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(enc.TOKEN_IDS, []::BIGINT[]) AS TOKEN_IDS,
+       CAST(len(COALESCE(enc.TOKEN_IDS, []::BIGINT[])) AS BIGINT) AS N_TOKENS
+FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+""",
+)
+def q_docs_encode_ids(spark: SparkSession, sf_dir: str):
+    """Token-ID encoding against the corpus top-50 vocabulary (OOV -> -1):
+    the tokenize->encode step feeding sequence packing. Vocabulary ids are
+    deterministic (df-desc, token tiebreak); position order is restored
+    via array_sort(collect_list(struct(pos, id)))."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = text.vocab_stats(docs, top_k=50).withColumn(
+        "TOKEN_ID",
+        F.row_number().over(
+            Window.orderBy(F.col("DOC_FREQ").desc(), F.col("TOKEN"))
+        ) - 1,
+    )
+    return text.encode_token_ids(docs, vocab)

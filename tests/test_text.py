@@ -150,3 +150,24 @@ def test_bm25_deterministic_and_k_bound(spark):
 
     with _pytest.raises(ValueError):
         text.bm25_topk(df, [])
+
+
+def test_encode_token_ids_hand_computed(spark):
+    rows = [(1, "b a c"), (2, ""), (3, "a zzz a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 0), ("b", 1), ("c", 2)], "TOKEN string, TOKEN_ID long")
+    got = {r["doc_id"]: r for r in text.encode_token_ids(df, vocab).collect()}
+    assert got[1]["TOKEN_IDS"] == [1, 0, 2]  # position order preserved
+    assert got[2]["TOKEN_IDS"] == [] and got[2]["N_TOKENS"] == 0
+    assert got[3]["TOKEN_IDS"] == [0, -1, 0]  # OOV -> -1, duplicates kept
+
+
+def test_encode_token_ids_deterministic(spark):
+    rows = [(i, "a b c d e f g"[: (i % 7) * 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [(t, i) for i, t in enumerate("abcdefg")], "TOKEN string, TOKEN_ID long"
+    )
+    a = {r["doc_id"]: r["TOKEN_IDS"] for r in text.encode_token_ids(df, vocab).collect()}
+    b = {r["doc_id"]: r["TOKEN_IDS"] for r in text.encode_token_ids(df.repartition(11), vocab).collect()}
+    assert a == b
