@@ -134,3 +134,60 @@ def interval_join(
         )
         .drop("__bucket")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: how many users performed
+    ``stages[0]``, then ``stages[1]`` strictly after it, then ... -- each
+    step optionally within ``within_seconds`` of the PREVIOUS step's event.
+    The standard product-analytics funnel, built stage-wise:
+
+    stage 1 = per-user MIN ts of the first event type; stage i+1 = per-user
+    MIN ts of the next type strictly after (and within the window of) the
+    user's stage-i time. Each step is one filtered aggregation plus one
+    equi-join on the user key -- every shuffle shares the same key, so AQE
+    reuses the partitioning, and the per-stage frames shrink monotonically
+    (reached-stage-i users only). No sequence materialization, no HOF scan
+    over per-user event arrays.
+
+    Returns (STAGE 1-based bigint, EVENT_TYPE, N_USERS) one row per stage.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    reached = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    per_stage = [reached]
+    for st in stages[1:]:
+        prev = per_stage[-1].select(F.col(user_col), F.col("__t").alias("__pt"))
+        cond = F.col(ts_col) > F.col("__pt")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col(ts_col).cast("double") <= F.col("__pt").cast("double") + within_seconds
+            )
+        nxt = (
+            events.filter(F.col(type_col) == st)
+            .join(prev, user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        per_stage.append(nxt)
+    counts = None
+    for i, (st, frame) in enumerate(zip(stages, per_stage), 1):
+        c = frame.agg(F.count("*").cast("long").alias("N_USERS")).select(
+            F.lit(i).cast("long").alias("STAGE"),
+            F.lit(st).alias("EVENT_TYPE"),
+            F.col("N_USERS"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts

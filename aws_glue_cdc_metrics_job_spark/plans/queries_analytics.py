@@ -265,3 +265,41 @@ def q_users_event_type_profile(spark: SparkSession, sf_dir: str):
         F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("EVENT_TYPES"),
         F.countDistinct("event_type").alias("N_TYPES"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND epoch_us(e.ts) <= epoch_us(s1.t) + 604800000000
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND epoch_us(e.ts) <= epoch_us(s2.t) + 604800000000
+  GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS STAGE, 'view' AS EVENT_TYPE, CAST(COUNT(*) AS BIGINT) AS N_USERS FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str):
+    """Ordered funnel conversion (view -> click -> purchase, each step
+    within 7 days of the previous): stage-wise filtered aggregations
+    joined on the shared user key -- the product-analytics funnel without
+    per-user sequence materialization."""
+    from ..operators.temporal import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"], within_seconds=7 * 24 * 3600)

@@ -175,3 +175,58 @@ def test_interval_join_rejects_same_ts_name(spark):
 
     with pytest.raises(ValueError):
         interval_join(df, df, ["k"], "ts", "ts", -1, 1)
+
+
+# --- funnel
+
+
+def test_funnel_hand_computed(spark):
+    import datetime as dt
+
+    D = dt.datetime
+    rows = [
+        # user 1 completes the funnel in order
+        (1, 1, D(2024, 1, 1, 10), "view"),
+        (2, 1, D(2024, 1, 1, 11), "click"),
+        (3, 1, D(2024, 1, 1, 12), "purchase"),
+        # user 2: click BEFORE view -> stalls at stage 1
+        (4, 2, D(2024, 1, 1, 9), "click"),
+        (5, 2, D(2024, 1, 1, 10), "view"),
+        # user 3: view then click, no purchase
+        (6, 3, D(2024, 1, 1, 8), "view"),
+        (7, 3, D(2024, 1, 1, 9), "click"),
+        # user 4: never views
+        (8, 4, D(2024, 1, 1, 8), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import funnel_counts
+
+    got = {r["STAGE"]: r["N_USERS"] for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_within_window_excludes_late_steps(spark):
+    import datetime as dt
+
+    D = dt.datetime
+    rows = [
+        (1, 1, D(2024, 1, 1, 10), "view"),
+        (2, 1, D(2024, 1, 3, 10), "click"),  # 2 days later
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import funnel_counts
+
+    tight = {r["STAGE"]: r["N_USERS"] for r in funnel_counts(ev, ["view", "click"], within_seconds=3600).collect()}
+    loose = {r["STAGE"]: r["N_USERS"] for r in funnel_counts(ev, ["view", "click"], within_seconds=3 * 86400).collect()}
+    assert tight == {1: 1, 2: 0}
+    assert loose == {1: 1, 2: 1}
+
+
+def test_funnel_rejects_empty_stages(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([], "event_id long, user_id long, ts timestamp, event_type string")
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import funnel_counts
+
+    with _pytest.raises(ValueError):
+        funnel_counts(df, [])
