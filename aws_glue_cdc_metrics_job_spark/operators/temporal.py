@@ -191,3 +191,41 @@ def funnel_counts(
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts
+
+
+def retention_cohorts(
+    events: DataFrame,
+    anchor_type: str = "signup",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the week of
+    their first ``anchor_type`` event; for each later week in which they
+    have ANY event, they count as retained at that week offset.
+
+    Two aggregations on the user key (anchor week, then distinct
+    user-week activity) and one equi-join -- same single-key shuffle
+    chain as the funnel; the output is cohort-week x offset, bounded by
+    (#weeks)^2 regardless of corpus size.
+
+    Returns (COHORT_WEEK date, WEEK_OFFSET bigint, N_USERS bigint),
+    offset 0 = the cohort's anchor week itself."""
+    anchors = (
+        events.filter(F.col(type_col) == anchor_type)
+        .groupBy(user_col)
+        .agg(F.date_trunc("week", F.min(ts_col)).cast("date").alias("COHORT_WEEK"))
+    )
+    activity = (
+        events.select(
+            F.col(user_col), F.date_trunc("week", F.col(ts_col)).cast("date").alias("__w")
+        )
+        .distinct()
+    )
+    return (
+        activity.join(anchors, user_col)
+        .filter(F.col("__w") >= F.col("COHORT_WEEK"))
+        .withColumn("WEEK_OFFSET", F.floor(F.datediff("__w", "COHORT_WEEK") / 7).cast("long"))
+        .groupBy("COHORT_WEEK", "WEEK_OFFSET")
+        .agg(F.countDistinct(user_col).cast("long").alias("N_USERS"))
+    )

@@ -303,3 +303,32 @@ def q_events_funnel(spark: SparkSession, sf_dir: str):
 
     ev = read_table(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"], within_seconds=7 * 24 * 3600)
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH anchors AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS COHORT_WEEK
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events
+)
+SELECT COHORT_WEEK,
+       CAST((w - COHORT_WEEK) // 7 AS BIGINT) AS WEEK_OFFSET,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS N_USERS
+FROM activity JOIN anchors USING (user_id)
+WHERE w >= COHORT_WEEK
+GROUP BY 1, 2
+""",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str):
+    """Weekly cohort retention matrix (signup-week cohorts x activity-week
+    offsets): two user-key aggregations and one equi-join; output bounded
+    by weeks^2 regardless of corpus size. Monday-aligned week truncation
+    in both engines makes offsets exact multiples of 7 days."""
+    from ..operators.temporal import retention_cohorts
+
+    ev = read_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, anchor_type="signup")

@@ -230,3 +230,31 @@ def test_funnel_rejects_empty_stages(spark):
 
     with _pytest.raises(ValueError):
         funnel_counts(df, [])
+
+
+def test_retention_cohorts_hand_computed(spark):
+    import datetime as dt
+
+    D = dt.datetime
+    rows = [
+        # user 1 signs up week of Jan 1 (Mon), active weeks 0 and 1
+        (1, 1, D(2024, 1, 2, 10), "signup"),
+        (2, 1, D(2024, 1, 10, 10), "click"),
+        # user 2 signs up same week, active week 0 only
+        (3, 2, D(2024, 1, 3, 10), "signup"),
+        # user 3 never signs up -> not cohorted
+        (4, 3, D(2024, 1, 4, 10), "view"),
+        # user 1 pre-signup activity must not count (before anchor week)
+        (5, 1, D(2023, 12, 20, 10), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import retention_cohorts
+
+    got = {
+        (r["COHORT_WEEK"].isoformat(), r["WEEK_OFFSET"]): r["N_USERS"]
+        for r in retention_cohorts(ev).collect()
+    }
+    # week of 2024-01-01 is the Monday-aligned cohort
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert len(got) == 2  # nothing from user 3 or pre-anchor activity
