@@ -95,3 +95,33 @@ def stratified_hash_sample(
     default_lit = F.lit(_hex_threshold(default_fraction))
     thr = default_lit if thr is None else thr.otherwise(default_lit)
     return df.filter(h < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling: keep each row with probability
+    ``weight_col`` (clamped to [0, 1]), decided by the same md5 key draw as
+    hash_sample -- so membership is reproducible, partitioning-independent,
+    and monotone in the weight (raising a row's weight can only add it,
+    never drop it; the draw itself never changes). The continuous
+    generalization of stratified sampling: quality-proportional corpus
+    downsampling is ``weighted_hash_sample(scored, "QUALITY_SCORE", ...)``.
+
+    The per-row threshold is the weight scaled to the 32-bit hex lattice
+    (floor, exact integer arithmetic in both engines) and compared as
+    zero-padded lowercase hex -- one stateless comparison in the scan
+    stage, no shuffle."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    # Clamp to the lattice max (16^8 - 1): weight 1.0 would otherwise need 9
+    # hex digits and lpad would TRUNCATE it into a tiny threshold. Same
+    # 1/2^32 convention as _hex_threshold(1.0).
+    scaled = F.least(
+        F.floor(w * F.lit(float(16**_HEX_DIGITS))).cast("bigint"),
+        F.lit(16**_HEX_DIGITS - 1),
+    )
+    thr = F.lower(F.lpad(F.hex(scaled), _HEX_DIGITS, "0"))
+    return df.filter(_bucket_hex(key_cols, seed) < thr)

@@ -51,6 +51,7 @@ DEFERRED: list[str] = [
     "docs_quality_score",  # full score arithmetic is graded inside docs_quality_filter's oracle
     "events_value_ntile",  # window-fn variant; row_number/lag/dense_rank/range-frame graded separately
     "users_event_type_profile",  # ordered-array agg; same mechanism graded via docs_encode_ids' reassembly
+    "docs_stratified_sample",  # per-stratum thresholds also graded inside docs_curation_pipeline's oracle mix filter
     "docs_simhash",  # signature stage is graded via docs_simhash_pairs
     "emb_ivf_assign",  # assignment stage is graded via emb_cosine_dup_pairs
     "mart_sales_trends_weekly",

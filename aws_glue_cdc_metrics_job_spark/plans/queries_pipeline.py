@@ -811,3 +811,35 @@ def q_docs_encode_ids(spark: SparkSession, sf_dir: str):
         ) - 1,
     )
     return text.encode_token_ids(docs, vocab)
+
+
+@query(
+    "docs_weighted_sample",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_NE} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         FLOOR((0.7 * least(len(toks) / 200.0, 1.0)
+                + 0.3 * CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) / len(toks)
+                             ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS QUALITY_SCORE
+  FROM t
+)
+SELECT doc_id AS DOC_ID, lang AS LANG, QUALITY_SCORE
+FROM scored
+WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|wq1'), 1, 8) <
+      LPAD(LOWER(TO_HEX(LEAST(CAST(FLOOR(QUALITY_SCORE * 4294967296.0) AS BIGINT), 4294967295))), 8, '0')
+""",
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str):
+    """Quality-proportional corpus downsampling: each doc kept with
+    probability equal to its quality score, via the md5 key draw --
+    reproducible, partitioning-independent, monotone in the weight."""
+    from ..operators.sampling import weighted_hash_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs)
+    out = weighted_hash_sample(scored, "QUALITY_SCORE", ["doc_id"], seed="wq1")
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"), F.col("lang").alias("LANG"), "QUALITY_SCORE"
+    )

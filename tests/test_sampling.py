@@ -88,3 +88,38 @@ def test_stratified_sample_consistent_with_hash_sample(spark):
     a = {r["k"] for r in stratified_hash_sample(df, "lang", {"en": 0.3}, ["k"], seed="z").collect()}
     b = {r["k"] for r in hash_sample(df, ["k"], 0.3, seed="z").collect()}
     assert a == b
+
+
+def test_weighted_sample_rates_and_monotonicity(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 0.8).otherwise(0.2).alias("w"),
+    )
+    kept = weighted_hash_sample(df, "w", ["k"], seed="s").groupBy("w").count().collect()
+    rates = {r["w"]: r["count"] / 10000 for r in kept}
+    assert abs(rates[0.8] - 0.8) < 0.02
+    assert abs(rates[0.2] - 0.2) < 0.02
+    # monotone: raising every weight can only ADD rows, never drop any
+    low = {r["k"] for r in weighted_hash_sample(df, "w", ["k"], seed="s").collect()}
+    hi_df = df.withColumn("w", F.least(F.col("w") + 0.15, F.lit(1.0)))
+    high = {r["k"] for r in weighted_hash_sample(hi_df, "w", ["k"], seed="s").collect()}
+    assert low <= high
+
+
+def test_weighted_sample_extremes_and_clamp(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, 0.0)       # never kept
+        .when(F.col("id") % 3 == 1, 1.0)        # kept (mod 1/2^32 convention)
+        .otherwise(2.5)                          # clamped to 1.0
+        .alias("w"),
+    )
+    got = weighted_hash_sample(df, "w", ["k"], seed="x").collect()
+    ks = {r["k"] for r in got}
+    assert not any(k % 3 == 0 for k in ks)
+    assert len([k for k in ks if k % 3 == 1]) == 1000
+    assert len([k for k in ks if k % 3 == 2]) == 1000
