@@ -66,3 +66,36 @@ def test_train_deterministic(spark, two_clusters):
 def test_train_rejects_bad_params(spark, two_clusters):
     with pytest.raises(ValueError):
         kmeans_train(two_clusters, k=0)
+
+
+def test_trained_centroids_dont_hurt_ivf_recall(spark):
+    """On the driver embeddings, k-means-trained centroids should match or
+    beat arbitrary (modulo-seeded) centroids for IVF recall vs exact
+    top-k. Runs at sf0.01 -- the sf0.001 fixture has too few vectors per
+    cell for training to matter. (Measured: 0.40 -> 0.525 at nprobe=4;
+    the slack guards against a future testdata reroll, not
+    nondeterminism -- every quantity here is deterministic.)"""
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.operators import similarity
+    from aws_glue_cdc_metrics_job_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["QUERY_ID"], r["NEIGHBOR_ID"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(centroids):
+        got = similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=4)
+        s = {(r["QUERY_ID"], r["NEIGHBOR_ID"]) for r in got.collect()}
+        return len(s & exact) / len(exact)
+
+    mod_cents = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    trained = similarity.kmeans_train(emb, k=mod_cents.count(), iters=3)
+    r_mod, r_trained = recall(mod_cents), recall(trained)
+    assert r_trained >= r_mod - 0.05
+    assert r_trained > 0
