@@ -48,6 +48,10 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_curation_pipeline",
     "docs_bm25_topk",
+    "docs_encode_ids",
+    "docs_weighted_sample",
+    "events_funnel",
+    "events_retention_cohorts",
     "emb_kmeans_update",
     "emb_cosine_topk",
     "emb_cosine_topk_fast",
