@@ -588,3 +588,52 @@ def kmeans_train(
         if changed == 0:
             break
     return cents
+
+
+def rp_constants(planes: int, dim: int, seed: str = "rp0") -> list[list[float]]:
+    """Deterministic random-hyperplane coefficients in [-1, 1), derived
+    from md5 of (seed, plane, dim) in PYTHON -- the same literal constants
+    are then embedded in both the Spark expression and the oracle SQL, so
+    signature parity needs no cross-engine RNG at all."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8]
+            row.append(round(int(h, 16) / 2**32 * 2.0 - 1.0, 9))
+        out.append(row)
+    return out
+
+
+def rp_lsh_signature(
+    df: DataFrame,
+    planes: int = 16,
+    dim: int = 64,
+    seed: str = "rp0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "RP_SIG",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) LSH signature: bit p is set
+    iff dot(v, h_p) > 0 for the p-th deterministic hyperplane. Vectors
+    with high cosine similarity agree on most bits (P[bit agrees] =
+    1 - angle/pi), so banding the signature gives LSH buckets for cosine
+    -- the hyperplane complement to the IVF-cell index, exercised the
+    same way simhash signatures are for text.
+
+    Pure unrolled codegen arithmetic in the scan stage (planes x dim
+    multiply-adds per row, no shuffle, no UDF); the constants come from
+    rp_constants so the DuckDB oracle reproduces every bit exactly."""
+    consts = rp_constants(planes, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sig = None
+    for p, row in enumerate(consts):
+        dot_p = None
+        for d, c in enumerate(row):
+            term = v[d] * F.lit(c)
+            dot_p = term if dot_p is None else dot_p + term
+        bit = F.when(dot_p > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col), sig.alias(out_col))

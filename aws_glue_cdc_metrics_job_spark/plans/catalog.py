@@ -52,6 +52,7 @@ DEFERRED: list[str] = [
     "events_value_ntile",  # window-fn variant; row_number/lag/dense_rank/range-frame graded separately
     "users_event_type_profile",  # ordered-array agg; same mechanism graded via docs_encode_ids' reassembly
     "docs_stratified_sample",  # per-stratum thresholds also graded inside docs_curation_pipeline's oracle mix filter
+    "orders_priority_pivot",  # one-pass conditional-agg mechanism also graded via docs_bm25_topk / events_trailing_compare
     "docs_simhash",  # signature stage is graded via docs_simhash_pairs
     "emb_ivf_assign",  # assignment stage is graded via emb_cosine_dup_pairs
     "mart_sales_trends_weekly",

@@ -843,3 +843,28 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str):
     return out.select(
         F.col("doc_id").alias("DOC_ID"), F.col("lang").alias("LANG"), "QUALITY_SCORE"
     )
+
+
+def _rp_oracle_sql(planes: int = 16, dim: int = 64, seed: str = "rp0") -> str:
+    """Oracle dual of rp_lsh_signature, generated from the SAME Python
+    constants (similarity.rp_constants) the Spark expression embeds."""
+    consts = similarity.rp_constants(planes, dim, seed)
+    bits = []
+    for p, row in enumerate(consts):
+        dot_p = " + ".join(f"v[{d + 1}] * {c!r}" for d, c in enumerate(row))
+        bits.append(f"CASE WHEN ({dot_p}) > 0 THEN {1 << p} ELSE 0 END")
+    sig = " + ".join(bits)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, CAST({sig} AS BIGINT) AS RP_SIG FROM e
+"""
+
+
+@query("emb_rp_lsh_signature", oracle=_rp_oracle_sql())
+def q_emb_rp_lsh_signature(spark: SparkSession, sf_dir: str):
+    """Random-hyperplane LSH signatures for cosine (the LSH-bucketed
+    complement to the IVF index): 16 deterministic hyperplanes, bit-exact
+    in both engines because the coefficients are shared Python-generated
+    literals."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.rp_lsh_signature(emb)

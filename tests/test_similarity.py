@@ -93,3 +93,34 @@ def test_cosine_dup_pairs_blocked(vectors):
     for r in pairs:
         assert r["ID_A"] < r["ID_B"] and r["COSINE"] >= 0.9
         assert r["ID_A"] % 3 == r["ID_B"] % 3  # only within-cluster (within-cell) pairs
+
+
+# --- random-hyperplane LSH
+
+
+def test_rp_lsh_similar_vectors_share_bits(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.similarity import rp_lsh_signature
+
+    base = [float((i * 37 % 19) - 9) for i in range(64)]
+    near = [x + 0.01 for x in base]                 # tiny perturbation
+    anti = [-x for x in base]                       # opposite direction
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, anti)], "vec_id long, embedding array<double>"
+    )
+    sigs = {r["vec_id"]: r["RP_SIG"] for r in rp_lsh_signature(df).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sigs[1], sigs[2]) <= 2   # near-identical -> near-identical signature
+    assert hamming(sigs[1], sigs[3]) == 16  # antipodal -> every bit flips
+
+
+def test_rp_lsh_deterministic_constants(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.similarity import rp_constants
+
+    a = rp_constants(4, 8, seed="s")
+    b = rp_constants(4, 8, seed="s")
+    c = rp_constants(4, 8, seed="t")
+    assert a == b and a != c
+    assert all(-1.0 <= x < 1.0 for row in a for x in row)
