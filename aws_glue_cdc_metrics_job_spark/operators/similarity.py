@@ -637,3 +637,56 @@ def rp_lsh_signature(
         bit = F.when(dot_p > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = bit if sig is None else sig + bit
     return df.select(F.col(id_col), sig.alias(out_col))
+
+
+def rp_lsh_dup_pairs(
+    df: DataFrame,
+    planes: int = 16,
+    dim: int = 64,
+    bands: int = 2,
+    max_hamming: int = 1,
+    seed: str = "rp0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs by random-hyperplane signature distance:
+    pairs whose RP-LSH signatures differ in at most ``max_hamming`` bits.
+    Same banding argument as the SimHash text path: with
+    ``max_hamming < bands``, two qualifying signatures agree on at least
+    one full band (pigeonhole), so the banded equi-join has EXACT recall
+    for the Hamming criterion; verification is one codegen
+    ``bit_count(xor)``. Band width planes/bands sets bucket granularity --
+    at larger corpora raise ``planes`` so buckets stay small (documented
+    trade-off; 2^(planes/bands) buckets per band)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banding gives exact recall only for max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if planes % bands != 0:
+        raise ValueError(f"planes ({planes}) must divide evenly into bands ({bands})")
+    r = planes // bands
+    sigs = rp_lsh_signature(df, planes, dim, seed, id_col=id_col, vec_col=vec_col)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("RP_SIG", b * r).bitwiseAND(F.lit((1 << r) - 1)).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(id_col, "RP_SIG", F.explode(chunk_structs).alias("c")).select(
+        id_col, "RP_SIG", "c.band", "c.chunk"
+    )
+    a = banded.select(F.col(id_col).alias("ID_A"), F.col("RP_SIG").alias("SIG_A"), "band", "chunk")
+    b = banded.select(F.col(id_col).alias("ID_B"), F.col("RP_SIG").alias("SIG_B"), "band", "chunk")
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("ID_A") < F.col("ID_B"))
+        .select("ID_A", "ID_B", "SIG_A", "SIG_B")
+        .distinct()
+        .withColumn("HAMMING", F.bit_count(F.col("SIG_A").bitwiseXOR(F.col("SIG_B"))).cast("long"))
+        .filter(F.col("HAMMING") <= max_hamming)
+        .select("ID_A", "ID_B", "HAMMING")
+    )

@@ -54,6 +54,7 @@ DEFERRED: list[str] = [
     "docs_stratified_sample",  # per-stratum thresholds also graded inside docs_curation_pipeline's oracle mix filter
     "orders_priority_pivot",  # one-pass conditional-agg mechanism also graded via docs_bm25_topk / events_trailing_compare
     "docs_simhash",  # signature stage is graded via docs_simhash_pairs
+    "emb_rp_lsh_signature",  # signature stage is graded via emb_rp_dup_pairs
     "emb_ivf_assign",  # assignment stage is graded via emb_cosine_dup_pairs
     "mart_sales_trends_weekly",
     "mart_sales_trends_monthly",

@@ -868,3 +868,29 @@ def q_emb_rp_lsh_signature(spark: SparkSession, sf_dir: str):
     literals."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.rp_lsh_signature(emb)
+
+
+def _rp_pairs_oracle_sql(planes: int = 16, dim: int = 64, seed: str = "rp0") -> str:
+    """Oracle dual of rp_lsh_dup_pairs at max_hamming=1: the signature CTE
+    (same shared literals) self-joined with an explicit popcount bound --
+    banding is a pure candidate-generation device with exact recall, so the
+    oracle can skip it and filter all pairs directly."""
+    sig_sql = _rp_oracle_sql(planes, dim, seed).strip().rstrip()
+    return f"""
+WITH sigs AS ({sig_sql})
+SELECT a.vec_id AS ID_A, b.vec_id AS ID_B,
+       CAST(bit_count(xor(a.RP_SIG, b.RP_SIG)) AS BIGINT) AS HAMMING
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.RP_SIG, b.RP_SIG)) <= 1
+"""
+
+
+@query("emb_rp_dup_pairs", oracle=_rp_pairs_oracle_sql())
+def q_emb_rp_dup_pairs(spark: SparkSession, sf_dir: str):
+    """Embedding near-dup pairs at RP-signature Hamming <= 1: banded
+    equi-join candidates (exact recall by pigeonhole with 2 bands),
+    bit_count(xor) verify. The oracle filters all pairs directly --
+    banding only generates candidates, so the result sets must match
+    exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.rp_lsh_dup_pairs(emb)

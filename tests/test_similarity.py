@@ -124,3 +124,40 @@ def test_rp_lsh_deterministic_constants(spark):
     c = rp_constants(4, 8, seed="t")
     assert a == b and a != c
     assert all(-1.0 <= x < 1.0 for row in a for x in row)
+
+
+def test_rp_lsh_dup_pairs_exact_recall_vs_brute_force(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.similarity import (
+        rp_lsh_dup_pairs,
+        rp_lsh_signature,
+    )
+
+    base = [float((i * 29 % 23) - 11) for i in range(64)]
+    rows = [(i, [x + i * 0.002 for x in base]) for i in range(30)]  # graded drift
+    rows += [(100 + i, [-x + i * 0.5 for x in base]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["ID_A"], r["ID_B"]) for r in rp_lsh_dup_pairs(df, max_hamming=1).collect()
+    }
+    sigs = {r["vec_id"]: r["RP_SIG"] for r in rp_lsh_signature(df).collect()}
+    want = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 1
+    }
+    assert got == want  # banding is candidate generation only: exact recall
+    assert want, "fixture must actually produce qualifying pairs"
+
+
+def test_rp_lsh_dup_pairs_rejects_bad_params(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.similarity import rp_lsh_dup_pairs
+
+    df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rp_lsh_dup_pairs(df, bands=2, max_hamming=2)
+    with _pytest.raises(ValueError):
+        rp_lsh_dup_pairs(df, planes=16, bands=3)
