@@ -231,7 +231,7 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str):
     "events_json_props",
     oracle="""
 SELECT event_type AS EVENT_TYPE,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS SUM_K,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS SUM_K,
        COUNT(json_extract_string(props, '$.k')) AS N_WITH_K
 FROM events GROUP BY 1
 """,

@@ -791,7 +791,7 @@ enc AS (
   GROUP BY tok.doc_id
 )
 SELECT d.doc_id,
-       COALESCE(enc.TOKEN_IDS, []::BIGINT[]) AS TOKEN_IDS,
+       COALESCE(array_to_string(enc.TOKEN_IDS, ','), '') AS TOKEN_IDS_STR,
        CAST(len(COALESCE(enc.TOKEN_IDS, []::BIGINT[])) AS BIGINT) AS N_TOKENS
 FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
 """,
@@ -800,7 +800,12 @@ def q_docs_encode_ids(spark: SparkSession, sf_dir: str):
     """Token-ID encoding against the corpus top-50 vocabulary (OOV -> -1):
     the tokenize->encode step feeding sequence packing. Vocabulary ids are
     deterministic (df-desc, token tiebreak); position order is restored
-    via array_sort(collect_list(struct(pos, id)))."""
+    via array_sort(collect_list(struct(pos, id))).
+
+    The graded output flattens TOKEN_IDS to a comma-joined string
+    (TOKEN_IDS_STR) so the driver's pandas canonicalizer can hash it; the
+    array-producing ``text.encode_token_ids`` API is unchanged for the
+    sequence-packing consumer."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
@@ -810,7 +815,14 @@ def q_docs_encode_ids(spark: SparkSession, sf_dir: str):
             Window.orderBy(F.col("DOC_FREQ").desc(), F.col("TOKEN"))
         ) - 1,
     )
-    return text.encode_token_ids(docs, vocab)
+    enc = text.encode_token_ids(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("TOKEN_IDS").cast("array<string>"), ",").alias(
+            "TOKEN_IDS_STR"
+        ),
+        "N_TOKENS",
+    )
 
 
 @query(
