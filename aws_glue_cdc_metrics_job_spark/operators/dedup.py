@@ -479,6 +479,13 @@ def winnow_fingerprints(
     library; winnowing's guarantee holds for ANY fixed hash, the mix only
     de-biases min-selection away from space-prefixed grams.
 
+    Overflow discipline: every polynomial term and the gram sum are reduced
+    mod 2^31 BEFORE the 2654435761 mix multiply. Code points reach 0x10FFFF,
+    so the unreduced gram (~1e12 for k=5) times the mixer would exceed
+    int64 and raise ARITHMETIC_OVERFLOW under ANSI mode on any non-ASCII
+    text (and overflow the DuckDB oracle identically). Reduced, the mix
+    product is < 2^31 * 2654435761 < 2^63 in both engines.
+
     Returns (id_col, FP_HASH bigint) rows -- directly self-joinable on
     FP_HASH for overlap candidates."""
     if k < 1 or w < 1:
@@ -492,10 +499,13 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("__i"), F.ascii("__ch").cast("bigint").alias("__c"))
     )
     order = Window.partitionBy(id_col).orderBy("__i")
+    m31 = 2_147_483_648  # 2^31: keeps gram * 2654435761 under 2^63
     gram = None
     for j in range(k):
-        term = (F.col("__c") if j == 0 else F.lead("__c", j).over(order)) * (31 ** (k - 1 - j))
+        code = F.col("__c") if j == 0 else F.lead("__c", j).over(order)
+        term = F.pmod(code * F.lit(pow(31, k - 1 - j, m31)), F.lit(m31))
         gram = term if gram is None else gram + term
+    gram = F.pmod(gram, F.lit(m31))
     # lead() past the end is null -> __h is null exactly at positions with
     # no full k-gram, which the full-window count below then excludes.
     pos = codes.withColumn("__h", F.pmod(gram * F.lit(2654435761), F.lit(4294967296)))

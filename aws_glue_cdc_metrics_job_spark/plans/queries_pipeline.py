@@ -574,7 +574,7 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str):
 WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
 pos AS (
   SELECT doc_id, i,
-         ((CAST(ascii(s[i+0:i+0]) AS BIGINT) * 923521 + CAST(ascii(s[i+1:i+1]) AS BIGINT) * 29791 + CAST(ascii(s[i+2:i+2]) AS BIGINT) * 961 + CAST(ascii(s[i+3:i+3]) AS BIGINT) * 31 + CAST(ascii(s[i+4:i+4]) AS BIGINT) * 1) * 2654435761) % 4294967296 AS h
+         ((((CAST(ascii(s[i+0:i+0]) AS BIGINT) * 923521) % 2147483648 + (CAST(ascii(s[i+1:i+1]) AS BIGINT) * 29791) % 2147483648 + (CAST(ascii(s[i+2:i+2]) AS BIGINT) * 961) % 2147483648 + (CAST(ascii(s[i+3:i+3]) AS BIGINT) * 31) % 2147483648 + (CAST(ascii(s[i+4:i+4]) AS BIGINT) * 1) % 2147483648) % 2147483648) * 2654435761) % 4294967296 AS h
   FROM norm, UNNEST(range(1, len(s)-5+2)) AS u(i)
   WHERE len(s) >= 5
 ),

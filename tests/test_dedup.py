@@ -181,6 +181,57 @@ def test_winnow_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_winnow_non_ascii_no_overflow(spark):
+    # Code points up to 0x10FFFF: the unreduced gram * 2654435761 would
+    # exceed int64 and raise ARITHMETIC_OVERFLOW under ANSI mode. The
+    # mod-2^31 reduction must keep CJK/emoji text working AND match the
+    # DuckDB oracle formula bit-for-bit.
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import winnow_fingerprints
+
+    shared = "机器学习模型训练数据"
+    rows = [
+        (1, "前缀文本 " + shared + " 后缀甲"),
+        (2, "另一端内容 " + shared + " 不同结尾"),
+        (3, "完全无关的文字没有重叠部分啊"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, k=5, w=4).collect()  # must not overflow
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["FP_HASH"])
+    assert by_doc[1] & by_doc[2], "winnowing guarantee must hold for non-ASCII"
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    oracle = con.execute(
+        """
+        WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s FROM d),
+        pos AS (
+          SELECT doc_id, i,
+                 ((((CAST(ascii(s[i+0:i+0]) AS BIGINT) * 923521) % 2147483648
+                  + (CAST(ascii(s[i+1:i+1]) AS BIGINT) * 29791) % 2147483648
+                  + (CAST(ascii(s[i+2:i+2]) AS BIGINT) * 961) % 2147483648
+                  + (CAST(ascii(s[i+3:i+3]) AS BIGINT) * 31) % 2147483648
+                  + (CAST(ascii(s[i+4:i+4]) AS BIGINT) * 1) % 2147483648) % 2147483648)
+                  * 2654435761) % 4294967296 AS h
+          FROM norm, UNNEST(range(1, len(s)-5+2)) AS u(i)
+          WHERE len(s) >= 5
+        ),
+        win AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+                 COUNT(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+          FROM pos
+        )
+        SELECT DISTINCT doc_id, mh FROM win WHERE c = 4
+        """
+    ).fetchall()
+    assert {(r["doc_id"], r["FP_HASH"]) for r in got} == set(oracle)
+
+
 def test_winnow_rejects_bad_params(spark):
     from aws_glue_cdc_metrics_job_spark.operators.dedup import winnow_fingerprints
 
