@@ -18,11 +18,15 @@ parity tests):
 
 Scale design: the reference's ``subtract`` is a full-row distinct-and-diff --
 two shuffles over every column of both snapshots. Key-based mode (default)
-shuffles on the primary key only: inserts/deletes are left-anti joins, updates
-an inner join + residual OR-predicate, exactly the plan Catalyst runs for an
-equi-join with mixed predicates (SURVEY.md J1/J2). All three legs reuse the
-same key-hash exchange, and AQE handles skewed keys. ``fullrow`` mode keeps
-the reference's exceptAll shape for parity testing.
+computes all three change classes in ONE full-outer join on the primary key:
+each snapshot is scanned and key-shuffled exactly once, and a row's class
+falls out of side-presence markers (prev absent -> insert, cur absent ->
+delete, both present and any compared column differs -> update, else
+dropped). That replaces the previous three-leg plan (two anti-joins + an
+inner join = three scans of each snapshot) with a single join whose cost is
+one exchange per side -- the difference between linear and ~3x-linear scan
+volume at 100 TB snapshot sizes. AQE handles skewed keys. ``fullrow`` mode
+keeps the reference's exceptAll shape for parity testing.
 """
 
 from __future__ import annotations
@@ -59,30 +63,53 @@ def cdc_diff(
     keep = pks + [c for c in current.columns if c not in pks and c not in METADATA_COLS]
     cur = current.select(*keep)
     prev = previous.select(*keep)
+    changed = any_column_differs("curr", "prev", cols, null_safe=null_safe)
 
     if mode == "fullrow":
         # Reference shape (scripts/cdc_metrics_job.py:98-103): distinct
         # full-row subtract. Kept for parity tests; not the scale path.
         inserts = cur.subtract(prev)
         deletes = prev.subtract(cur)
-    elif mode == "keyed":
-        inserts = cur.join(prev.select(*pks), pks, "left_anti")
-        deletes = prev.join(cur.select(*pks), pks, "left_anti")
-    else:
+        updates = (
+            cur.alias("curr")
+            .join(
+                prev.alias("prev"),
+                [F.col(f"curr.{k}") == F.col(f"prev.{k}") for k in pks],
+                "inner",
+            )
+            .filter(changed)
+            .select("curr.*")
+        )
+        return (
+            inserts.withColumn(CDC_ACTION, F.lit("insert"))
+            .unionByName(updates.withColumn(CDC_ACTION, F.lit("update")))
+            .unionByName(deletes.withColumn(CDC_ACTION, F.lit("delete")))
+        )
+    if mode != "keyed":
         raise ValueError(f"unknown mode: {mode!r}")
 
-    changed = any_column_differs("curr", "prev", cols, null_safe=null_safe)
-    updates = (
-        cur.alias("curr")
-        .join(prev.alias("prev"), [F.col(f"curr.{k}") == F.col(f"prev.{k}") for k in pks], "inner")
-        .filter(changed)
-        .select("curr.*")
+    # Single-pass keyed diff: one full-outer join classifies every key.
+    # Side-presence markers (not pk-null checks) so NULL pks in the data
+    # keep the anti-join semantics of the three-leg formulation: a NULL key
+    # never equi-matches, so its cur row is an insert / prev row a delete.
+    curm = cur.withColumn("__cur_present", F.lit(True)).alias("curr")
+    prevm = prev.withColumn("__prev_present", F.lit(True)).alias("prev")
+    joined = curm.join(
+        prevm, [F.col(f"curr.{k}") == F.col(f"prev.{k}") for k in pks], "full_outer"
     )
-
-    return (
-        inserts.withColumn(CDC_ACTION, F.lit("insert"))
-        .unionByName(updates.withColumn(CDC_ACTION, F.lit("update")))
-        .unionByName(deletes.withColumn(CDC_ACTION, F.lit("delete")))
+    action = (
+        F.when(F.col("prev.__prev_present").isNull(), F.lit("insert"))
+        .when(F.col("curr.__cur_present").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    image = [
+        F.when(F.col("curr.__cur_present").isNotNull(), F.col(f"curr.{c}"))
+        .otherwise(F.col(f"prev.{c}"))
+        .alias(c)
+        for c in keep
+    ]
+    return joined.select(*image, action.alias(CDC_ACTION)).filter(
+        F.col(CDC_ACTION).isNotNull()
     )
 
 
