@@ -165,6 +165,35 @@ def shingle_hashes(
     )
 
 
+_PERSIST_SCOPE: "deque[DataFrame]" = None  # type: ignore[assignment]
+_PERSIST_CAP = 2
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) with a bounded process-wide scope: the
+    oldest persisted frame is unpersisted once more than _PERSIST_CAP are
+    alive, so repeated calls over different inputs cannot accumulate cache
+    entries for the process lifetime (the round-1 leak) while the current
+    call keeps the fully-lazy persist plan (the round-2 fix's regression).
+    Spark's CacheManager dedups identical canonicalized plans, so eviction
+    of a twin handle at worst drops a reusable cache, never correctness."""
+    global _PERSIST_SCOPE
+    if _PERSIST_SCOPE is None:
+        from collections import deque
+
+        _PERSIST_SCOPE = deque()
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSIST_SCOPE.append(df)
+    while len(_PERSIST_SCOPE) > _PERSIST_CAP:
+        try:
+            _PERSIST_SCOPE.popleft().unpersist(blocking=False)
+        except Exception:  # session already stopped: nothing to release
+            pass
+    return df
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -219,12 +248,15 @@ def minhash_lsh_pairs(
     # This frame feeds three plan inputs (banding + both verification join
     # sides) and Catalyst does not reuse the shingle-window subplan across
     # them (4x recompute measured). persist() makes it one shingle pass:
-    # K longs + a shingle-hash array per doc (~1-2 KB), spillable, and
-    # Spark's CacheManager dedups by canonicalized plan so repeated calls
-    # share one cache entry rather than accumulating.
-    from pyspark import StorageLevel
-
-    sighset = sighset.persist(StorageLevel.MEMORY_AND_DISK)
+    # K longs + a shingle-hash array per doc (~1-2 KB), spillable. The
+    # round-2 eager localCheckpoint+unpersist fixed the unbounded-cache
+    # leak but cost +50% (synchronous materialization, truncated lineage
+    # blinds AQE); a lazy checkpoint measured no better. _scoped_persist
+    # keeps the fast fully-lazy persist plan and bounds the leak instead:
+    # at most _PERSIST_CAP signature caches stay alive process-wide, oldest
+    # evicted on the next call. Eviction only drops a perf cache -- any
+    # still-running consumer just recomputes lineage.
+    sighset = _scoped_persist(sighset)
     band_structs = F.array(
         *[
             F.struct(
@@ -254,13 +286,6 @@ def minhash_lsh_pairs(
         .filter(F.col("JACCARD") >= threshold)
         .select("ID_A", "ID_B", "JACCARD")
     )
-    # Materialize the (small) verified pair set, then release the cache:
-    # without this, each call over a *different* input leaks a cache entry
-    # for the process lifetime (plan-canonicalization dedup only collapses
-    # identical inputs). localCheckpoint pins the result on executors so it
-    # stays valid after the unpersist.
-    verified = verified.localCheckpoint(eager=True)
-    sighset.unpersist()
     return verified
 
 

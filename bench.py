@@ -96,9 +96,10 @@ def main() -> int:
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf_val,
     }
+    detail: dict = {"sf": sf_val, "queries": timings}
 
     # Secondary 10x scale point (VERDICT r1 item 8): derived .bench_sf1 data
     # exposes shuffle-volume scaling the fixed-overhead-bound sf0.1 numbers
@@ -123,9 +124,19 @@ def main() -> int:
             qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
             t1[name] = round(time.monotonic() - t0, 3)
             print(f"# sf1 {name}: {t1[name]:.2f}s", file=sys.stderr)
-        out["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1, "scale": "10x sf0.1"}
+        # Per-query sf1 timings go to the detail file only: the driver
+        # captures a bounded stdout tail (2000 chars), and round 2's full
+        # two-scale per-query line outgrew it (BENCH_r02 "parsed": null).
+        out["sf1"] = {"value": round(sum(t1.values()), 3), "scale": "10x sf0.1",
+                      "detail": "bench_detail.json"}
+        detail["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1,
+                         "scale": "10x sf0.1"}
 
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # ONE compact final line, guaranteed under the driver's tail buffer.
+    print(json.dumps(out, separators=(",", ":")))
     return 0
 
 
