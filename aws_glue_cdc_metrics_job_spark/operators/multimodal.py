@@ -69,11 +69,36 @@ def decode_stub(payload: bytes) -> dict:
     return {"n_bytes": n, "feat_mean": float(mean), "feat_dim": 64}
 
 
-def decode_real(payload: bytes, media_type: str):  # pragma: no cover - stub
+def decode_real(payload: bytes, media_type: str) -> dict:
+    """Real media decode behind a try-import: images via PIL when the
+    library is installed (same feature-dict contract as decode_stub:
+    n_bytes + a mean intensity + a dimension), NotImplementedError with
+    the missing dependency named otherwise. The sandbox ships no media
+    libraries, so only the stub path is exercised here -- COVERAGE.md
+    claims 'plumbing only' accordingly -- but the Spark-side schema,
+    partitioning, and Arrow batch shape around either decoder are real
+    and tested."""
+    if media_type.startswith("image/"):
+        try:
+            from PIL import Image
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "image decode requires PIL (pillow), not installed in this "
+                "environment; map_in_pandas_features(decoder=decode_stub) is "
+                "the available path"
+            ) from exc
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        px = list(img.getdata())
+        return {
+            "n_bytes": len(payload),
+            "feat_mean": (sum(px) / len(px)) if px else 0.0,
+            "feat_dim": img.width * img.height,
+        }
     raise NotImplementedError(
-        "media decoding requires PIL/torchaudio/pyav, not present in this "
-        "environment; wire the library call here and keep the mapInPandas "
-        "plumbing in map_in_pandas_features unchanged"
+        f"no decoder wired for media_type={media_type!r}; audio/video need "
+        "torchaudio/pyav (absent here)"
     )
 
 
@@ -82,18 +107,21 @@ def map_in_pandas_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     batch_partitions: int | None = None,
+    decoder=decode_stub,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads: the real
     multimodal hot path. Narrow (no shuffle); each pandas batch holds a
-    bounded slice of one partition. Uses decode_stub -- swap in decode_real
-    for actual media."""
+    bounded slice of one partition. ``decoder`` is any bytes -> feature
+    dict callable with decode_stub's contract; pass
+    ``lambda p: decode_real(p, "image/png")`` when the media libraries
+    exist."""
     if batch_partitions:
         df = df.repartition(batch_partitions)
     cols = [id_col, payload_col]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p if p is not None else b"") for p in pdf[payload_col]]
+            feats = [decoder(p if p is not None else b"") for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

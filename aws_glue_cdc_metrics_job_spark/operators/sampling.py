@@ -114,8 +114,15 @@ def weighted_hash_sample(
     The per-row threshold is the weight scaled to the 32-bit hex lattice
     (floor, exact integer arithmetic in both engines) and compared as
     zero-padded lowercase hex -- one stateless comparison in the scan
-    stage, no shuffle."""
-    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    stage, no shuffle.
+
+    NULL weights are treated as 0.0 (row never sampled) -- an explicit
+    policy rather than the silent NULL-comparison drop a bare cast would
+    give; callers wanting errors should validate upstream."""
+    w = F.least(
+        F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
     # Clamp to the lattice max (16^8 - 1): weight 1.0 would otherwise need 9
     # hex digits and lpad would TRUNCATE it into a tiny threshold. Same
     # 1/2^32 convention as _hex_threshold(1.0).

@@ -648,6 +648,8 @@ def rp_lsh_dup_pairs(
     seed: str = "rp0",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    expected_rows: int | None = None,
+    max_avg_bucket: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs by random-hyperplane signature distance:
     pairs whose RP-LSH signatures differ in at most ``max_hamming`` bits.
@@ -656,8 +658,13 @@ def rp_lsh_dup_pairs(
     one full band (pigeonhole), so the banded equi-join has EXACT recall
     for the Hamming criterion; verification is one codegen
     ``bit_count(xor)``. Band width planes/bands sets bucket granularity --
-    at larger corpora raise ``planes`` so buckets stay small (documented
-    trade-off; 2^(planes/bands) buckets per band)."""
+    there are 2^(planes/bands) buckets per band, so the defaults
+    (planes=16, bands=2 -> 256 buckets) degrade toward O(N^2/256)
+    candidate pairs on large corpora. Pass ``expected_rows`` (corpus size
+    or a cheap estimate) and the call REFUSES to build a plan whose
+    average bucket occupancy exceeds ``max_avg_bucket``, naming the
+    ``planes`` increase that fixes it -- the blowup is an equi-join the
+    catalog's all-pairs plan guard cannot see, so the guard lives here."""
     if max_hamming >= bands:
         raise ValueError(
             f"banding gives exact recall only for max_hamming < bands "
@@ -666,6 +673,19 @@ def rp_lsh_dup_pairs(
     if planes % bands != 0:
         raise ValueError(f"planes ({planes}) must divide evenly into bands ({bands})")
     r = planes // bands
+    if expected_rows is not None:
+        avg_bucket = expected_rows / float(2**r)
+        if avg_bucket > max_avg_bucket:
+            import math
+
+            need_r = math.ceil(math.log2(expected_rows / max_avg_bucket))
+            raise ValueError(
+                f"avg bucket occupancy {avg_bucket:.0f} (= {expected_rows} rows /"
+                f" 2^{r} buckets) > {max_avg_bucket}: the banded self-join would"
+                f" generate ~N*occupancy candidate pairs. Raise planes to >="
+                f" {need_r * bands} (band width {need_r}) or raise max_avg_bucket"
+                f" explicitly."
+            )
     sigs = rp_lsh_signature(df, planes, dim, seed, id_col=id_col, vec_col=vec_col)
     chunk_structs = F.array(
         *[

@@ -26,36 +26,36 @@ def query(name: str, oracle: str | None = None):
 
 
 # The driver grades catalog entries in dict order with a bounded budget
-# (round 1 graded exactly the first 50 of 61). Entries here are pushed to
-# the END of the ordered catalog so the graded window covers one
-# oracle-equipped representative of every distinct operator:
-# - the 5 rows-only queries (weaker check by design: probabilistic /
-#   approximate ops whose exactness is asserted in unit tests instead), and
-# - 8 oracle-equipped siblings whose BUILDER/mechanism is already graded by
-#   another entry (sales-trends weekly/monthly/hourly share
-#   build_sales_trends with daily; tumbling_hourly shares the tumbling
-#   builder with daily; docs_fingerprint is the first stage of
-#   docs_exact_dedup; the exact quantile operator is graded via
-#   mart_customer_clv_segment; scan_filter_project's P1-P10 surface is
-#   exercised by every graded mart; docs_train_split shares the md5-keyed
-#   hash-membership mechanism with lineitem_hash_sample; pricing_rollup and
-#   orders_status_cube share the grouping-expand mechanism with
-#   orders_grouping_sets, its general form).
-DEFERRED: list[str] = [
+# (exactly the first 50 in rounds 1-2). Rounds 1-2 covered one
+# oracle-equipped representative of every distinct mechanism; all 50 of
+# those rows are green in CORRECTNESS_r02.json. Round 3 rotates the
+# grading window (VERDICT r2 item 4): GRADE_FIRST puts
+# - the 28 entries the r2 window never reached (every remaining
+#   oracle-equipped query plus the 5 rows-only-by-design ops), then
+# - a re-grade of every query whose implementation or oracle changed this
+#   round (encode-ids representation, json-props oracle cast, single-pass
+#   CDC diff, winnowing mod-2^31 hash, weighted-sample NULL policy,
+#   quantile flag), then
+# - a representative spread of the heaviest marts/operators,
+# so that r2 ∪ r3 gives every one of the 72 oracle-equipped entries a
+# green row of its own. Entries omitted here (all green in r2, code
+# untouched in r3) follow in definition order.
+GRADE_FIRST: list[str] = [
+    # -- never graded before round 3 (r2 positions 50-77)
     "pricing_rollup",
     "orders_status_cube",
-    "customers_anti_urgent",  # left_anti: twin mechanism of graded left_semi
-    "set_union",  # distinct-union = union-all (graded in order_revenue) + distinct (graded widely)
-    "orders_intersect_custkeys",  # INTERSECT = keyed semi join (graded) + distinct (graded widely)
-    "docs_vocab_topk",  # tf/df rollup mechanism is graded via docs_bm25_topk's retrieval form
-    "docs_quality_score",  # full score arithmetic is graded inside docs_quality_filter's oracle
-    "events_value_ntile",  # window-fn variant; row_number/lag/dense_rank/range-frame graded separately
-    "users_event_type_profile",  # ordered-array agg; same mechanism graded via docs_encode_ids' reassembly
-    "docs_stratified_sample",  # per-stratum thresholds also graded inside docs_curation_pipeline's oracle mix filter
-    "orders_priority_pivot",  # one-pass conditional-agg mechanism also graded via docs_bm25_topk / events_trailing_compare
-    "docs_simhash",  # signature stage is graded via docs_simhash_pairs
-    "emb_rp_lsh_signature",  # signature stage is graded via emb_rp_dup_pairs
-    "emb_ivf_assign",  # assignment stage is graded via emb_cosine_dup_pairs
+    "customers_anti_urgent",
+    "set_union",
+    "orders_intersect_custkeys",
+    "docs_vocab_topk",
+    "docs_quality_score",
+    "events_value_ntile",
+    "users_event_type_profile",
+    "docs_stratified_sample",
+    "orders_priority_pivot",
+    "docs_simhash",
+    "emb_rp_lsh_signature",
+    "emb_ivf_assign",
     "mart_sales_trends_weekly",
     "mart_sales_trends_monthly",
     "mart_sales_trends_hourly",
@@ -64,20 +64,44 @@ DEFERRED: list[str] = [
     "orders_price_percentiles",
     "scan_filter_project",
     "docs_train_split",
-    "events_approx_distinct_users",
-    "docs_pack_sequences",
-    "docs_minhash_lsh_pairs",
-    "emb_ivf_topk",
-    "multimodal_features",
-    "emb_cosine_topk_fast",
+    "events_approx_distinct_users",  # rows-only: HLL values engine-specific
+    "docs_pack_sequences",  # rows-only: greedy next-fit not SQL-expressible
+    "docs_minhash_lsh_pairs",  # rows-only: probabilistic, pinned in unit tests
+    "emb_ivf_topk",  # rows-only: recall-bounded approximate
+    "multimodal_features",  # rows-only: stubbed decode features
+    "emb_cosine_topk_fast",  # rows-only: == exact pinned in unit tests
+    # -- changed in round 3: re-grade
+    "docs_encode_ids",
+    "events_json_props",
+    "cdc_snapshot_diff",
+    "cdc_apply_changes",
+    "docs_winnow_fingerprints",
+    "docs_weighted_sample",
+    "mart_customer_clv_segment",
+    # -- representative re-confirmation spread (heaviest mechanisms)
+    "order_revenue",
+    "fact_ltv_daily",
+    "mart_customer_rfm",
+    "mart_customer_churn_profile",
+    "mart_sales_trends_daily",
+    "mart_loyalty_program_impact",
+    "mart_location_performance",
+    "mart_discount_effectiveness",
+    "pricing_summary",
+    "docs_exact_dedup",
+    "docs_dup_clusters",
+    "docs_curation_pipeline",
+    "emb_cosine_dup_pairs",
+    "emb_kmeans_update",
+    "docs_bm25_topk",
 ]
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Catalog in grading-priority order: unique oracle-equipped queries
-    first, DEFERRED tail last (see comment above)."""
-    tail = [n for n in DEFERRED if n in QUERIES]
-    head = [n for n in QUERIES if n not in DEFERRED]
+    """Catalog in grading-priority order: GRADE_FIRST (see comment above),
+    then everything else in definition order."""
+    head = [n for n in GRADE_FIRST if n in QUERIES]
+    tail = [n for n in QUERIES if n not in GRADE_FIRST]
     return {n: QUERIES[n] for n in head + tail}
 
 

@@ -17,18 +17,21 @@ from aws_glue_cdc_metrics_job_spark.plans import catalog
 
 catalog.load_all()
 
-# queries whose plan legitimately contains a BOUNDED broadcast cross join
+# queries whose plan legitimately contains a BOUNDED broadcast cross join:
+# name -> (max allowed bad-shape occurrences, why). Counted, not skipped, so
+# a SECOND genuinely-quadratic join sneaking into a whitelisted query's plan
+# still fails the guard (ADVICE r2).
 BOUNDED_BROADCAST_OK = {
     # exact-quantile cut: cross join with a broadcast ONE-ROW frame
-    "mart_customer_clv_segment": "1-row quantile cut frame (functions/quantile.py)",
+    "mart_customer_clv_segment": (1, "1-row quantile cut frame (functions/quantile.py)"),
     # salted_join replicates the small side against a broadcast range(salt)
     # frame (8 rows) -- the standard skew-spreading pattern
-    "docs_simhash_pairs": "broadcast 8-row salt range (relational.salted_join)",
+    "docs_simhash_pairs": (1, "broadcast 8-row salt range (relational.salted_join)"),
     # probe scoring crosses the contractually-small query set with the
     # centroid table (~sqrt(N) rows), both broadcast-sized by construction
-    "emb_ivf_topk": "bounded query-set x centroids probe scoring",
+    "emb_ivf_topk": (1, "bounded query-set x centroids probe scoring"),
     # BM25 crosses each per-term hit row with the ONE-ROW (N, avgdl) frame
-    "docs_bm25_topk": "1-row corpus-stats frame (text.bm25_topk)",
+    "docs_bm25_topk": (1, "1-row corpus-stats frame (text.bm25_topk)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -38,7 +41,10 @@ BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 def test_no_all_pairs_join_shapes(spark, sf_dir, name):
     df = catalog.QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if name in BOUNDED_BROADCAST_OK:
-        pytest.skip(f"whitelisted: {BOUNDED_BROADCAST_OK[name]}")
-    for shape in BAD_SHAPES:
-        assert shape not in plan, f"{name} plans {shape}:\n{plan[:3000]}"
+    allowed, why = BOUNDED_BROADCAST_OK.get(name, (0, None))
+    count = sum(plan.count(shape) for shape in BAD_SHAPES)
+    assert count <= allowed, (
+        f"{name} plans {count} all-pairs join shape(s), allowed {allowed}"
+        + (f" ({why})" if why else "")
+        + f":\n{plan[:3000]}"
+    )

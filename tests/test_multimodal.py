@@ -42,6 +42,37 @@ def test_decode_stub_matches_python(payloads):
     assert feats[1] == sum(raw[:64]) / min(len(raw), 64)
 
 
-def test_decode_real_is_explicit_stub():
+def test_decode_real_behavior_matches_environment():
+    # Without PIL: a NAMED NotImplementedError (honest env limitation).
+    # With PIL (if the sandbox ever gains it): decodes a real 1x1 PNG and
+    # honors the decode_stub feature contract.
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.decode_real(b"x", "image/png")
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (2, 2), color=128).save(buf, format="PNG")
+        feats = multimodal.decode_real(buf.getvalue(), "image/png")
+        assert feats["feat_dim"] == 4 and feats["feat_mean"] == 128.0
+    # non-image media always raises, naming the missing dependency
     with pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"x", "image/png")
+        multimodal.decode_real(b"x", "audio/wav")
+
+
+def test_map_in_pandas_features_custom_decoder(spark):
+    # the decoder slot is real plumbing: any bytes -> dict callable works
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    rows = multimodal.map_in_pandas_features(
+        df, decoder=lambda p: {"n_bytes": len(p), "feat_mean": 7.0, "feat_dim": 1}
+    ).collect()
+    assert rows[0]["feat_mean"] == 7.0 and rows[0]["n_bytes"] == 3

@@ -36,6 +36,40 @@ def test_buckets_match_qcut(spark, values):
     assert got == expected
 
 
+def test_approx_buckets_bounded_drift_vs_exact(spark, values):
+    # The scale path (exact=False): approx_percentile returns a REAL data
+    # value (rank-based, no interpolation), so labels may legitimately
+    # differ from the exact interpolated path -- but ONLY for values lying
+    # between the exact and approx cut for the same bin edge. Anything
+    # outside those slivers must agree.
+    from aws_glue_cdc_metrics_job_spark.functions.quantile import approx_quantile_cuts
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    probs, labels = [0.2, 0.8], ["Low", "Medium", "High"]
+    exact = {
+        r["x"]: r["CLV"]
+        for r in quantile_bucket(df, "x", probs, labels, "CLV").collect()
+    }
+    approx = {
+        r["x"]: r["CLV"]
+        for r in quantile_bucket(df, "x", probs, labels, "CLV", exact=False).collect()
+    }
+    e = exact_quantile_cuts(df, "x", probs).collect()[0]
+    a = approx_quantile_cuts(df, "x", probs).collect()[0]
+    slivers = [
+        (min(e[f"q{i}"], a[f"q{i}"]), max(e[f"q{i}"], a[f"q{i}"]))
+        for i in range(len(probs))
+    ]
+    disagreements = {v for v in exact if exact[v] != approx[v]}
+    for v in disagreements:
+        assert any(lo < v <= hi or lo <= v < hi for lo, hi in slivers), (
+            f"value {v} changed bucket ({exact[v]} -> {approx[v]}) but lies in "
+            f"no exact-vs-approx cut sliver {slivers}"
+        )
+    # and the drift must not be total: most values agree
+    assert len(disagreements) < len(values) / 2
+
+
 def test_label_arity_validated(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "x double")
     with pytest.raises(ValueError):

@@ -123,3 +123,16 @@ def test_weighted_sample_extremes_and_clamp(spark):
     assert not any(k % 3 == 0 for k in ks)
     assert len([k for k in ks if k % 3 == 1]) == 1000
     assert len([k for k in ks if k % 3 == 2]) == 1000
+
+
+def test_weighted_sample_null_weight_is_explicit_zero(spark):
+    # NULL weight = weight 0.0 (documented policy): excluded like an
+    # explicit 0, NOT silently dropped by a NULL comparison -- and rows
+    # with real weights are unaffected by NULLs elsewhere in the column.
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 1.0), (3, None), (4, 1.0)], "k long, w double"
+    )
+    ks = {r["k"] for r in weighted_hash_sample(df, "w", ["k"], seed="x").collect()}
+    assert ks == {2, 4}

@@ -161,3 +161,19 @@ def test_rp_lsh_dup_pairs_rejects_bad_params(spark):
         rp_lsh_dup_pairs(df, bands=2, max_hamming=2)
     with _pytest.raises(ValueError):
         rp_lsh_dup_pairs(df, planes=16, bands=3)
+
+
+def test_rp_lsh_dup_pairs_occupancy_guard(spark):
+    # Default planes=16/bands=2 give 256 buckets per band; a corpus of 1M
+    # rows would average ~3900 rows per bucket -> refused, with the planes
+    # increase that fixes it named in the message. Small corpora and
+    # explicitly-raised planes pass.
+    from aws_glue_cdc_metrics_job_spark.operators.similarity import rp_lsh_dup_pairs
+
+    df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Raise planes"):
+        rp_lsh_dup_pairs(df, expected_rows=1_000_000)
+    rp_lsh_dup_pairs(df, expected_rows=10_000)  # 39/bucket: fine
+    rp_lsh_dup_pairs(df, planes=28, bands=2, expected_rows=1_000_000)  # 61/bucket
