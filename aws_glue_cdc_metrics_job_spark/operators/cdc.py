@@ -52,12 +52,20 @@ def cdc_diff(
     compare_cols: list[str] | None = None,
     null_safe: bool = True,
     mode: str = "keyed",
+    with_old_image: bool = False,
 ) -> DataFrame:
     """Diff two snapshots into a tagged change set.
 
     Returns current-image rows tagged 'insert'/'update' and previous-image
     rows tagged 'delete', with a ``cdc_action`` column appended. Caller adds
     ``cdc_timestamp`` (kept out of the diff so it can never contaminate it).
+
+    ``with_old_image=True`` (keyed mode only) additionally emits a
+    ``cdc_old`` struct holding the PREVIOUS image of the row (null for
+    inserts) -- the retraction record downstream incremental aggregate
+    maintenance needs (operators/maintenance.py). It falls out of the
+    single full-outer join for free: both sides are already in the joined
+    row, so no extra scan or shuffle.
     """
     cols = compare_cols or business_columns(current, pks)
     keep = pks + [c for c in current.columns if c not in pks and c not in METADATA_COLS]
@@ -66,6 +74,8 @@ def cdc_diff(
     changed = any_column_differs("curr", "prev", cols, null_safe=null_safe)
 
     if mode == "fullrow":
+        if with_old_image:
+            raise ValueError("with_old_image requires mode='keyed'")
         # Reference shape (scripts/cdc_metrics_job.py:98-103): distinct
         # full-row subtract. Kept for parity tests; not the scale path.
         inserts = cur.subtract(prev)
@@ -108,7 +118,14 @@ def cdc_diff(
         .alias(c)
         for c in keep
     ]
-    return joined.select(*image, action.alias(CDC_ACTION)).filter(
+    extra = []
+    if with_old_image:
+        old = F.when(
+            F.col("prev.__prev_present").isNotNull(),
+            F.struct(*[F.col(f"prev.{c}").alias(c) for c in keep]),
+        )
+        extra.append(old.alias("cdc_old"))
+    return joined.select(*image, action.alias(CDC_ACTION), *extra).filter(
         F.col(CDC_ACTION).isNotNull()
     )
 

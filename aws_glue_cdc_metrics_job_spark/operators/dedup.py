@@ -289,6 +289,54 @@ def minhash_lsh_pairs(
     return verified
 
 
+def segment_dedup(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level exact dedup: chunk each document's token stream into
+    fixed ``k``-token segments, fingerprint every segment, and mark the
+    corpus-wide FIRST occurrence (by (doc id, segment index)) of each
+    distinct segment as the survivor. The sub-document complement to
+    whole-doc ``exact_dedup_groups``: boilerplate paragraphs repeated
+    across documents (nav bars, license headers, quote chains) are exactly
+    what this catches -- the "paragraph dedup" of C4/RefinedWeb-style
+    pipelines, with fixed-size chunks standing in for paragraph boundaries
+    so the mechanism works on any text (callers with real newlines can
+    pre-split and pass one paragraph per row instead).
+
+    Shape: one posexplode, a per-(doc, segment) reassembly agg (shuffles
+    (id, seg, token) rows keyed by doc -- token order restored by the
+    sorted-struct trick, partitioning-independent), then a window over
+    SEG_HASH whose partitions are duplicate groups (tiny by definition).
+    The document body never joins anything; survivorship decisions ride a
+    32-char digest. Returns (id_col, SEG_IDX, SEG_HASH, KEEP)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+    pos = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
+    seg = (
+        pos.withColumn("SEG_IDX", (F.col("__pos") / k).cast("bigint"))
+        .groupBy(id_col, "SEG_IDX")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("__seg_text")
+        )
+    )
+    w = Window.partitionBy("SEG_HASH").orderBy(id_col, "SEG_IDX")
+    return (
+        seg.withColumn("SEG_HASH", F.md5("__seg_text"))
+        .withColumn("KEEP", (F.row_number().over(w) == 1).cast("int"))
+        .select(id_col, "SEG_IDX", "SEG_HASH", "KEEP")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -138,6 +138,36 @@ def repetition_stats(
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+# PII patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): char classes, bounded repetition, \d, \b.
+# No lookaround (RE2 lacks it), no backrefs. Order matters: emails first
+# (their local parts contain digits a later pattern could eat), then IPs
+# (dotted quads; the dot keeps them out of the phone class), then phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+?\d[\d\- ]{7,}\d"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "SCRUBBED",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Replace PII spans (emails, IPv4 addresses, phone-shaped digit runs)
+    with typed placeholder tokens ``<EMAIL>``/``<IPV4>``/``<PHONE>`` -- the
+    standard pre-training redaction pass. A chain of regexp_replace
+    projections: pure codegen in the scan stage, no shuffle, linear in
+    corpus bytes; at 100 TB this runs at parquet-scan speed alongside the
+    other per-document profiling expressions."""
+    col = F.col(text_col)
+    for name, pat in patterns:
+        col = F.regexp_replace(col, pat, f"<{name}>")
+    return df.withColumn(out_col, col)
+
+
 def regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting with a BPE-ish regex: total pre-tokens plus
     alpha/digit/punctuation breakdowns, each a codegen'd

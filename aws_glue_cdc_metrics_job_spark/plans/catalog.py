@@ -70,6 +70,10 @@ GRADE_FIRST: list[str] = [
     "emb_ivf_topk",  # rows-only: recall-bounded approximate
     "multimodal_features",  # rows-only: stubbed decode features
     "emb_cosine_topk_fast",  # rows-only: == exact pinned in unit tests
+    # -- new in round 3: first grading
+    "orders_incremental_agg",
+    "docs_segment_dedup",
+    "docs_pii_scrub",
     # -- changed in round 3: re-grade
     "docs_encode_ids",
     "events_json_props",
@@ -91,9 +95,6 @@ GRADE_FIRST: list[str] = [
     "docs_exact_dedup",
     "docs_dup_clusters",
     "docs_curation_pipeline",
-    "emb_cosine_dup_pairs",
-    "emb_kmeans_update",
-    "docs_bm25_topk",
 ]
 
 

@@ -425,6 +425,60 @@ def q_cdc_apply_changes(spark: SparkSession, sf_dir: str):
     return apply_changes(prev, changes, pks=["o_orderkey"])
 
 
+@query(
+    "orders_incremental_agg",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+),
+cur AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN {rhu_bump}
+              ELSE o_totalprice END AS p
+  FROM base WHERE o_orderkey % 11 <> 5
+)
+SELECT o_custkey,
+       CAST(SUM(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS SUM_PRICE,
+       COUNT(*) AS N_ORDERS
+FROM cur GROUP BY 1
+""",
+)
+def q_orders_incremental_agg(spark: SparkSession, sf_dir: str):
+    """Incremental view maintenance: the per-customer revenue mart is
+    refreshed from the CDC change set ALONE (insert +new, delete -old,
+    update both, decimal-exact sums) and must equal the oracle's full
+    recompute over the new snapshot. At 100 TB this is the difference
+    between rescanning the fact table per refresh and touching only the
+    day's changes (operators/maintenance.py; old images from the
+    single-pass full-outer cdc_diff)."""
+    from ..operators.maintenance import aggregate_snapshot, incremental_agg_update
+
+    cur, prev = _cdc_snapshots(spark, sf_dir)
+    prev_agg = aggregate_snapshot(
+        prev.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        ["o_totalprice"],
+        count_col="N_ORDERS",
+        decimal_scale=2,
+    )
+    changes = cdc_diff(
+        cur.select("o_custkey", "o_orderkey", "o_totalprice"),
+        prev.select("o_custkey", "o_orderkey", "o_totalprice"),
+        pks=["o_orderkey"],
+        with_old_image=True,
+    )
+    out = incremental_agg_update(
+        prev_agg, changes, ["o_custkey"], ["o_totalprice"],
+        count_col="N_ORDERS", decimal_scale=2,
+    )
+    return out.select(
+        "o_custkey",
+        F.col("SUM_o_totalprice").cast("double").alias("SUM_PRICE"),
+        F.col("N_ORDERS").cast("long").alias("N_ORDERS"),
+    )
+
+
 # --- A-family extensions: multi-level aggregation + sketch cardinality
 
 

@@ -599,6 +599,80 @@ def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "docs_segment_dedup",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+  FROM (SELECT doc_id, {_TOKS_NE} AS t FROM documents), UNNEST(range(1, len(t)+1)) AS u(i)
+),
+seg AS (
+  SELECT doc_id, CAST(pos // 10 AS BIGINT) AS SEG_IDX,
+         string_agg(tok, ' ' ORDER BY pos) AS seg_text
+  FROM tok GROUP BY 1, 2
+),
+h AS (SELECT doc_id, SEG_IDX, md5(seg_text) AS SEG_HASH FROM seg)
+SELECT doc_id, SEG_IDX, SEG_HASH,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY SEG_HASH ORDER BY doc_id, SEG_IDX) = 1
+                 THEN 1 ELSE 0 END AS INT) AS KEEP
+FROM h
+""",
+)
+def q_docs_segment_dedup(spark: SparkSession, sf_dir: str):
+    """Sub-document (segment/paragraph) exact dedup: fixed 10-token chunks
+    fingerprinted corpus-wide, first occurrence kept -- the C4-style
+    boilerplate-paragraph removal mechanism (operators/dedup.py
+    segment_dedup)."""
+    from ..operators.dedup import segment_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, k=10)
+
+
+def _pii_oracle_sql() -> str:
+    """Oracle dual of text.scrub_pii over deterministically-injected PII:
+    the same placeholder chain built from the SAME pattern table (single
+    source of truth), with RE2-vs-Java-regex-portable syntax only and
+    DuckDB's 'g' flag matching Spark's replace-all default."""
+    expr = "injected"
+    for name, pat in text.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '<{name}>', 'g')"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+              || ' tel +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS injected
+  FROM documents
+)
+SELECT doc_id, {expr} AS SCRUBBED FROM t
+"""
+
+
+@query("docs_pii_scrub", oracle=_pii_oracle_sql())
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str):
+    """PII redaction parity: emails/IPs/phones injected deterministically
+    per doc (the fixture corpus carries none), scrubbed to typed
+    placeholders by the codegen regexp_replace chain (text.scrub_pii).
+    Both engines build the identical input string, so the hash check
+    pins cross-engine regex semantics, not just no-op passthrough."""
+    docs = read_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com tel +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ).alias("text"),
+    )
+    return text.scrub_pii(injected).select("doc_id", "SCRUBBED")
+
+
+@query(
     "docs_curation_pipeline",
     oracle=f"""
 WITH t AS (SELECT doc_id, lang, {_NORM} AS norm, {_TOKS_NE} AS toks FROM documents),

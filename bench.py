@@ -37,7 +37,10 @@ HEADLINE = [
     "events_sessionize",
     "events_tumbling_daily",
     "cdc_apply_changes",
+    "orders_incremental_agg",
     "dedup_keep_latest",
+    "docs_segment_dedup",
+    "docs_pii_scrub",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard_pairs",

@@ -240,3 +240,48 @@ def test_winnow_rejects_bad_params(spark):
 
     with _pytest.raises(ValueError):
         winnow_fingerprints(df, k=0)
+
+
+# --- segment-level dedup
+
+
+def test_segment_dedup_marks_repeated_chunks(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import segment_dedup
+
+    boiler = "one two three four five"  # 5 tokens = one k=5 segment
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail for doc one x"),
+            (2, boiler + " different ending here doc two"),
+            (3, "totally fresh words in this doc y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = segment_dedup(df, k=5).collect()
+    by = {(r["doc_id"], r["SEG_IDX"]): r for r in rows}
+    first, second = by[(1, 0)], by[(2, 0)]
+    assert first["SEG_HASH"] == second["SEG_HASH"]
+    assert first["KEEP"] == 1 and second["KEEP"] == 0  # first occurrence wins
+    assert all(r["KEEP"] == 1 for (d, s), r in by.items() if (d, s) not in [(2, 0)])
+
+
+def test_segment_dedup_short_doc_and_params(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    rows = segment_dedup(df, k=10).collect()
+    assert len(rows) == 1 and rows[0]["SEG_IDX"] == 0 and rows[0]["KEEP"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        segment_dedup(df, k=0)
+
+
+def test_segment_dedup_deterministic_under_repartition(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import segment_dedup
+
+    rows = [(i, f"shared prefix tokens here now tail {i} words more") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in segment_dedup(df, k=5).collect()}
+    b = {tuple(r) for r in segment_dedup(df.repartition(7), k=5).collect()}
+    assert a == b

@@ -171,3 +171,30 @@ def test_encode_token_ids_deterministic(spark):
     a = {r["doc_id"]: r["TOKEN_IDS"] for r in text.encode_token_ids(df, vocab).collect()}
     b = {r["doc_id"]: r["TOKEN_IDS"] for r in text.encode_token_ids(df.repartition(11), vocab).collect()}
     assert a == b
+
+
+# --- PII scrubbing
+
+
+def test_scrub_pii_all_types_and_multiples(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+spam@corp.example.co or alice@ex.io thanks"),
+            (2, "server 192.168.10.7 and 10.0.0.1 up"),
+            (3, "call +1 555-0199 202 or 555 123 4567 now"),
+            (4, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["SCRUBBED"] for r in text.scrub_pii(df).collect()}
+    assert got[1] == "reach me at <EMAIL> or <EMAIL> thanks"
+    assert got[2] == "server <IPV4> and <IPV4> up"
+    assert "<PHONE>" in got[3] and "555" not in got[3]
+    assert got[4] == "nothing sensitive here at all"
+
+
+def test_scrub_pii_order_ip_before_phone(spark):
+    # dotted quads must become <IPV4>, not be half-eaten by the phone rule
+    df = spark.createDataFrame([(1, "tel +1 555-0142 ip 10.0.3.7 end")], "doc_id long, text string")
+    got = text.scrub_pii(df).collect()[0]["SCRUBBED"]
+    assert got == "tel <PHONE> ip <IPV4> end"
