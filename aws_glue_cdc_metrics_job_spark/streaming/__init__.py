@@ -1,5 +1,6 @@
 from .jobs import (
     cdc_upsert_sink,
+    incremental_mart_sink,
     decontaminate_sink,
     read_event_stream,
     session_windows,
@@ -10,6 +11,7 @@ from .jobs import (
 
 __all__ = [
     "cdc_upsert_sink",
+    "incremental_mart_sink",
     "decontaminate_sink",
     "read_event_stream",
     "session_windows",

