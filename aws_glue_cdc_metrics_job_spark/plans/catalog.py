@@ -74,6 +74,10 @@ GRADE_FIRST: list[str] = [
     "orders_incremental_agg",
     "docs_segment_dedup",
     "docs_pii_scrub",
+    "scd2_user_dim",
+    "scd2_active_at",
+    "dq_orders_report",
+    "emb_int8_quantize",
     # -- changed in round 3: re-grade
     "docs_encode_ids",
     "events_json_props",
@@ -82,17 +86,16 @@ GRADE_FIRST: list[str] = [
     "docs_winnow_fingerprints",
     "docs_weighted_sample",
     "mart_customer_clv_segment",
-    # -- representative re-confirmation spread (heaviest mechanisms)
-    "order_revenue",
-    "fact_ltv_daily",
+    # -- representative re-confirmation spread (heaviest mechanisms; the
+    # four dropped r2-green entries order_revenue / fact_ltv_daily /
+    # pricing_summary / docs_exact_dedup made room for the round-3 ops and
+    # keep their r2 rows as evidence)
     "mart_customer_rfm",
     "mart_customer_churn_profile",
     "mart_sales_trends_daily",
     "mart_loyalty_program_impact",
     "mart_location_performance",
     "mart_discount_effectiveness",
-    "pricing_summary",
-    "docs_exact_dedup",
     "docs_dup_clusters",
     "docs_curation_pipeline",
 ]

@@ -697,3 +697,181 @@ def q_docs_train_split(spark: SparkSession, sf_dir: str):
     return hash_split(
         docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s7"
     ).select(F.col("doc_id").alias("DOC_ID"), "SPLIT")
+
+
+# --- SCD Type-2 dimension history from a change log (operators/scd.py).
+# The events table acts as the per-user profile change stream: each
+# non-error event upserts the (event_type, value) profile attributes;
+# 'error' events act as deletes terminating the open version. Tie-break on
+# event_id makes the history hash-stable.
+
+_SCD2_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS act
+  FROM events
+),
+marked AS (
+  SELECT *,
+         LAG(act) OVER w AS prev_act,
+         LAG(event_type) OVER w AS prev_et,
+         LAG(value) OVER w AS prev_val
+  FROM log
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+collapsed AS (
+  SELECT * FROM marked
+  WHERE act = 'delete'
+     OR prev_act IS NULL
+     OR prev_act = 'delete'
+     OR event_type IS DISTINCT FROM prev_et
+     OR value IS DISTINCT FROM prev_val
+),
+v AS (
+  SELECT user_id, event_type, value, act, ts AS VALID_FROM,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS VALID_TO
+  FROM collapsed
+)
+SELECT user_id AS USER_ID, event_type AS PROFILE_TYPE, value AS PROFILE_VALUE,
+       VALID_FROM, VALID_TO,
+       CASE WHEN VALID_TO IS NULL THEN 1 ELSE 0 END AS IS_CURRENT
+FROM v WHERE act <> 'delete'
+"""
+
+
+def _scd2_user_dim(spark: SparkSession, sf_dir: str):
+    from ..operators.scd import scd2_from_log
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("cdc_action"),
+    )
+    return scd2_from_log(
+        ev,
+        pks=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type", "value"],
+        order_cols=["event_id"],
+    )
+
+
+@query("scd2_user_dim", oracle=_SCD2_SQL)
+def q_scd2_user_dim(spark: SparkSession, sf_dir: str):
+    """Full Type-2 version history. One key shuffle; intervals via
+    lead()/lag() -- no self-join (see operators/scd.py)."""
+    dim = _scd2_user_dim(spark, sf_dir)
+    return dim.select(
+        F.col("user_id").alias("USER_ID"),
+        F.col("event_type").alias("PROFILE_TYPE"),
+        F.col("value").alias("PROFILE_VALUE"),
+        "VALID_FROM",
+        "VALID_TO",
+        "IS_CURRENT",
+    )
+
+
+@query(
+    "scd2_active_at",
+    oracle=f"""
+WITH dim AS ({_SCD2_SQL})
+SELECT PROFILE_TYPE,
+       COUNT(*) AS N_ACTIVE,
+       {sql_rhu("SUM(PROFILE_VALUE)", 2)} AS SUM_VALUE
+FROM dim
+WHERE VALID_FROM <= TIMESTAMP '2024-01-20 00:00:00'
+  AND (VALID_TO IS NULL OR VALID_TO > TIMESTAMP '2024-01-20 00:00:00')
+GROUP BY PROFILE_TYPE
+""",
+)
+def q_scd2_active_at(spark: SparkSession, sf_dir: str):
+    """Point-in-time rollup over the Type-2 dimension: which profile
+    versions were valid on 2024-01-20, summarized per type. Demonstrates
+    scd2_snapshot_at as a plain scan-stage interval filter."""
+    from ..operators.scd import scd2_snapshot_at
+
+    dim = _scd2_user_dim(spark, sf_dir)
+    at = scd2_snapshot_at(dim, "2024-01-20 00:00:00")
+    return at.groupBy(F.col("event_type").alias("PROFILE_TYPE")).agg(
+        F.count(F.lit(1)).alias("N_ACTIVE"),
+        rhu(F.sum("value"), 2).alias("SUM_VALUE"),
+    )
+
+
+# --- Declared data-quality expectations (operators/quality.py): row rules
+# in one scan, key uniqueness, referential integrity -- dbt-test/Deequ
+# shape with exact violation counts.
+
+
+@query(
+    "dq_orders_report",
+    oracle="""
+SELECT 'o_totalprice_nonneg' AS RULE,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice IS NULL) AS BIGINT) AS VIOLATIONS
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_domain',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'l_quantity_1_to_40',
+       CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 40) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'fk(l_orderkey)',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'fk(o_custkey)',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_dq_orders_report(spark: SparkSession, sf_dir: str):
+    """Quality report over the orders star: three row rules fused into one
+    orders scan + one lineitem scan, one uniqueness aggregation, two
+    anti-join RI checks. 'P'-status orders and quantities 41-50 violate by
+    design, so the report exercises nonzero counts."""
+    from ..operators.quality import (
+        quality_report,
+        referential_violations,
+        row_rule_violations,
+        unique_key_violations,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    return quality_report(
+        [
+            row_rule_violations(
+                orders,
+                {
+                    "o_totalprice_nonneg": (F.col("o_totalprice") < 0)
+                    | F.col("o_totalprice").isNull(),
+                    "o_orderstatus_domain": ~F.col("o_orderstatus").isin("O", "F")
+                    | F.col("o_orderstatus").isNull(),
+                },
+            ),
+            row_rule_violations(
+                li,
+                {
+                    "l_quantity_1_to_40": F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") < 1)
+                    | (F.col("l_quantity") > 40),
+                },
+            ),
+            unique_key_violations(orders, ["o_orderkey"], rule="unique(o_orderkey)"),
+            referential_violations(li, orders, ["l_orderkey"], ["o_orderkey"], rule="fk(l_orderkey)"),
+            referential_violations(orders, cust, ["o_custkey"], ["c_custkey"], rule="fk(o_custkey)"),
+        ]
+    )

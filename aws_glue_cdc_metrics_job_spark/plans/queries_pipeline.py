@@ -980,3 +980,40 @@ def q_emb_rp_dup_pairs(spark: SparkSession, sf_dir: str):
     exactly."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.rp_lsh_dup_pairs(emb)
+
+
+@query(
+    "emb_int8_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS amax
+  FROM v
+)
+SELECT vec_id AS VEC_ID,
+       amax AS AMAX,
+       CASE WHEN amax = 0
+            THEN array_to_string(list_transform(e, x -> '0'), ',')
+            ELSE array_to_string(
+                   list_transform(e, x -> CAST(CAST(floor(x * 127 / amax + 0.5) AS BIGINT) AS VARCHAR)),
+                   ',')
+       END AS Q_STR
+FROM s
+""",
+)
+def q_emb_int8_quantize(spark: SparkSession, sf_dir: str):
+    """Int8 vector quantization (similarity.int8_quantize), graded on the
+    string-joined codes (the canonicalizer cannot hash array cells -- same
+    representation trick as docs_encode_ids). floor(x+0.5) arithmetic makes
+    the codes bit-identical across engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = similarity.int8_quantize(emb)
+    return q.select(
+        F.col("vec_id").alias("VEC_ID"),
+        "AMAX",
+        F.array_join(F.transform("Q", lambda x: x.cast("string")), ",").alias("Q_STR"),
+    )

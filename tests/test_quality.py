@@ -1,0 +1,93 @@
+"""Data-quality constraint operators (operators/quality.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators.quality import (
+    quality_report,
+    referential_violations,
+    row_rule_violations,
+    unique_key_violations,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0),
+            (2, 10, "F", -5.0),   # negative price
+            (3, 20, "X", 50.0),   # bad status
+            (4, None, "O", None),  # null custkey, null price
+            (4, 30, "O", 75.0),   # duplicate key
+        ],
+        "o_orderkey int, o_custkey int, o_orderstatus string, o_totalprice double",
+    )
+    customer = spark.createDataFrame([(10,), (20,)], "c_custkey int")
+    lines = spark.createDataFrame(
+        [(1, 1), (1, 2), (9, 1)], "l_orderkey int, l_linenumber int"
+    )
+    return orders, customer, lines
+
+
+def test_row_rules_single_pass(frames):
+    orders, _, _ = frames
+    rep = row_rule_violations(
+        orders,
+        {
+            "price_nonneg": (F.col("o_totalprice") < 0) | F.col("o_totalprice").isNull(),
+            "status_domain": ~F.col("o_orderstatus").isin("O", "F"),
+            "custkey_not_null": F.col("o_custkey").isNull(),
+        },
+    )
+    got = {r["RULE"]: r["VIOLATIONS"] for r in rep.collect()}
+    assert got == {"price_nonneg": 2, "status_domain": 1, "custkey_not_null": 1}
+    # all rules fuse into ONE aggregation over one scan (count inside the
+    # final plan only -- post-execution AQE output repeats the initial plan)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan") == 1, plan
+
+
+def test_unique_key(frames):
+    orders, _, _ = frames
+    got = unique_key_violations(orders, ["o_orderkey"]).collect()[0]
+    assert got["RULE"] == "unique(o_orderkey)"
+    assert got["VIOLATIONS"] == 1  # one excess row for key 4
+
+
+def test_unique_key_clean(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    assert unique_key_violations(df, ["k"]).collect()[0]["VIOLATIONS"] == 0
+
+
+def test_referential(frames):
+    orders, customer, lines = frames
+    fk = referential_violations(
+        orders, customer, ["o_custkey"], ["c_custkey"]
+    ).collect()[0]
+    # custkey 30 orphan + NULL custkey never matches -> 2
+    assert fk["VIOLATIONS"] == 2
+    li = referential_violations(
+        lines, orders, ["l_orderkey"], ["o_orderkey"]
+    ).collect()[0]
+    assert li["VIOLATIONS"] == 1  # orderkey 9
+
+
+def test_report_union(frames):
+    orders, customer, lines = frames
+    rep = quality_report(
+        [
+            unique_key_violations(orders, ["o_orderkey"]),
+            referential_violations(lines, orders, ["l_orderkey"], ["o_orderkey"]),
+        ]
+    )
+    assert rep.columns == ["RULE", "VIOLATIONS"]
+    assert rep.count() == 2
+
+
+def test_empty_rules_raise(frames):
+    with pytest.raises(ValueError):
+        row_rule_violations(frames[0], {})
+    with pytest.raises(ValueError):
+        quality_report([])

@@ -177,3 +177,28 @@ def test_rp_lsh_dup_pairs_occupancy_guard(spark):
         rp_lsh_dup_pairs(df, expected_rows=1_000_000)
     rp_lsh_dup_pairs(df, expected_rows=10_000)  # 39/bucket: fine
     rp_lsh_dup_pairs(df, planes=28, bands=2, expected_rows=1_000_000)  # 61/bucket
+
+
+def test_int8_quantize_roundtrip(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.similarity import int8_quantize
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),      # all-zero vector
+        (2, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in int8_quantize(df).collect()}
+    assert out[0]["AMAX"] == 1.0
+    # extremes map to +-127, halves round toward +inf: floor(0.25*127+0.5)=32
+    assert out[0]["Q"] == [127, -64, 32, 0]
+    assert out[1]["AMAX"] == 0.0 and out[1]["Q"] == [0, 0, 0, 0]
+    assert out[2]["Q"] == [-127, 127, 64, -64]
+    # dequantization error bounded by half a step
+    import numpy as np
+
+    for vid, emb in rows:
+        if out[vid]["AMAX"] == 0:
+            continue
+        deq = np.array(out[vid]["Q"]) * out[vid]["AMAX"] / 127
+        assert np.max(np.abs(deq - np.array(emb))) <= out[vid]["AMAX"] / 254 + 1e-12
