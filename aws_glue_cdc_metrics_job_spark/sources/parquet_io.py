@@ -109,6 +109,42 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Hash-bucketed parquet table (``bucketBy`` + ``saveAsTable``) -- the
+    co-located-join layout. Two tables bucketed on their join key with the
+    SAME bucket count join with ZERO exchanges: each task reads matching
+    bucket files from both sides (pinned in tests/test_sources.py). For the
+    100 TB star schema, bucketing lineitem and orders on the order key
+    converts every orders-lineitem join/agg from a full shuffle into a
+    bucket-local merge -- the single biggest shuffle eliminable in the
+    reference workload. ``sort_cols`` additionally sorts within buckets so
+    sort-merge joins skip their sort stage.
+
+    Bucketed layout requires the table catalog (bucket metadata lives
+    there, not in the files); ``path`` makes it an external table so the
+    parquet remains a plain directory for non-catalog readers."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("compression", compression)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 @dataclass(frozen=True)
 class MedallionLayout:
     """Zone path scheme mirroring the reference's

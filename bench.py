@@ -38,6 +38,9 @@ HEADLINE = [
     "events_tumbling_daily",
     "cdc_apply_changes",
     "orders_incremental_agg",
+    "scd2_user_dim",
+    "dq_orders_report",
+    "emb_int8_quantize",
     "dedup_keep_latest",
     "docs_segment_dedup",
     "docs_pii_scrub",
@@ -83,12 +86,19 @@ def main() -> int:
     for name in names:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # Two measured passes, min per query: one-off events (silver-cache
+    # eviction under storage-memory pressure, a major GC triggered by the
+    # warm-up's allocations) otherwise land on whichever query runs first
+    # and report as a fake regression -- observed as a mart timing at sf0.1
+    # EXCEEDING its own 10x-data timing. The min is the steady-state cost.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in names:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t = round(time.monotonic() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
+            print(f"# {name}: {t:.2f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -122,11 +132,13 @@ def main() -> int:
         for name in scale_names:
             qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         t1: dict[str, float] = {}
-        for name in scale_names:
-            t0 = time.monotonic()
-            qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
-            t1[name] = round(time.monotonic() - t0, 3)
-            print(f"# sf1 {name}: {t1[name]:.2f}s", file=sys.stderr)
+        for _pass in range(2):
+            for name in scale_names:
+                t0 = time.monotonic()
+                qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
+                t = round(time.monotonic() - t0, 3)
+                t1[name] = min(t1.get(name, t), t)
+                print(f"# sf1 {name}: {t:.2f}s", file=sys.stderr)
         # Per-query sf1 timings go to the detail file only: the driver
         # captures a bounded stdout tail (2000 chars), and round 2's full
         # two-scale per-query line outgrew it (BENCH_r02 "parsed": null).

@@ -74,3 +74,55 @@ def test_read_events_ts_is_microsecond_truncated(spark, sf_dir):
     ).fetchall()
     want = [(i, t.isoformat()) for i, t in want]
     assert got == want
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables join with zero Exchange operators: the layout
+    carries the partitioning, so the join is bucket-local (the 100 TB
+    co-located-join story write_bucketed exists for)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("b")
+    )
+    write_bucketed(left, "bkt_left", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "l"))
+    write_bucketed(right, "bkt_right", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "r"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 500
+            # same result as the shuffled join over the raw frames
+            assert joined.agg(F.sum("a"), F.sum("b")).collect() == left.join(
+                right, "k"
+            ).agg(F.sum("a"), F.sum("b")).collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bucketed_agg_no_shuffle(spark, tmp_path):
+    """groupBy on the bucket key also skips its Exchange."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import write_bucketed
+
+    df = spark.range(0, 1000).select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    write_bucketed(df, "bkt_agg", ["k"], 4, path=str(tmp_path / "a"))
+    try:
+        agg = spark.table("bkt_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_agg")
