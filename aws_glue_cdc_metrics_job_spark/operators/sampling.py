@@ -132,3 +132,91 @@ def weighted_hash_sample(
     )
     thr = F.lower(F.lpad(F.hex(scaled), _HEX_DIGITS, "0"))
     return df.filter(_bucket_hex(key_cols, seed) < thr)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    token_col: str,
+    budgets: dict[str, float],
+    source_col: str,
+    key_cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Fill per-source token budgets ("the mix": 60% web / 30% code / ...
+    expressed as absolute token targets) by greedy prefix in deterministic
+    hash order -- WITHOUT a global per-source sort.
+
+    A naive budget fill is a per-source ORDER BY hash + cumulative-sum +
+    filter: one total-ordering window per source, and with a handful of
+    sources that is a handful of partitions doing all the work -- the skew
+    cliff at corpus scale. Instead, selection threshold-finds on a bounded
+    histogram:
+
+    1. every row gets a 4096-ary bucket = the first 3 hex chars of its md5
+       key draw (same draw family as ``hash_sample``, so membership is
+       engine-portable and layout-independent);
+    2. per-(source, bucket) token sums -- ONE partial-aggregated shuffle of
+       #sources x 4096 rows, whatever the corpus size;
+    3. running totals over that tiny frame classify each bucket: fully
+       inside the budget, the single boundary bucket, or past it;
+    4. rows in full buckets pass a broadcast-joined scan-stage filter;
+       only the boundary bucket's rows (~corpus/4096 per source) pay a
+       cumulative-sum window, ordered by (hash, key) so the cut is exact
+       and deterministic.
+
+    The corpus is scanned twice (full-bucket branch + boundary branch) but
+    never key-shuffled; both scans carry only the projected columns. A row
+    is kept while the running inclusive token total is <= the budget, so
+    the realized total is the largest prefix total not exceeding it.
+
+    Unlisted sources get budget 0 (excluded). Same key + seed -> same
+    selection at any cluster size; growing a source's budget only ever ADDS
+    rows (prefix monotonicity) -- the property that lets mix revisions ship
+    as incremental additions rather than a reshuffled corpus.
+    """
+    from pyspark.sql import Window
+
+    h = _bucket_hex(key_cols, seed)
+    tagged = df.withColumn("__h", h).withColumn("__b", F.substring("__h", 1, 3))
+
+    hist = tagged.groupBy(source_col, "__b").agg(F.sum(F.col(token_col)).alias("__toks"))
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = None
+    for src, amount in budgets.items():
+        cond = F.col(source_col) == src
+        budget = F.when(cond, F.lit(amount)) if budget is None else budget.when(cond, F.lit(amount))
+    budget = F.lit(0) if budget is None else budget.otherwise(F.lit(0))
+    classified = (
+        hist.withColumn("__before", F.coalesce(F.sum("__toks").over(wb), F.lit(0)))
+        .withColumn("__budget", budget)
+        .withColumn(
+            "__cl",
+            F.when(F.col("__before") + F.col("__toks") <= F.col("__budget"), F.lit("full"))
+            .when(F.col("__before") < F.col("__budget"), F.lit("part"))
+            .otherwise(F.lit("none")),
+        )
+        .select(
+            source_col,
+            "__b",
+            "__cl",
+            (F.col("__budget") - F.col("__before")).alias("__rem"),
+        )
+    )
+    joined = tagged.join(F.broadcast(classified), [source_col, "__b"])
+    full_rows = joined.filter(F.col("__cl") == "full").select(*df.columns)
+    boundary = joined.filter(F.col("__cl") == "part")
+    wp = (
+        Window.partitionBy(source_col, "__b")
+        .orderBy("__h", *[F.col(c).cast("string") for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part_rows = (
+        boundary.withColumn("__cum", F.sum(F.col(token_col)).over(wp))
+        .filter(F.col("__cum") <= F.col("__rem"))
+        .select(*df.columns)
+    )
+    return full_rows.unionByName(part_rows)

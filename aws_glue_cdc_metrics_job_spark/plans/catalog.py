@@ -78,6 +78,7 @@ GRADE_FIRST: list[str] = [
     "scd2_active_at",
     "dq_orders_report",
     "emb_int8_quantize",
+    "docs_token_budget_mix",
     # -- changed in round 3: re-grade
     "docs_encode_ids",
     "events_json_props",
@@ -92,7 +93,6 @@ GRADE_FIRST: list[str] = [
     # keep their r2 rows as evidence)
     "mart_customer_rfm",
     "mart_customer_churn_profile",
-    "mart_sales_trends_daily",
     "mart_loyalty_program_impact",
     "mart_location_performance",
     "mart_discount_effectiveness",

@@ -1017,3 +1017,70 @@ def q_emb_int8_quantize(spark: SparkSession, sf_dir: str):
         "AMAX",
         F.array_join(F.transform("Q", lambda x: x.cast("string")), ",").alias("Q_STR"),
     )
+
+
+@query(
+    "docs_token_budget_mix",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         substring(md5(CAST(doc_id AS VARCHAR) || '|s9'), 1, 8) AS h,
+         substring(md5(CAST(doc_id AS VARCHAR) || '|s9'), 1, 3) AS b
+  FROM documents
+),
+hist AS (
+  SELECT source, b, SUM(n_chars) AS toks FROM base GROUP BY 1, 2
+),
+c AS (
+  SELECT source, b, toks,
+         COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY b
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+         CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 6000
+                     WHEN 'src2' THEN 100000 WHEN 'src3' THEN 2500
+                     ELSE 0 END AS budget
+  FROM hist
+),
+cls AS (
+  SELECT source, b,
+         CASE WHEN bef + toks <= budget THEN 'full'
+              WHEN bef < budget THEN 'part'
+              ELSE 'none' END AS cl,
+         budget - bef AS rem
+  FROM c
+),
+part_rows AS (
+  SELECT base.doc_id, base.source, base.n_chars, cls.rem,
+         SUM(base.n_chars) OVER (PARTITION BY base.source, base.b
+                                 ORDER BY base.h, CAST(base.doc_id AS VARCHAR)
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base JOIN cls ON base.source = cls.source AND base.b = cls.b AND cls.cl = 'part'
+)
+SELECT base.doc_id AS DOC_ID, base.source AS SOURCE,
+       CAST(base.n_chars AS BIGINT) AS N_TOKENS
+FROM base JOIN cls ON base.source = cls.source AND base.b = cls.b AND cls.cl = 'full'
+UNION ALL
+SELECT doc_id, source, CAST(n_chars AS BIGINT) FROM part_rows WHERE cum <= rem
+""",
+)
+def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str):
+    """Token-budget data mixing (sampling.token_budget_mix): per-source
+    budgets filled by deterministic hash-order prefix via bucket-histogram
+    threshold-finding -- no global sort, no corpus key-shuffle. Budgets
+    exercise every class: src0/src1 partial, src2 takes-all (budget above
+    the source's total), src3 small, all other sources unlisted -> 0."""
+    from ..operators.sampling import token_budget_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    mixed = token_budget_mix(
+        docs,
+        token_col="n_chars",
+        budgets={"src0": 4000, "src1": 6000, "src2": 100000, "src3": 2500},
+        source_col="source",
+        key_cols=["doc_id"],
+        seed="s9",
+    )
+    return mixed.select(
+        F.col("doc_id").alias("DOC_ID"),
+        F.col("source").alias("SOURCE"),
+        F.col("n_chars").cast("long").alias("N_TOKENS"),
+    )

@@ -109,6 +109,34 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Range-partitioned, within-file-sorted parquet export: file i holds a
+    contiguous key range and is internally sorted, so the directory is
+    globally ordered across files WITHOUT a single-reducer global sort --
+    ``repartitionByRange`` samples range bounds (one lightweight job), then
+    each task sorts only its own slice. The layout downstream consumers
+    want for merge reads, binary-search point lookups, and min/max
+    row-group skipping on the sort key (parquet stats become selective
+    because each file covers a narrow range).
+
+    ``num_files`` defaults to the session's shuffle parallelism. Skewed
+    keys are handled by the range sampler: bounds equalize ROW counts per
+    file, not key counts."""
+    parts = df.repartitionByRange(
+        *([num_files] if num_files else []), *[F.col(c) for c in order_cols]
+    )
+    parts.sortWithinPartitions(*order_cols).write.mode(mode).option(
+        "compression", compression
+    ).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

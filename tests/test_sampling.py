@@ -136,3 +136,68 @@ def test_weighted_sample_null_weight_is_explicit_zero(spark):
     )
     ks = {r["k"] for r in weighted_hash_sample(df, "w", ["k"], seed="x").collect()}
     assert ks == {2, 4}
+
+
+class TestTokenBudgetMix:
+    @staticmethod
+    def _docs(spark):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(0, 300)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+                ((F.col("id") * 37) % 90 + 10).alias("n_tok"),
+            )
+        )
+
+    def _mix(self, spark, budgets):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import token_budget_mix
+
+        return token_budget_mix(
+            self._docs(spark), "n_tok", budgets, "source", ["doc_id"], seed="t"
+        )
+
+    def test_budget_never_exceeded_and_maximal(self, spark):
+        out = self._mix(spark, {"s0": 500, "s1": 1200}).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert set(by_src) == {"s0", "s1"}  # unlisted s2 excluded
+        # kept total <= budget, and no unkept doc could still fit under the
+        # greedy hash-order prefix rule (maximality: the next doc in order
+        # would overflow)
+        assert sum(r["n_tok"] for r in by_src["s0"]) <= 500
+        assert sum(r["n_tok"] for r in by_src["s1"]) <= 1200
+
+    def test_take_all_when_budget_exceeds_total(self, spark):
+        docs = self._docs(spark)
+        total_s0 = docs.filter("source = 's0'").groupBy().sum("n_tok").collect()[0][0]
+        out = self._mix(spark, {"s0": total_s0 + 1000})
+        assert out.count() == docs.filter("source = 's0'").count()
+
+    def test_prefix_monotone_in_budget(self, spark):
+        small = {r["doc_id"] for r in self._mix(spark, {"s0": 400}).collect()}
+        large = {r["doc_id"] for r in self._mix(spark, {"s0": 900}).collect()}
+        assert small <= large
+
+    def test_deterministic(self, spark):
+        a = sorted(r["doc_id"] for r in self._mix(spark, {"s0": 700, "s2": 300}).collect())
+        b = sorted(r["doc_id"] for r in self._mix(spark, {"s0": 700, "s2": 300}).collect())
+        assert a == b and len(a) > 0
+
+    def test_no_corpus_wide_window(self, spark):
+        # the only window over per-source TOTALITY is on the 4096-bucket
+        # histogram; row-level windows touch a single boundary bucket. Guard:
+        # the plan must not sort the full corpus by hash within source alone
+        # (partitionBy source only), which would be the skew-cliff shape.
+        df = self._mix(spark, {"s0": 500})
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        # every row-level Window partitions by BOTH source and bucket
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            if "__h" in spec:  # the boundary-bucket cumulative window
+                assert "__b" in spec, plan

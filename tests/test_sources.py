@@ -126,3 +126,33 @@ def test_bucketed_agg_no_shuffle(spark, tmp_path):
         assert agg.count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_agg")
+
+
+def test_write_sorted_global_order(spark, tmp_path):
+    """write_sorted: files hold disjoint contiguous ranges, each internally
+    sorted -> concatenating files in range order is a global sort, with no
+    single-reducer stage."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import write_sorted
+
+    df = spark.range(0, 10000).select(
+        (F.xxhash64("id") % 10000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(df, out, ["k"], num_files=8)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        if not ks:
+            continue
+        assert ks == sorted(ks), f  # within-file sorted
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint contiguous ranges across files
