@@ -875,3 +875,22 @@ def q_dq_orders_report(spark: SparkSession, sf_dir: str):
             referential_violations(orders, cust, ["o_custkey"], ["c_custkey"], rule="fk(o_custkey)"),
         ]
     )
+
+
+@query("events_hll_weekly_rollup")  # rows-only: HLL estimates engine-specific
+def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str):
+    """Distinct users per week answered by UNIONING stored per-day HLL
+    sketches (operators/sketches.py) -- the re-aggregable-sketch zone
+    pattern that answers arbitrary-range distincts without rescanning raw
+    data. Rows-only: Datasketches estimates are engine-specific; the
+    error contract and union==direct equivalence are pinned in
+    tests/test_sketches.py."""
+    from ..operators.sketches import distinct_sketch, rollup_sketches
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("DAY", F.to_date("ts"))
+        .withColumn("WEEK", F.date_trunc("week", "ts").cast("date"))
+    )
+    daily = distinct_sketch(ev, ["WEEK", "DAY"], "user_id")
+    return rollup_sketches(daily, ["WEEK"])

@@ -109,6 +109,36 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    compression: str = "snappy",
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files and
+    atomically swap it in; returns the new file count. The small-files
+    problem is the chronic failure mode of incremental zones (every CDC
+    micro-batch appends a file group; a year of runs = thousands of tiny
+    files whose open/footer costs dominate reads). Compaction uses
+    ``coalesce`` -- a scan + rewrite with NO shuffle -- sized from the
+    directory's actual on-disk bytes. Readers see old-or-new atomically via
+    the rename swap (``swap_directory``); concurrent WRITERS must be
+    quiesced, same contract as the reference's overwrite-mode snapshots."""
+    fs, jpath = _hadoop_fs(spark, path)
+    summary = fs.getContentSummary(jpath)
+    n = max(1, int((summary.getLength() + target_file_bytes - 1) // target_file_bytes))
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    (
+        spark.read.parquet(path)
+        .coalesce(n)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    swap_directory(spark, tmp, path)
+    return n
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
