@@ -190,7 +190,7 @@ def token_budget_mix(
         cond = F.col(source_col) == src
         budget = F.when(cond, F.lit(amount)) if budget is None else budget.when(cond, F.lit(amount))
     budget = F.lit(0) if budget is None else budget.otherwise(F.lit(0))
-    classified = (
+    classified_plan = (
         hist.withColumn("__before", F.coalesce(F.sum("__toks").over(wb), F.lit(0)))
         .withColumn("__budget", budget)
         .withColumn(
@@ -203,8 +203,18 @@ def token_budget_mix(
             source_col,
             "__b",
             "__cl",
-            (F.col("__budget") - F.col("__before")).alias("__rem"),
+            (F.col("__budget") - F.col("__before")).cast("double").alias("__rem"),
         )
+        .filter(F.col("__cl") != "none")
+    )
+    # Materialize the classification on the driver: it is bounded by
+    # #sources x 4096 rows BY CONSTRUCTION (documented contract, same shape
+    # as the k-means centroid collect). Re-emitting it as a local relation
+    # means the histogram subtree runs ONCE -- referencing the plan from
+    # both union branches below would otherwise recompute it (and rescan
+    # the corpus) per branch, since Catalyst does not share subplans.
+    classified = tagged.sparkSession.createDataFrame(
+        classified_plan.collect(), schema=classified_plan.schema
     )
     joined = tagged.join(F.broadcast(classified), [source_col, "__b"])
     full_rows = joined.filter(F.col("__cl") == "full").select(*df.columns)
