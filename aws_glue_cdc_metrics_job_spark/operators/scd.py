@@ -104,3 +104,88 @@ def scd2_snapshot_at(dim: DataFrame, at_ts) -> DataFrame:
         (F.col("VALID_FROM") <= at)
         & (F.col("VALID_TO").isNull() | (F.col("VALID_TO") > at))
     )
+
+
+def scd2_apply_increment(
+    dim: DataFrame,
+    log_increment: DataFrame,
+    pks: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    action_col: str = CDC_ACTION,
+    order_cols: list[str] | None = None,
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Merge a NEW batch of change-log rows into an existing Type-2
+    dimension without recomputing history -- the refresh path for a dim
+    maintained from an append-only CDC log.
+
+    Closed versions are immutable (their ``VALID_TO`` was fixed by the row
+    that superseded them), so only each affected key's OPEN version can
+    change: it either gets closed by the batch's first row, extended (the
+    first row is a collapsed no-op), or terminated by a delete. The
+    algorithm therefore touches exactly:
+
+      affected keys x (1 open version + batch rows)
+
+    Cost scales with the CHANGE SET: one broadcast-or-shuffle join of the
+    batch's key set against the dimension to split touched/untouched (AQE
+    picks broadcast for small batches), then ``scd2_from_log`` over the
+    mini-log of open versions (replayed as synthetic rows at their original
+    ``VALID_FROM``) plus the batch. Untouched rows -- and affected keys'
+    closed versions -- pass through untouched.
+
+    Late rows (``ts_col`` at or before the key's open ``VALID_FROM``) are
+    DROPPED, mirroring the watermark discipline of the silver zone
+    (SURVEY.md C4): replays and out-of-order stragglers cannot rewrite
+    closed history. Result is identical to a full ``scd2_from_log`` over
+    old-log + batch whenever the batch respects event order (pinned in
+    tests/test_scd.py).
+    """
+    order = list(order_cols or [])
+    batch_keys = log_increment.select(*pks).dropDuplicates()
+    touched = dim.join(batch_keys, pks, "left_semi")
+    untouched = dim.join(batch_keys, pks, "left_anti")
+
+    is_open = F.col("VALID_TO").isNull()
+    open_versions = touched.filter(is_open)
+    closed_versions = touched.filter(~is_open)
+
+    # replay each open version as a synthetic log row at its VALID_FROM --
+    # only relative order matters, and every surviving batch row is later
+    inc_types = dict(log_increment.dtypes)
+    replay = open_versions.select(
+        *pks,
+        *attr_cols,
+        F.col("VALID_FROM").alias(ts_col),
+        F.lit("update").alias(action_col),
+        # NULL order keys on replayed rows: they sort before any batch row
+        # at the same timestamp, and ties are impossible anyway (batch rows
+        # are strictly later than the open VALID_FROM)
+        *[F.lit(None).cast(inc_types[c]).alias(c) for c in order],
+    )
+    # drop late rows: anything at or before the key's open VALID_FROM
+    open_from = open_versions.select(
+        *pks, F.col("VALID_FROM").alias("__open_from")
+    )
+    batch = (
+        log_increment.join(open_from, pks, "left")
+        .filter(F.col("__open_from").isNull() | (F.col(ts_col) > F.col("__open_from")))
+        .select(*pks, *attr_cols, ts_col, action_col, *order)
+    )
+    mini_log = replay.unionByName(batch)
+    recomputed = scd2_from_log(
+        mini_log,
+        pks=pks,
+        ts_col=ts_col,
+        attr_cols=attr_cols,
+        action_col=action_col,
+        order_cols=order or None,
+        collapse_unchanged=collapse_unchanged,
+    )
+    out_cols = pks + attr_cols + ["VALID_FROM", "VALID_TO", "IS_CURRENT"]
+    return (
+        untouched.select(*out_cols)
+        .unionByName(closed_versions.select(*out_cols))
+        .unionByName(recomputed.select(*out_cols))
+    )

@@ -3,6 +3,7 @@ from .jobs import (
     incremental_mart_sink,
     decontaminate_sink,
     read_event_stream,
+    scd2_dimension_sink,
     session_windows,
     stateful_running_total,
     streaming_dedup,
@@ -14,6 +15,7 @@ __all__ = [
     "incremental_mart_sink",
     "decontaminate_sink",
     "read_event_stream",
+    "scd2_dimension_sink",
     "session_windows",
     "stateful_running_total",
     "streaming_dedup",

@@ -273,3 +273,48 @@ def decontaminate_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_dimension_sink(
+    log_stream: DataFrame,
+    spark: SparkSession,
+    dim_path: str,
+    pks: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    checkpoint: str,
+    order_cols: list[str] | None = None,
+):
+    """Continuously-maintained Type-2 dimension: each micro-batch of
+    change-log rows merges into the persisted history via
+    ``scd2_apply_increment`` -- per batch, only the affected keys' open
+    versions and the batch rows are touched (operators/scd.py), the
+    dimension is never rebuilt. Cold start builds the history from the
+    first batch with ``scd2_from_log``. Late rows (at or before a key's
+    open VALID_FROM) are dropped by the increment operator, which is the
+    same at-least-once replay discipline the rest of the streaming layer
+    uses: re-delivered rows cannot rewrite closed history, so batch
+    re-processing after a failure is idempotent. Same temp-dir + atomic
+    swap as the other sinks. Returns the started StreamingQuery."""
+    from ..operators.scd import scd2_apply_increment, scd2_from_log
+    from ..sources.parquet_io import path_exists, swap_directory
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        kw = dict(pks=pks, ts_col=ts_col, attr_cols=attr_cols, order_cols=order_cols)
+        if path_exists(spark, dim_path):
+            dim = spark.read.parquet(dim_path)
+            refreshed = scd2_apply_increment(dim, batch, **kw)
+        else:
+            refreshed = scd2_from_log(batch, **kw)
+        tmp = f"{dim_path.rstrip('/')}.__tmp-{batch_id}"
+        refreshed.write.mode("overwrite").parquet(tmp)
+        swap_directory(spark, tmp, dim_path)
+
+    return (
+        log_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

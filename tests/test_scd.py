@@ -106,3 +106,102 @@ def test_snapshot_at(log):
 def test_single_shuffle_plan(log):
     plan = _build(log)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+class TestScd2ApplyIncrement:
+    @staticmethod
+    def _full_log(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from aws_glue_cdc_metrics_job_spark.sources import read_table
+
+        return read_table(spark, sf_dir, "events").select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("cdc_action"),
+        )
+
+    def test_increment_equals_full_recompute(self, spark, sf_dir):
+        """Split the real event log at a timestamp; building the dim from
+        the first half then applying the second half incrementally must
+        equal one full build."""
+        from pyspark.sql import functions as F
+
+        from aws_glue_cdc_metrics_job_spark.operators.scd import (
+            scd2_apply_increment,
+            scd2_from_log,
+        )
+
+        log = self._full_log(spark, sf_dir)
+        cut = "2024-01-15 00:00:00"
+        kw = dict(
+            pks=["user_id"], ts_col="ts", attr_cols=["event_type", "value"],
+            order_cols=["event_id"],
+        )
+        dim0 = scd2_from_log(log.filter(F.col("ts") < cut), **kw)
+        merged = scd2_apply_increment(dim0, log.filter(F.col("ts") >= cut), **kw)
+        full = scd2_from_log(log, **kw)
+        sym_diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+        assert sym_diff == 0
+        assert merged.count() == full.count() > 0
+
+    def test_late_rows_dropped(self, spark):
+        from datetime import datetime
+
+        from aws_glue_cdc_metrics_job_spark.operators.scd import (
+            scd2_apply_increment,
+            scd2_from_log,
+        )
+
+        kw = dict(pks=["k"], ts_col="ts", attr_cols=["v"], order_cols=["i"])
+        log = spark.createDataFrame(
+            [(1, datetime(2024, 1, 5), 1, "a", "update")],
+            "k int, ts timestamp, i int, v string, cdc_action string",
+        )
+        dim = scd2_from_log(log, **kw)
+        late = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 3), 2, "stale", "update"),  # late: dropped
+                (1, datetime(2024, 1, 8), 3, "b", "update"),      # on time
+            ],
+            "k int, ts timestamp, i int, v string, cdc_action string",
+        )
+        out = sorted(
+            scd2_apply_increment(dim, late, **kw).collect(),
+            key=lambda r: r["VALID_FROM"],
+        )
+        assert [r["v"] for r in out] == ["a", "b"]
+        assert out[0]["VALID_TO"] == datetime(2024, 1, 8)
+
+    def test_insert_after_delete_and_new_key(self, spark):
+        from datetime import datetime
+
+        from aws_glue_cdc_metrics_job_spark.operators.scd import (
+            scd2_apply_increment,
+            scd2_from_log,
+        )
+
+        kw = dict(pks=["k"], ts_col="ts", attr_cols=["v"], order_cols=["i"])
+        log = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1), 1, "a", "update"),
+                (1, datetime(2024, 1, 2), 2, None, "delete"),
+            ],
+            "k int, ts timestamp, i int, v string, cdc_action string",
+        )
+        dim = scd2_from_log(log, **kw)
+        batch = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 9), 3, "a", "update"),  # re-insert post-delete
+                (2, datetime(2024, 1, 9), 4, "x", "update"),  # brand-new key
+            ],
+            "k int, ts timestamp, i int, v string, cdc_action string",
+        )
+        out = scd2_apply_increment(dim, batch, **kw)
+        got = {(r["k"], r["v"], r["IS_CURRENT"]) for r in out.collect()}
+        assert got == {(1, "a", 0), (1, "a", 1), (2, "x", 1)}

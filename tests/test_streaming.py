@@ -214,3 +214,41 @@ def test_incremental_mart_sink_refuses_bad_cold_start(spark, tmp_path):
         pass  # a failing foreachBatch surfaces as a query exception
     assert q.exception() is not None
     assert "cold start" in str(q.exception())
+
+
+def test_scd2_dimension_sink_across_batches(spark, tmp_path):
+    """Streaming Type-2 maintenance: cold-start build, then an incremental
+    batch that closes an open version, no-ops another, and adds a key;
+    final dimension equals a batch scd2_from_log over the whole log."""
+    from aws_glue_cdc_metrics_job_spark.operators.scd import scd2_from_log
+
+    log_dir = str(tmp_path / "scdlog_in")
+    dim_path = str(tmp_path / "scddim")
+    ckpt = str(tmp_path / "ckpt_scd")
+    schema = "k long, ts timestamp, i long, v string, cdc_action string"
+    b1 = [
+        (1, D(2024, 1, 1), 1, "a", "update"),
+        (2, D(2024, 1, 1), 2, "x", "update"),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(log_dir)
+    stream = spark.readStream.schema(schema).parquet(log_dir)
+    kw = dict(pks=["k"], ts_col="ts", attr_cols=["v"], order_cols=["i"])
+    q = S.scd2_dimension_sink(stream, spark, dim_path, checkpoint=ckpt, **kw)
+    q.awaitTermination(120)
+    assert spark.read.parquet(dim_path).count() == 2
+
+    b2 = [
+        (1, D(2024, 1, 5), 3, "b", "update"),  # real change: closes v=a
+        (2, D(2024, 1, 5), 4, "x", "update"),  # no-op: extends open version
+        (3, D(2024, 1, 5), 5, "z", "update"),  # new key
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(log_dir)
+    stream2 = spark.readStream.schema(schema).parquet(log_dir)
+    q2 = S.scd2_dimension_sink(stream2, spark, dim_path, checkpoint=ckpt, **kw)
+    q2.awaitTermination(120)
+
+    merged = spark.read.parquet(dim_path)
+    full = scd2_from_log(spark.createDataFrame(b1 + b2, schema), **kw)
+    sym = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert sym == 0
+    assert merged.count() == 4  # k1: a(closed)+b(open); k2: x(open); k3: z(open)
