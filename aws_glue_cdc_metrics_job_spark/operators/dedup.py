@@ -590,3 +590,64 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("__mh").alias("FP_HASH"))
         .distinct()
     )
+
+
+def dedup_segments_within_doc(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INTRA-document repetition removal: drop repeated ``k``-token
+    segments within each document (keeping the first occurrence) and
+    reassemble the cleaned text -- the within-doc complement to
+    ``segment_dedup``'s corpus-wide survivorship, and the "remove repeated
+    spans" cleanup step of C4-style pipelines (template chrome, copy-paste
+    loops, degenerate generation output).
+
+    Shape: everything is keyed by the document -- posexplode, per-(doc,
+    seg) reassembly, first-occurrence selection per (doc, segment-text),
+    per-doc reassembly. No corpus-wide shuffle key exists anywhere, so the
+    operator scales with documents, not with cross-document collisions,
+    and skew is bounded by the longest single document.
+
+    Returns (id_col, CLEAN_TEXT, N_SEGMENTS, N_DUP_SEGMENTS); documents
+    with no tokens are dropped (no segments to clean)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+    pos = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
+    seg = (
+        pos.withColumn("__seg", (F.col("__pos") / k).cast("bigint"))
+        .groupBy(id_col, "__seg")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("__s")
+        )
+    )
+    firsts = seg.groupBy(id_col, "__s").agg(F.min("__seg").alias("__seg"))
+    cleaned = firsts.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__seg", "__s"))),
+                lambda s: s["__s"],
+            ),
+        ).alias("CLEAN_TEXT"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = seg.groupBy(id_col).agg(F.count(F.lit(1)).alias("N_SEGMENTS"))
+    return (
+        cleaned.join(totals, id_col)
+        .select(
+            id_col,
+            "CLEAN_TEXT",
+            F.col("N_SEGMENTS").cast("long").alias("N_SEGMENTS"),
+            (F.col("N_SEGMENTS") - F.col("__kept")).cast("long").alias("N_DUP_SEGMENTS"),
+        )
+    )

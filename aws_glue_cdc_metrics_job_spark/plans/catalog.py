@@ -79,6 +79,7 @@ GRADE_FIRST: list[str] = [
     "dq_orders_report",
     "emb_int8_quantize",
     "docs_token_budget_mix",
+    "docs_intra_doc_dedup",
     # -- changed in round 3: re-grade
     "docs_encode_ids",
     "events_json_props",
@@ -93,7 +94,6 @@ GRADE_FIRST: list[str] = [
     # keep their r2 rows as evidence)
     "mart_customer_rfm",
     "mart_customer_churn_profile",
-    "mart_loyalty_program_impact",
     "mart_location_performance",
     "mart_discount_effectiveness",
     "docs_dup_clusters",

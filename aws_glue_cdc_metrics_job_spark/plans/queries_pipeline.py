@@ -1084,3 +1084,38 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str):
         F.col("source").alias("SOURCE"),
         F.col("n_chars").cast("long").alias("N_TOKENS"),
     )
+
+
+@query(
+    "docs_intra_doc_dedup",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_NE} AS t FROM documents),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i*5+1):(i*5+5)], ' ') AS s
+  FROM tok, UNNEST(range(0, CAST(ceil(len(t) / 5.0) AS BIGINT))) AS u(i)
+  WHERE len(t) > 0
+),
+firsts AS (SELECT doc_id, s, MIN(seg_idx) AS seg_idx FROM seg GROUP BY 1, 2),
+re AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY seg_idx) AS CLEAN_TEXT,
+         COUNT(*) AS kept
+  FROM firsts GROUP BY 1
+),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM seg GROUP BY 1)
+SELECT re.doc_id AS DOC_ID, re.CLEAN_TEXT,
+       CAST(tot.n AS BIGINT) AS N_SEGMENTS,
+       CAST(tot.n - re.kept AS BIGINT) AS N_DUP_SEGMENTS
+FROM re JOIN tot ON re.doc_id = tot.doc_id
+""",
+)
+def q_docs_intra_doc_dedup(spark: SparkSession, sf_dir: str):
+    """Within-document repeated-segment removal (k=5 token chunks) with
+    order-preserving text reassembly (dedup.dedup_segments_within_doc).
+    The synthetic corpus's small vocabulary guarantees real intra-doc
+    repeats, so N_DUP_SEGMENTS is nonzero and CLEAN_TEXT actually shrinks."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup.dedup_segments_within_doc(docs, k=5)
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"), "CLEAN_TEXT", "N_SEGMENTS", "N_DUP_SEGMENTS"
+    )

@@ -285,3 +285,26 @@ def test_segment_dedup_deterministic_under_repartition(spark):
     a = {tuple(r) for r in segment_dedup(df, k=5).collect()}
     b = {tuple(r) for r in segment_dedup(df.repartition(7), k=5).collect()}
     assert a == b
+
+
+def test_dedup_segments_within_doc(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import dedup_segments_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            # k=2 segments: "a b"|"c d"|"a b"|"e" -> dup "a b" removed
+            (1, "a b c d a b e"),
+            (2, "x y x y x y"),   # "x y" three times -> one kept
+            (3, "p q r"),          # no repeats
+            (4, "   "),            # tokenless -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_segments_within_doc(docs, k=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["CLEAN_TEXT"] == "a b c d e"
+    assert (out[1]["N_SEGMENTS"], out[1]["N_DUP_SEGMENTS"]) == (4, 1)
+    assert out[2]["CLEAN_TEXT"] == "x y"
+    assert (out[2]["N_SEGMENTS"], out[2]["N_DUP_SEGMENTS"]) == (3, 2)
+    assert out[3]["CLEAN_TEXT"] == "p q r"
+    assert out[3]["N_DUP_SEGMENTS"] == 0
