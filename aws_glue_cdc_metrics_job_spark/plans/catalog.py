@@ -80,6 +80,7 @@ GRADE_FIRST: list[str] = [
     "emb_int8_quantize",
     "docs_token_budget_mix",
     "docs_intra_doc_dedup",
+    "events_variant_props",
     # -- changed in round 3: re-grade
     "docs_encode_ids",
     "events_json_props",
@@ -89,10 +90,10 @@ GRADE_FIRST: list[str] = [
     "docs_weighted_sample",
     "mart_customer_clv_segment",
     # -- representative re-confirmation spread (heaviest mechanisms; the
-    # four dropped r2-green entries order_revenue / fact_ltv_daily /
-    # pricing_summary / docs_exact_dedup made room for the round-3 ops and
-    # keep their r2 rows as evidence)
-    "mart_customer_rfm",
+    # dropped r2-green entries -- order_revenue, fact_ltv_daily,
+    # pricing_summary, docs_exact_dedup, mart_sales_trends_daily,
+    # mart_loyalty_program_impact, mart_customer_rfm -- made room for the
+    # round-3 ops and keep their r2 rows as evidence)
     "mart_customer_churn_profile",
     "mart_location_performance",
     "mart_discount_effectiveness",

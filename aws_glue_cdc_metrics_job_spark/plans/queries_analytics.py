@@ -332,3 +332,33 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str):
 
     ev = read_table(spark, sf_dir, "events")
     return retention_cohorts(ev, anchor_type="signup")
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+SELECT event_type AS EVENT_TYPE,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS MIN_K,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS MAX_K,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS N_HIGH
+FROM events GROUP BY 1
+""",
+)
+def q_events_variant_props(spark: SparkSession, sf_dir: str):
+    """Spark 4 VARIANT path for semi-structured props: parse_json once into
+    the binary variant encoding, then typed variant_get extractions -- the
+    shredded-access form that beats per-extraction string re-parsing when a
+    query touches multiple fields (here the parse is shared by all three
+    aggregates; with N get_json_object calls the JSON would be re-parsed N
+    times per row). Plan stays a scan-stage projection + one aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select(F.col("event_type"), k.alias("__k")).groupBy(
+        F.col("event_type").alias("EVENT_TYPE")
+    ).agg(
+        F.min("__k").alias("MIN_K"),
+        F.max("__k").alias("MAX_K"),
+        F.sum(F.when(F.col("__k") >= 50, 1).otherwise(0)).cast("long").alias("N_HIGH"),
+    )
