@@ -76,6 +76,10 @@ def any_column_differs(left_alias: str, right_alias: str, cols: list[str], null_
     compare to NULL and the row is silently dropped. ``null_safe=True`` uses
     the negated null-safe equality (IS DISTINCT FROM) instead;
     ``null_safe=False`` reproduces the reference for parity tests."""
+    if not cols:
+        # key-only table (e.g. a pure date dimension): rows with equal keys
+        # are identical, so nothing can ever classify as an update
+        return F.lit(False)
     if null_safe:
         terms = [~F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}")) for c in cols]
     else:

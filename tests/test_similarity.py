@@ -190,10 +190,11 @@ def test_int8_quantize_roundtrip(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {r["vec_id"]: r for r in int8_quantize(df).collect()}
     assert out[0]["AMAX"] == 1.0
-    # extremes map to +-127, halves round toward +inf: floor(0.25*127+0.5)=32
-    assert out[0]["Q"] == [127, -64, 32, 0]
+    # extremes map to +-127; halves round toward +inf by design (so the
+    # codes agree bit-for-bit across engines): floor(-63.5+0.5) = -63
+    assert out[0]["Q"] == [127, -63, 32, 0]
     assert out[1]["AMAX"] == 0.0 and out[1]["Q"] == [0, 0, 0, 0]
-    assert out[2]["Q"] == [-127, 127, 64, -64]
+    assert out[2]["Q"] == [-127, 127, 64, -63]
     # dequantization error bounded by half a step
     import numpy as np
 
