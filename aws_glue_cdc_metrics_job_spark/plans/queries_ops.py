@@ -782,7 +782,7 @@ def q_scd2_user_dim(spark: SparkSession, sf_dir: str):
 WITH dim AS ({_SCD2_SQL})
 SELECT PROFILE_TYPE,
        COUNT(*) AS N_ACTIVE,
-       {sql_rhu("SUM(PROFILE_VALUE)", 2)} AS SUM_VALUE
+       {sql_dsum("PROFILE_VALUE", 2)} AS SUM_VALUE
 FROM dim
 WHERE VALID_FROM <= TIMESTAMP '2024-01-20 00:00:00'
   AND (VALID_TO IS NULL OR VALID_TO > TIMESTAMP '2024-01-20 00:00:00')
@@ -799,7 +799,9 @@ def q_scd2_active_at(spark: SparkSession, sf_dir: str):
     at = scd2_snapshot_at(dim, "2024-01-20 00:00:00")
     return at.groupBy(F.col("event_type").alias("PROFILE_TYPE")).agg(
         F.count(F.lit(1)).alias("N_ACTIVE"),
-        rhu(F.sum("value"), 2).alias("SUM_VALUE"),
+        # value is an exact 2-decimal column; decimal sum is order-
+        # independent where a rounded double SUM could flake near a tie
+        dsum("value", 2).alias("SUM_VALUE"),
     )
 
 

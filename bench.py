@@ -45,6 +45,8 @@ HEADLINE = [
     "docs_segment_dedup",
     "docs_pii_scrub",
     "docs_exact_dedup",
+    "docs_intra_doc_dedup",
+    "docs_token_budget_mix",
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard_pairs",
     "docs_simhash",
