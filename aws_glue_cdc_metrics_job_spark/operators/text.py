@@ -365,3 +365,153 @@ def encode_token_ids(
         )
         .withColumn("N_TOKENS", F.size("TOKEN_IDS").cast("long"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model surprisal per document -- the CCNet-style
+    "perplexity" quality signal, with the LM trained on the corpus itself:
+    a document whose tokens are globally rare scores high (junk, noise,
+    wrong language); formulaic text scores low.
+
+    score(doc) = mean over token occurrences of -ln(count(tok) / total)
+
+    Shape: one token explode feeding BOTH the corpus frequency table (hash
+    agg with map-side partial collapse -- vocab-sized result, typically
+    broadcastable back) and the per-doc stream; one join on the token, one
+    per-doc aggregation. No driver state, no UDFs.
+
+    Determinism: each token's surprisal is rounded half-up to 9 places and
+    summed as an exact decimal, so the per-doc mean is independent of
+    partition/accumulation order in any engine (functions/numeric.py
+    rationale); the mean is reported at 6 places.
+
+    Returns (id_col, N_TOKENS, AVG_NEG_LOGPROB); token-less docs are
+    dropped (no occurrences to average)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").alias("__total"))
+    srp = rhu(F.log(F.col("__total")) - F.log(F.col("__cnt")), 9)
+    scored = (
+        toks.join(freq, "__tok")
+        .join(F.broadcast(total))
+        .withColumn("__srp", srp.cast("decimal(28,9)"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("N_TOKENS"),
+        rhu(
+            (F.sum("__srp").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("AVG_NEG_LOGPROB"),
+    )
+
+
+# --- byte-pair-encoding: distributed pair counting + iterative merge
+# training. The symbol tables live in DataFrames; only the single winning
+# pair per round crosses to the driver (a scalar, like the k-means
+# convergence witness).
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct normalized words with corpus multiplicities -- BPE's
+    working set. All downstream per-round work is proportional to the
+    DISTINCT vocabulary, not the corpus (the classic BPE trick)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("WORD"))
+        .groupBy("WORD")
+        .agg(F.count(F.lit(1)).alias("N"))
+    )
+
+
+def bpe_pair_counts(word_counts: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the initial character
+    alphabet, weighted by word multiplicity. One index explode over
+    distinct words + one hash agg.
+
+    Returns (LEFT_SYM, RIGHT_SYM, N_PAIRS)."""
+    w = F.col("WORD")
+    idx = F.explode(F.sequence(F.lit(1), F.length(w) - 1)).alias("__i")
+    pairs = word_counts.filter(F.length(w) >= 2).select(
+        w, F.col("N"), idx
+    )
+    return (
+        pairs.select(
+            w.substr(F.col("__i"), F.lit(1)).alias("LEFT_SYM"),
+            w.substr(F.col("__i") + 1, F.lit(1)).alias("RIGHT_SYM"),
+            F.col("N"),
+        )
+        .groupBy("LEFT_SYM", "RIGHT_SYM")
+        .agg(F.sum("N").cast("long").alias("N_PAIRS"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges on the corpus. Each round: count
+    adjacent symbol pairs over the (distinct-word, multiplicity) table,
+    pick the most frequent (ties broken lexicographically for determinism),
+    and apply the merge left-to-right non-overlapping within every word --
+    standard BPE semantics (Sennrich et al. 2016, public algorithm).
+
+    Distribution: the symbol table stays a DataFrame throughout; the merge
+    application is an Arrow ``mapInPandas`` over symbol arrays (per-row
+    Python on DISTINCT WORDS only, the working set BPE is designed to keep
+    small); each round localCheckpoints to truncate lineage like the
+    k-means/clustering loops. Only the argmax pair (one row) is collected
+    per round. Stops early when no pair reaches ``min_pair_count``."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = bpe_word_counts(df, text_col).filter(F.length("WORD") >= 2)
+    # split keeps a trailing empty match (Spark split uses limit -1); drop it
+    syms = words.select(
+        "N",
+        F.filter(F.split(F.col("WORD"), "(?!^)"), lambda s: s != "").alias("SYMS"),
+    ).localCheckpoint()
+
+    out_schema = "N long, SYMS array<string>"
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts = (
+            syms.select(
+                "N",
+                F.explode(
+                    F.expr(
+                        "transform(slice(SYMS, 1, size(SYMS) - 1),"
+                        " (s, i) -> struct(s as l, SYMS[i + 1] as r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("N").alias("c"))
+            .filter(F.col("c") >= min_pair_count)
+        )
+        top = pair_counts.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                merged_col = []
+                for syms_arr in pdf["SYMS"]:
+                    out, i, n = [], 0, len(syms_arr)
+                    while i < n:
+                        if i + 1 < n and syms_arr[i] == _l and syms_arr[i + 1] == _r:
+                            out.append(_l + _r)
+                            i += 2
+                        else:
+                            out.append(syms_arr[i])
+                            i += 1
+                    merged_col.append(out)
+                yield pd.DataFrame({"N": pdf["N"], "SYMS": merged_col})
+
+        syms = syms.mapInPandas(apply_merge, schema=out_schema).localCheckpoint()
+    return merges

@@ -81,6 +81,8 @@ GRADE_FIRST: list[str] = [
     "docs_token_budget_mix",
     "docs_intra_doc_dedup",
     "events_variant_props",
+    "docs_unigram_logprob",
+    "docs_bpe_pair_counts",
     # -- changed in round 3: re-grade
     "docs_encode_ids",
     "events_json_props",
@@ -90,12 +92,10 @@ GRADE_FIRST: list[str] = [
     "docs_weighted_sample",
     "mart_customer_clv_segment",
     # -- representative re-confirmation spread (heaviest mechanisms; the
-    # dropped r2-green entries -- order_revenue, fact_ltv_daily,
-    # pricing_summary, docs_exact_dedup, mart_sales_trends_daily,
-    # mart_loyalty_program_impact, mart_customer_rfm -- made room for the
-    # round-3 ops and keep their r2 rows as evidence)
-    "mart_customer_churn_profile",
-    "mart_location_performance",
+    # dropped r2-green unchanged entries -- order_revenue, fact_ltv_daily,
+    # pricing_summary, docs_exact_dedup, the sales-trends/loyalty/rfm/
+    # churn/location marts -- made room for the 12 queries new in round 3
+    # and keep their r2 rows as evidence)
     "mart_discount_effectiveness",
     "docs_dup_clusters",
     "docs_curation_pipeline",

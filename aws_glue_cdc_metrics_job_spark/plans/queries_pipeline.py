@@ -1119,3 +1119,62 @@ def q_docs_intra_doc_dedup(spark: SparkSession, sf_dir: str):
     return out.select(
         F.col("doc_id").alias("DOC_ID"), "CLEAN_TEXT", "N_SEGMENTS", "N_DUP_SEGMENTS"
     )
+
+
+@query(
+    "docs_unigram_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_NE}) AS tk FROM documents),
+freq AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+s AS (
+  SELECT tok.doc_id,
+         {sql_rhu("ln(tot.total) - ln(freq.cnt)", 9)} AS srp
+  FROM tok JOIN freq USING (tk), tot
+)
+SELECT doc_id AS DOC_ID,
+       CAST(COUNT(*) AS BIGINT) AS N_TOKENS,
+       {sql_rhu("CAST(SUM(CAST(srp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)", 6)}
+         AS AVG_NEG_LOGPROB
+FROM s GROUP BY 1
+""",
+)
+def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str):
+    """CCNet-style unigram-LM surprisal per document (text.unigram_logprob):
+    corpus-trained token frequencies, mean -ln p over occurrences. Ranked
+    high = rare-token/noisy docs. Per-token surprisal rounded then summed
+    as exact decimal so the mean is accumulation-order-independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = text.unigram_logprob(docs)
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"),
+        F.col("N_TOKENS").cast("long").alias("N_TOKENS"),
+        "AVG_NEG_LOGPROB",
+    )
+
+
+@query(
+    "docs_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({_TOKS_NE}) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY 1),
+pairs AS (
+  SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r, n
+  FROM wc, UNNEST(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+)
+SELECT l AS LEFT_SYM, r AS RIGHT_SYM, CAST(SUM(n) AS BIGINT) AS N_PAIRS
+FROM pairs GROUP BY 1, 2
+""",
+)
+def q_docs_bpe_pair_counts(spark: SparkSession, sf_dir: str):
+    """Round 0 of BPE training made observable: adjacent character-pair
+    frequencies over the distinct-word table, weighted by multiplicity
+    (text.bpe_pair_counts). The iterative trainer (text.bpe_train) builds
+    on this count step; its merge sequence is pinned against an
+    independent reference implementation in tests/test_text.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    wc = text.bpe_word_counts(docs)
+    return text.bpe_pair_counts(wc)

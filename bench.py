@@ -46,6 +46,7 @@ HEADLINE = [
     "docs_pii_scrub",
     "docs_exact_dedup",
     "docs_intra_doc_dedup",
+    "docs_unigram_logprob",
     "docs_token_budget_mix",
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard_pairs",

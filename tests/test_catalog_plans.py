@@ -32,6 +32,8 @@ BOUNDED_BROADCAST_OK = {
     "emb_ivf_topk": (1, "bounded query-set x centroids probe scoring"),
     # BM25 crosses each per-term hit row with the ONE-ROW (N, avgdl) frame
     "docs_bm25_topk": (1, "1-row corpus-stats frame (text.bm25_topk)"),
+    # unigram LM crosses the token stream with the ONE-ROW total-count frame
+    "docs_unigram_logprob": (1, "1-row corpus-total frame (text.unigram_logprob)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")

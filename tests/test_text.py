@@ -198,3 +198,91 @@ def test_scrub_pii_order_ip_before_phone(spark):
     df = spark.createDataFrame([(1, "tel +1 555-0142 ip 10.0.3.7 end")], "doc_id long, text string")
     got = text.scrub_pii(df).collect()[0]["SCRUBBED"]
     assert got == "tel <PHONE> ip <IPV4> end"
+
+
+class TestBpe:
+    @staticmethod
+    def _ref_bpe(word_counts, n_merges, min_pair_count=2):
+        """Independent reference BPE (pure Python, standard algorithm):
+        per round count adjacent pairs over (distinct word, multiplicity),
+        merge the max (ties: lexicographically smallest pair), repeat."""
+        syms = {w: [c for c in w] for w in word_counts}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for w, n in word_counts.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + n
+            counts = {p: c for p, c in counts.items() if c >= min_pair_count}
+            if not counts:
+                break
+            best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+            merges.append(best)
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    def test_train_matches_reference(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import bpe_train
+
+        corpus = (
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        )
+        docs = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(corpus)], "doc_id long, text string"
+        )
+        wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        got = bpe_train(docs, n_merges=6)
+        want = self._ref_bpe(wc, 6)
+        assert got == want
+        # the classic outcome: 'es','est' merges driven by newest+widest
+        assert ("e", "s") == got[0] and ("es", "t") == got[1]
+
+    def test_pair_counts(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import (
+            bpe_pair_counts,
+            bpe_word_counts,
+        )
+
+        docs = spark.createDataFrame([(0, "ab ab abc")], "doc_id long, text string")
+        wc = bpe_word_counts(docs)
+        got = {
+            (r["LEFT_SYM"], r["RIGHT_SYM"]): r["N_PAIRS"]
+            for r in bpe_pair_counts(wc).collect()
+        }
+        # distinct words: ab x2, abc x1 -> (a,b): 2+1, (b,c): 1
+        assert got == {("a", "b"): 3, ("b", "c"): 1}
+
+    def test_early_stop(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import bpe_train
+
+        docs = spark.createDataFrame([(0, "xy")], "doc_id long, text string")
+        # single occurrence < min_pair_count=2 -> no merges at all
+        assert bpe_train(docs, n_merges=3) == []
+
+
+def test_unigram_logprob_ranks_rare_docs(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the the"),        # all common
+            (1, "zzz qqq"),               # all rare
+            (2, "the zzz"),               # mixed
+            (3, "   "),                   # tokenless: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["N_TOKENS"] == 4
+    assert out[0]["AVG_NEG_LOGPROB"] < out[2]["AVG_NEG_LOGPROB"] < out[1]["AVG_NEG_LOGPROB"]
