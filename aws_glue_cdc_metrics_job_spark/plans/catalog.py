@@ -32,14 +32,16 @@ def query(name: str, oracle: str | None = None):
 # grading window (VERDICT r2 item 4): GRADE_FIRST puts
 # - the 28 entries the r2 window never reached (every remaining
 #   oracle-equipped query plus the 5 rows-only-by-design ops), then
+# - the 13 queries NEW in round 3 (scd2/dq/quantize/mix/intra-doc/variant/
+#   unigram/bpe/anomalies/incremental-agg/segment-dedup/pii), then
 # - a re-grade of every query whose implementation or oracle changed this
 #   round (encode-ids representation, json-props oracle cast, single-pass
 #   CDC diff, winnowing mod-2^31 hash, weighted-sample NULL policy,
 #   quantile flag), then
-# - a representative spread of the heaviest marts/operators,
-# so that r2 ∪ r3 gives every one of the 72 oracle-equipped entries a
-# green row of its own. Entries omitted here (all green in r2, code
-# untouched in r3) follow in definition order.
+# - two heavy composite re-confirmations,
+# so that r2 ∪ r3 gives every oracle-equipped entry a green row of its
+# own. Entries omitted here (all green in r2, code untouched in r3)
+# follow in definition order.
 GRADE_FIRST: list[str] = [
     # -- never graded before round 3 (r2 positions 50-77)
     "pricing_rollup",
@@ -83,6 +85,7 @@ GRADE_FIRST: list[str] = [
     "events_variant_props",
     "docs_unigram_logprob",
     "docs_bpe_pair_counts",
+    "events_daily_anomalies",
     # -- changed in round 3: re-grade
     "docs_encode_ids",
     "events_json_props",
@@ -91,12 +94,11 @@ GRADE_FIRST: list[str] = [
     "docs_winnow_fingerprints",
     "docs_weighted_sample",
     "mart_customer_clv_segment",
-    # -- representative re-confirmation spread (heaviest mechanisms; the
-    # dropped r2-green unchanged entries -- order_revenue, fact_ltv_daily,
-    # pricing_summary, docs_exact_dedup, the sales-trends/loyalty/rfm/
-    # churn/location marts -- made room for the 12 queries new in round 3
-    # and keep their r2 rows as evidence)
-    "mart_discount_effectiveness",
+    # -- heavy composite re-confirmations (the dropped r2-green unchanged
+    # entries -- order_revenue, fact_ltv_daily, pricing_summary,
+    # docs_exact_dedup, and the sales-trends/loyalty/rfm/churn/location/
+    # discount marts -- made room for the round-3 queries and keep their
+    # r2 rows as evidence)
     "docs_dup_clusters",
     "docs_curation_pipeline",
 ]

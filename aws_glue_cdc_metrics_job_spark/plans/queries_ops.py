@@ -896,3 +896,65 @@ def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str):
     )
     daily = distinct_sketch(ev, ["WEEK", "DAY"], "user_id")
     return rollup_sketches(daily, ["WEEK"])
+
+
+# --- metric-series monitoring (operators/monitoring.py): control-chart
+# z-score of each day's revenue vs its own trailing week, per event type.
+
+_ANOM_STD = "sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0))"
+
+_ANOM_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, {sql_dsum("value", 2)} AS rev
+  FROM events GROUP BY 1, 2
+),
+wnd AS (
+  SELECT event_type, d, rev,
+         CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(rev * rev AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s2,
+         COUNT(rev) OVER w AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT *,
+         CASE WHEN n >= 7 AND {_ANOM_STD} > 0
+              THEN {sql_rhu(f"(rev - s1 / n) / ({_ANOM_STD})", 6)} END AS z
+  FROM wnd
+)
+SELECT event_type AS EVENT_TYPE, d AS DAY, rev AS DAILY_REV,
+       CAST(n AS BIGINT) AS N_PRIOR,
+       CASE WHEN n >= 7 THEN {sql_rhu("s1 / n", 6)} END AS MEAN_PRIOR,
+       CASE WHEN n >= 7 THEN {sql_rhu(_ANOM_STD, 6)} END AS STD_PRIOR,
+       z AS ZSCORE,
+       CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS INTEGER) AS IS_ANOMALY
+FROM scored
+"""
+
+
+@query("events_daily_anomalies", oracle=_ANOM_SQL)
+def q_events_daily_anomalies(spark: SparkSession, sf_dir: str):
+    """Rolling 7-day control-chart anomalies on daily revenue per event
+    type (monitoring.rolling_zscore). Mean/variance derive from exact
+    decimal window sums so the scores are bit-reproducible cross-engine
+    (builtin windowed AVG/STDDEV are association-order-dependent)."""
+    from ..operators.monitoring import rolling_zscore
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("DAY")
+    ).agg(dsum("value", 2).alias("DAILY_REV"))
+    out = rolling_zscore(
+        daily, key_cols=["event_type"], ts_col="DAY", value_col="DAILY_REV", n=7
+    )
+    return out.select(
+        F.col("event_type").alias("EVENT_TYPE"),
+        "DAY",
+        "DAILY_REV",
+        "N_PRIOR",
+        "MEAN_PRIOR",
+        "STD_PRIOR",
+        "ZSCORE",
+        "IS_ANOMALY",
+    )

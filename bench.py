@@ -59,6 +59,7 @@ HEADLINE = [
     "docs_bm25_topk",
     "docs_encode_ids",
     "docs_weighted_sample",
+    "events_daily_anomalies",
     "events_funnel",
     "events_retention_cohorts",
     "emb_kmeans_update",
