@@ -651,3 +651,37 @@ def dedup_segments_within_doc(
             (F.col("N_SEGMENTS") - F.col("__kept")).cast("long").alias("N_DUP_SEGMENTS"),
         )
     )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: admit from an INCOMING batch only documents
+    whose content is new both within the batch and against a persisted
+    fingerprint ``index`` (a frame with a ``FINGERPRINT`` column -- the
+    accumulated digests of everything previously admitted). The incremental
+    complement to the full-corpus ``exact_dedup_groups``: a continuously-fed
+    corpus dedups each delivery in O(|batch| + index probe) instead of
+    rescanning the corpus, the same change-set-sized refresh discipline as
+    operators/maintenance.py and scd2_apply_increment.
+
+    Within-batch survivorship is min-id (deterministic); the index probe is
+    a left-anti join on the 32-char digest -- the document body never
+    shuffles, and at scale the index side is a bucketed-by-FINGERPRINT
+    table so the probe is co-located. Returns the admitted rows +
+    FINGERPRINT; appending that column to the index is the caller's
+    one-line state update.
+    """
+    fp = fingerprint(new_docs, text_col)
+    w_first = Window.partitionBy("FINGERPRINT").orderBy(id_col)
+    batch_first = (
+        fp.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return batch_first.join(
+        index.select("FINGERPRINT").dropDuplicates(), "FINGERPRINT", "left_anti"
+    )

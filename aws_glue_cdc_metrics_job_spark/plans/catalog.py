@@ -32,13 +32,14 @@ def query(name: str, oracle: str | None = None):
 # grading window (VERDICT r2 item 4): GRADE_FIRST puts
 # - the 28 entries the r2 window never reached (every remaining
 #   oracle-equipped query plus the 5 rows-only-by-design ops), then
-# - the 13 queries NEW in round 3 (scd2/dq/quantize/mix/intra-doc/variant/
-#   unigram/bpe/anomalies/incremental-agg/segment-dedup/pii), then
+# - the 14 queries NEW in round 3 (scd2/dq/quantize/mix/intra-doc/variant/
+#   unigram/bpe/anomalies/incremental-agg/incremental-dedup/segment-dedup/
+#   pii), then
 # - a re-grade of every query whose implementation or oracle changed this
 #   round (encode-ids representation, json-props oracle cast, single-pass
 #   CDC diff, winnowing mod-2^31 hash, weighted-sample NULL policy,
 #   quantile flag), then
-# - two heavy composite re-confirmations,
+# - the heaviest composite re-confirmation,
 # so that r2 ∪ r3 gives every oracle-equipped entry a green row of its
 # own. Entries omitted here (all green in r2, code untouched in r3)
 # follow in definition order.
@@ -86,6 +87,7 @@ GRADE_FIRST: list[str] = [
     "docs_unigram_logprob",
     "docs_bpe_pair_counts",
     "events_daily_anomalies",
+    "docs_incremental_dedup",
     # -- changed in round 3: re-grade
     "docs_encode_ids",
     "events_json_props",
@@ -99,7 +101,6 @@ GRADE_FIRST: list[str] = [
     # docs_exact_dedup, and the sales-trends/loyalty/rfm/churn/location/
     # discount marts -- made room for the round-3 queries and keep their
     # r2 rows as evidence)
-    "docs_dup_clusters",
     "docs_curation_pipeline",
 ]
 

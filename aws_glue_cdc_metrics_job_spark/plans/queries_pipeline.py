@@ -1178,3 +1178,32 @@ def q_docs_bpe_pair_counts(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     wc = text.bpe_word_counts(docs)
     return text.bpe_pair_counts(wc)
+
+
+@query(
+    "docs_incremental_dedup",
+    oracle=f"""
+WITH fp AS (SELECT doc_id, source, md5({_NORM}) AS FINGERPRINT FROM documents),
+index_fp AS (SELECT DISTINCT FINGERPRINT FROM fp WHERE doc_id % 3 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+batch_first AS (
+  SELECT * FROM batch
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY FINGERPRINT ORDER BY doc_id) = 1
+)
+SELECT b.doc_id AS DOC_ID, b.source AS SOURCE, b.FINGERPRINT
+FROM batch_first b ANTI JOIN index_fp i ON b.FINGERPRINT = i.FINGERPRINT
+""",
+)
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str):
+    """Incremental corpus dedup (dedup.exact_dedup_incremental): docs with
+    doc_id%3==0 play the persisted fingerprint index; the rest arrive as
+    the incoming batch, deduped within itself (min-id survivor) and
+    against the index -- the delivery-sized refresh path, no corpus
+    rescan."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    index = dedup.fingerprint(docs.filter(F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.exact_dedup_incremental(batch, index)
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"), F.col("source").alias("SOURCE"), "FINGERPRINT"
+    )

@@ -308,3 +308,33 @@ def test_dedup_segments_within_doc(spark):
     assert (out[2]["N_SEGMENTS"], out[2]["N_DUP_SEGMENTS"]) == (3, 2)
     assert out[3]["CLEAN_TEXT"] == "p q r"
     assert out[3]["N_DUP_SEGMENTS"] == 0
+
+
+def test_exact_dedup_incremental(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import (
+        exact_dedup_incremental,
+        fingerprint,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    index = fingerprint(existing)
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),  # normalizes to an indexed fingerprint: rejected
+            (11, "delta"),         # new: admitted
+            (12, "delta"),         # dup within batch: rejected (11 is min id)
+            (13, "epsilon"),       # new: admitted
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in exact_dedup_incremental(batch, index).collect()}
+    assert got == {11, 13}
+    # two successive increments == one combined increment (associativity)
+    b1, b2 = batch.filter("doc_id <= 11"), batch.filter("doc_id >= 12")
+    a1 = exact_dedup_incremental(b1, index)
+    idx2 = index.select("FINGERPRINT").union(a1.select("FINGERPRINT"))
+    a2 = exact_dedup_incremental(b2, idx2)
+    stepwise = {r["doc_id"] for r in a1.collect()} | {r["doc_id"] for r in a2.collect()}
+    assert stepwise == got
