@@ -45,6 +45,7 @@ HEADLINE = [
     "docs_segment_dedup",
     "docs_pii_scrub",
     "docs_exact_dedup",
+    "docs_incremental_dedup",
     "docs_intra_doc_dedup",
     "docs_unigram_logprob",
     "docs_token_budget_mix",

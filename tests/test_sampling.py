@@ -201,3 +201,30 @@ class TestTokenBudgetMix:
             spec = m.group(1)
             if "__h" in spec:  # the boundary-bucket cumulative window
                 assert "__b" in spec, plan
+
+    def test_equals_plain_greedy_prefix_spec(self, spark):
+        """The bucket-histogram implementation must select EXACTLY the rows
+        of the semantic spec: per source, walk rows in (md5-hash, key)
+        order and keep while the running token total stays within budget
+        -- computed here independently in pure Python."""
+        import hashlib
+
+        budgets = {"s0": 700, "s1": 1500, "s2": 3}
+        rows = self._docs(spark).collect()
+        want = set()
+        for src in budgets:
+            pool = [r for r in rows if r["source"] == src]
+            pool.sort(
+                key=lambda r: (
+                    hashlib.md5(f"{r['doc_id']}|t".encode()).hexdigest()[:8],
+                    str(r["doc_id"]),
+                )
+            )
+            acc = 0
+            for r in pool:
+                if acc + r["n_tok"] > budgets[src]:
+                    break
+                acc += r["n_tok"]
+                want.add(r["doc_id"])
+        got = {r["doc_id"] for r in self._mix(spark, budgets).collect()}
+        assert got == want
