@@ -712,6 +712,42 @@ def rp_lsh_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by nearest centroid, call two
+    vectors semantic duplicates when their within-cluster cosine is >=
+    ``threshold``, and keep one representative per duplicate set.
+
+    Survivor policy: deterministic greedy min-id -- a vector is dropped iff
+    it has an above-threshold neighbor with a SMALLER id in its cell (the
+    pair stream from :func:`cosine_dup_pairs` is already oriented
+    ID_A < ID_B, so the drop set is exactly ``distinct(ID_B)``). Greedy
+    min-id rather than connected components: one anti-join instead of an
+    iterative fixpoint, and for near-duplicate thresholds the two policies
+    coincide except on chains a~b~c where a!~c (the paper's policy also
+    collapses whole clusters of mutual duplicates to one exemplar).
+    For transitive-closure survivorship compose :func:`~.dedup.dup_clusters`
+    over the pair stream instead.
+
+    Scale shape: inherits cosine_dup_pairs' blocking -- one broadcast
+    assign pass + one CELL-keyed shuffle; the quadratic verify never leaves
+    a cell. The anti-join shuffles only (id) pairs. Cross-cell duplicates
+    are missed by construction (raise the centroid count to trade off);
+    that is the published algorithm's own approximation.
+
+    Returns the surviving corpus rows, all columns passed through."""
+    pairs = cosine_dup_pairs(corpus, centroids, threshold, id_col, vec_col, dim)
+    losers = pairs.select(F.col("ID_B").alias(id_col)).distinct()
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def int8_quantize(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -421,6 +421,49 @@ def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str):
     return similarity.cosine_dup_pairs(emb, centroids, threshold=0.35)
 
 
+@query(
+    "emb_semantic_dedup",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS CELL, v AS cv FROM e WHERE vec_id % 31 = 1),
+scored AS (
+  SELECT e.vec_id, cents.CELL,
+         FLOOR((list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS sim
+  FROM e, cents
+),
+cells AS (
+  SELECT vec_id, CELL FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, CELL) = 1
+),
+losers AS (
+  SELECT DISTINCT b.vec_id AS ID_B
+  FROM cells a
+  JOIN cells b ON a.CELL = b.CELL AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE FLOOR((list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))))
+           * 1000000 + 0.5) / 1000000 >= 0.35
+)
+SELECT e.vec_id, e.label
+FROM e LEFT JOIN losers ON e.vec_id = losers.ID_B
+WHERE losers.ID_B IS NULL
+""",
+)
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str):
+    """SemDeDup survivors (arXiv:2303.09540): IVF-cell-blocked cosine
+    pairs + greedy min-id survivorship. Shares the emb_cosine_dup_pairs
+    blocking; the oracle replays the pair stream and anti-joins the
+    distinct higher-id ends."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.semantic_dedup(emb, centroids, threshold=0.35).select("vec_id", "label")
+
+
 @query("emb_cosine_topk_fast")  # no oracle: numpy matmul summation order differs in last ulp
 def q_emb_cosine_topk_fast(spark: SparkSession, sf_dir: str):
     """Arrow/numpy mapInPandas fast path for exact top-k (rows-only check;

@@ -67,6 +67,7 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_cosine_topk_fast",
     "emb_cosine_dup_pairs",
+    "emb_semantic_dedup",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

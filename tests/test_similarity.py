@@ -95,6 +95,41 @@ def test_cosine_dup_pairs_blocked(vectors):
         assert r["ID_A"] % 3 == r["ID_B"] % 3  # only within-cluster (within-cell) pairs
 
 
+def test_semantic_dedup_min_id_survivorship(vectors):
+    rows, df = vectors
+    centroids = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pairs = similarity.cosine_dup_pairs(df, centroids, threshold=0.9).collect()
+    survivors = {
+        r["vec_id"] for r in similarity.semantic_dedup(df, centroids, threshold=0.9).collect()
+    }
+    dropped = {i for i, _ in rows} - survivors
+    # exactly the higher-id ends of the pair stream are dropped
+    assert dropped == {r["ID_B"] for r in pairs}
+    assert dropped, "clustered fixture should drop semantic duplicates"
+    # every dropped vector has a surviving-or-dropped smaller-id duplicate;
+    # every survivor has NO smaller-id duplicate at all
+    smaller_dup = {r["ID_B"]: r["ID_A"] for r in pairs}
+    for i in dropped:
+        assert smaller_dup[i] < i
+    for i in survivors:
+        assert i not in smaller_dup
+    # all corpus columns pass through
+    out_cols = similarity.semantic_dedup(df, centroids, threshold=0.9).columns
+    assert out_cols == df.columns
+
+
+def test_semantic_dedup_no_pairs_keeps_everything(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = df.select(F.col("vec_id").alias("centroid_id"), "embedding")
+    out = similarity.semantic_dedup(df, cents, threshold=0.99)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 2]
+
+
 # --- random-hyperplane LSH
 
 
