@@ -517,6 +517,98 @@ def simhash_near_pairs(
     return intra.unionByName(cross)
 
 
+def _one_deletions(c: F.Column) -> F.Column:
+    """All strings obtained by deleting exactly ONE character from ``c``
+    (array<string>; empty array for the empty string). Codepoint-correct:
+    substring/length count characters, not bytes."""
+    return F.when(F.length(c) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                F.substring(c, F.lit(1), i - 1), F.substring(c, i + 1, F.length(c))
+            ),
+        )
+    )
+
+
+def deletion_neighborhood(c: F.Column, max_dist: int = 1) -> F.Column:
+    """The symmetric-delete neighborhood: every string obtainable from ``c``
+    by deleting up to ``max_dist`` characters, the string itself included,
+    distinct. |neighborhood| is O(len^d) -- intended for short join keys
+    (titles, names), not document bodies."""
+    nb = F.array(c)
+    frontier = F.array(c)
+    for _ in range(max_dist):
+        frontier = F.array_distinct(F.flatten(F.transform(frontier, _one_deletions)))
+        nb = F.array_distinct(F.concat(nb, frontier))
+    return nb
+
+
+def fuzzy_key_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance self-join: pairs of rows whose ``key_col`` strings are
+    within Levenshtein distance ``max_dist``, without an all-pairs compare.
+
+    Candidate generation is the symmetric-delete scheme (the public
+    SymSpell algorithm): two strings with ``lev(A,B) <= d`` always share a
+    member of their up-to-``d``-deletion neighborhoods (each edit costs at
+    most one deletion on one side to reach a common subsequence), so the
+    equi-join on exploded deletion variants has **exact recall**; a
+    codegen ``levenshtein() <= d`` verify removes the false positives
+    (neighborhood overlap only bounds the distance by 2d).
+
+    Scale shape mirrors :func:`simhash_near_pairs`: the variant join runs
+    on DISTINCT keys (duplicate-heavy corpora collapse to few keys, and
+    doc-level variants would put a popular key's quadratic pair expansion
+    into single shuffle partitions); equal-key (distance-0) member pairs
+    expand through a salted self-join on the key, cross-key pairs by
+    joining the verified key-pair table back to members per side. The
+    variant explosion is O(len^d) rows per distinct key -- use short
+    normalized keys and d in {1, 2}.
+
+    Returns (ID_A, ID_B, DISTANCE) with ID_A < ID_B, one row per pair."""
+    keys = df.select(F.col(id_col), F.col(key_col)).filter(F.col(key_col).isNotNull())
+    dk = keys.select(key_col).distinct()
+    variants = dk.select(
+        F.col(key_col), F.explode(deletion_neighborhood(F.col(key_col), max_dist)).alias("__v")
+    )
+    a = variants.select(F.col(key_col).alias("KEY_A"), "__v")
+    b = variants.select(F.col(key_col).alias("KEY_B"), "__v")
+    key_pairs = (
+        a.join(b, "__v")
+        .filter(F.col("KEY_A") < F.col("KEY_B"))
+        .select("KEY_A", "KEY_B")
+        .distinct()
+        .withColumn("DISTANCE", F.levenshtein("KEY_A", "KEY_B").cast("long"))
+        .filter(F.col("DISTANCE") <= max_dist)
+    )
+    intra = (
+        salted_join(
+            keys.select(F.col(id_col).alias("ID_A"), key_col),
+            keys.select(F.col(id_col).alias("ID_B"), key_col),
+            [key_col],
+        )
+        .filter(F.col("ID_A") < F.col("ID_B"))
+        .select("ID_A", "ID_B", F.lit(0).cast("long").alias("DISTANCE"))
+    )
+    mem_a = keys.select(F.col(key_col).alias("KEY_A"), F.col(id_col).alias("__ma"))
+    mem_b = keys.select(F.col(key_col).alias("KEY_B"), F.col(id_col).alias("__mb"))
+    cross = (
+        key_pairs.join(mem_a, "KEY_A")
+        .join(mem_b, "KEY_B")
+        .select(
+            F.least("__ma", "__mb").alias("ID_A"),
+            F.greatest("__ma", "__mb").alias("ID_B"),
+            "DISTANCE",
+        )
+    )
+    return intra.unionByName(cross)
+
+
 def hamming_distance(a: str, b: str, bits: int = 32) -> F.Column:
     return F.expr(
         f"""aggregate(sequence(0, {bits - 1}), 0, (acc, i) ->

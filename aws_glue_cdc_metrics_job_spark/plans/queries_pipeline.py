@@ -240,6 +240,32 @@ def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "docs_fuzzy_key_pairs",
+    oracle="""
+WITH k AS (SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents)
+SELECT a.doc_id AS ID_A, b.doc_id AS ID_B,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS DISTANCE
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 1
+""",
+)
+def q_docs_fuzzy_key_pairs(spark: SparkSession, sf_dir: str):
+    """Edit-distance self-join on a normalized 24-char key: symmetric-delete
+    (SymSpell) blocking on distinct keys + levenshtein verify, exact recall.
+    The oracle brute-forces all id pairs (quadratic -- diagnostic scale
+    only); the engine's deletion-variant equi-join is the scale path. The
+    graded key is ASCII by fixture; cross-engine parity on non-ASCII keys
+    is impossible here because DuckDB's levenshtein counts bytes while the
+    engine (and Spark SQL) counts codepoints -- the unicode-correct
+    behavior is pinned engine-side in tests/test_dedup.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.lower(F.substring("text", 1, 24)).alias("key")
+    )
+    return dedup.fuzzy_key_pairs(keyed, id_col="doc_id", key_col="key", max_dist=1)
+
+
+@query(
     "docs_repetition",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),

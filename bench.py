@@ -68,6 +68,7 @@ HEADLINE = [
     "emb_cosine_topk_fast",
     "emb_cosine_dup_pairs",
     "emb_semantic_dedup",
+    "docs_fuzzy_key_pairs",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -338,3 +338,66 @@ def test_exact_dedup_incremental(spark):
     a2 = exact_dedup_incremental(b2, idx2)
     stepwise = {r["doc_id"] for r in a1.collect()} | {r["doc_id"] for r in a2.collect()}
     assert stepwise == got
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_pairs(rows, d):
+    return {
+        (ia, ib, _lev(ka, kb))
+        for ia, ka in rows
+        for ib, kb in rows
+        if ia < ib and _lev(ka, kb) <= d
+    }
+
+
+def test_fuzzy_key_pairs_matches_brute_force(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import fuzzy_key_pairs
+
+    rows = [
+        (1, "kitten"),
+        (2, "sitten"),
+        (3, "sittin"),
+        (4, "abc"),
+        (5, "abcd"),
+        (6, "xyz"),
+        (7, "kitten"),  # exact dup of 1
+        (8, ""),
+        (9, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    for d in (1, 2):
+        got = {
+            (r["ID_A"], r["ID_B"], r["DISTANCE"]) for r in fuzzy_key_pairs(df, max_dist=d).collect()
+        }
+        assert got == _brute_pairs(rows, d), f"mismatch at max_dist={d}"
+
+
+def test_fuzzy_key_pairs_unicode_codepoints(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import fuzzy_key_pairs
+
+    # é is one character: café->cafe is ONE edit, not the two a byte-based
+    # distance (e.g. DuckDB's levenshtein) would report.
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "cafe"), (3, "caffe")], "doc_id long, key string"
+    )
+    got = {(r["ID_A"], r["ID_B"], r["DISTANCE"]) for r in fuzzy_key_pairs(df, max_dist=1).collect()}
+    assert got == {(1, 2, 1), (2, 3, 1)}
+
+
+def test_fuzzy_key_pairs_null_keys_ignored(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import fuzzy_key_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "abc")], "doc_id long, key string"
+    )
+    got = {(r["ID_A"], r["ID_B"], r["DISTANCE"]) for r in fuzzy_key_pairs(df, max_dist=1).collect()}
+    assert got == {(1, 3, 0)}
