@@ -97,6 +97,36 @@ def stratified_hash_sample(
     return df.filter(h < thr)
 
 
+def group_top_k_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    k: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, chosen by md5 key-hash
+    rank -- the fixed-SIZE counterpart of ``stratified_hash_sample``'s
+    fixed-FRACTION draw. Balanced per-source subsets ("20 eval docs per
+    source") need a guaranteed count even when strata sizes are skewed or
+    unknown; ranking the same uniform hash draw keeps membership
+    reproducible, partitioning-independent, and nested (k'=k-1 picks a
+    subset of k's picks -- prefix-monotone like token_budget_mix).
+
+    One hash-partitioned sort per group via row_number; ties on the 32-bit
+    draw break by ``key_cols``, so the selection is total-ordered and
+    engine-portable. At scale Spark's rank-limit pushdown
+    (WindowGroupLimit, Spark 3.5+) filters each map partition to its local
+    top-k BEFORE the shuffle, so the exchange carries O(k x partitions)
+    rows per group, not the group -- pinned in tests/test_catalog_plans.py
+    terms by the physical plan containing WindowGroupLimit."""
+    from .relational import top_k_per_group
+
+    h = _bucket_hex(key_cols, seed)
+    return top_k_per_group(
+        df, group_cols, [h.asc(), *[F.col(c).asc() for c in key_cols]], k=k
+    )
+
+
 def weighted_hash_sample(
     df: DataFrame,
     weight_col: str,

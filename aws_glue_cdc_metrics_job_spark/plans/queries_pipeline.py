@@ -1000,6 +1000,31 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "docs_per_source_sample",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source,
+         SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|ps7'), 1, 8) AS hx
+  FROM documents
+)
+SELECT doc_id, source FROM h
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY hx, doc_id) <= 20
+""",
+)
+def q_docs_per_source_sample(spark: SparkSession, sf_dir: str):
+    """Balanced per-source subset: exactly min(20, |source|) docs per
+    source by md5 hash rank -- the fixed-SIZE sampling counterpart of the
+    fixed-fraction stratified draw. Spark's WindowGroupLimit pushdown
+    filters map partitions to their local top-20 before the shuffle."""
+    from ..operators.sampling import group_top_k_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return group_top_k_sample(
+        docs.select("doc_id", "source"), ["source"], ["doc_id"], k=20, seed="ps7"
+    )
+
+
 def _rp_oracle_sql(planes: int = 16, dim: int = 64, seed: str = "rp0") -> str:
     """Oracle dual of rp_lsh_signature, generated from the SAME Python
     constants (similarity.rp_constants) the Spark expression embeds."""

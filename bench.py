@@ -69,6 +69,7 @@ HEADLINE = [
     "emb_cosine_dup_pairs",
     "emb_semantic_dedup",
     "docs_fuzzy_key_pairs",
+    "docs_per_source_sample",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -228,3 +228,34 @@ class TestTokenBudgetMix:
                 want.add(r["doc_id"])
         got = {r["doc_id"] for r in self._mix(spark, budgets).collect()}
         assert got == want
+
+
+def test_group_top_k_sample_counts_and_nesting(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import group_top_k_sample
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k5 = group_top_k_sample(df, ["source"], ["doc_id"], k=5, seed="t")
+    by_src = {}
+    for r in k5.collect():
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # exact count per group, capped by group size
+    assert {s: len(v) for s, v in by_src.items()} == {"s0": 5, "s1": 5, "s2": 5, "tiny": 1}
+    # nested: k=3 picks are a subset of k=5 picks (same draw, same order)
+    k3 = group_top_k_sample(df, ["source"], ["doc_id"], k=3, seed="t")
+    for r in k3.collect():
+        assert r["doc_id"] in by_src[r["source"]]
+    # partitioning-independent: same membership after a hostile repartition
+    re = group_top_k_sample(df.repartition(7, "doc_id"), ["source"], ["doc_id"], k=5, seed="t")
+    assert {(r["source"], r["doc_id"]) for r in re.collect()} == {
+        (s, i) for s, v in by_src.items() for i in v
+    }
+
+
+def test_group_top_k_sample_rank_limit_pushdown(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import group_top_k_sample
+
+    df = spark.createDataFrame([(i, "s") for i in range(10)], "doc_id long, source string")
+    plan = group_top_k_sample(df, ["source"], ["doc_id"], k=2)._jdf.queryExecution().executedPlan().toString()
+    # map-side partial top-k before the exchange (Spark 3.5+ WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
