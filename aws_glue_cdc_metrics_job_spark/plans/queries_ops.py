@@ -308,6 +308,52 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "events_hopping_6h",
+    oracle=f"""
+WITH e AS (SELECT epoch_us(ts) AS us, event_type, user_id, value FROM events),
+w AS (
+  SELECT make_timestamp(unnest(range(us // 10800000000 - 1, us // 10800000000 + 1))
+                        * 10800000000) AS WINDOW_START,
+         event_type, user_id, value
+  FROM e
+)
+SELECT WINDOW_START, event_type AS EVENT_TYPE,
+       COUNT(*) AS N_EVENTS,
+       {sql_dsum("value", 2)} AS TOTAL_VALUE,
+       COUNT(DISTINCT user_id) AS N_USERS
+FROM w GROUP BY 1, 2
+""",
+)
+def q_events_hopping_6h(spark: SparkSession, sf_dir: str):
+    """Hopping (sliding) windows: 6-hour totals advancing every 3 hours --
+    each event lands in exactly window/slide = 2 overlapping windows. The
+    engine form is the built-in sliding `window()` (one explode to 2 rows
+    per event inside the scan stage, then a plain hash agg); the oracle
+    replays the same epoch-aligned window index math with
+    range()/unnest. Streaming sibling: streaming.tumbling_aggregate(
+    slide=...), parity pinned in tests/test_streaming.py."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"),
+            F.col("event_type").alias("EVENT_TYPE"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("N_EVENTS"),
+            dsum("value", 2).alias("TOTAL_VALUE"),
+            F.countDistinct("user_id").alias("N_USERS"),
+        )
+        .select(
+            F.col("w.start").alias("WINDOW_START"),
+            "EVENT_TYPE",
+            "N_EVENTS",
+            "TOTAL_VALUE",
+            "N_USERS",
+        )
+    )
+
+
 # --- C6 idiomatic: trailing-window comparison as single-pass conditional agg
 
 

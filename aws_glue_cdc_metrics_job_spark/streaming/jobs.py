@@ -46,13 +46,21 @@ def tumbling_aggregate(
     watermark: str = "1 hour",
     group_cols: list[str] | None = None,
     aggs: list | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """C5 as a real streaming window: event-time tumbling aggregation with a
+    """C5 as a real streaming window: event-time windowed aggregation with a
     lateness watermark bounding state. Output columns mirror the batch
-    events_tumbling_* queries (WINDOW_START + aggregates)."""
+    events_tumbling_* queries (WINDOW_START + aggregates).
+
+    ``slide`` turns the tumbling window into a HOPPING one (window length
+    ``window``, advancing every ``slide``): each event lands in
+    window/slide overlapping windows -- the streaming trailing-metrics
+    primitive ("6h totals refreshed every 3h"). State grows by the same
+    factor; the watermark still expires every window whose end passes."""
     aggs = aggs or [F.count(F.lit(1)).alias("N_EVENTS"), F.sum("value").alias("TOTAL_VALUE")]
     group_cols = group_cols or []
-    keys = [F.window(ts_col, window).alias("w")] + [F.col(c) for c in group_cols]
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    keys = [win.alias("w")] + [F.col(c) for c in group_cols]
     out = stream.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
     agg_names = [c for c in out.columns if c != "w" and c not in group_cols]
     return out.select(F.col("w.start").alias("WINDOW_START"), *group_cols, *agg_names)

@@ -60,6 +60,7 @@ HEADLINE = [
     "docs_bm25_topk",
     "docs_encode_ids",
     "docs_weighted_sample",
+    "events_hopping_6h",
     "events_daily_anomalies",
     "events_funnel",
     "events_retention_cohorts",

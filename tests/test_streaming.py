@@ -61,6 +61,34 @@ def test_tumbling_aggregate_matches_batch(spark, tmp_path, event_dir):
     assert got[D(2024, 1, 2, 9)] == (1, 3.0)
 
 
+def test_hopping_aggregate_matches_batch(spark, tmp_path, event_dir):
+    stream = S.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    _run_to_memory(
+        S.tumbling_aggregate(stream, window="2 hours", slide="1 hour", watermark="0 seconds"),
+        "hopping",
+        tmp_path,
+        output_mode="complete",
+    )
+    got = {
+        r["WINDOW_START"]: (r["N_EVENTS"], r["TOTAL_VALUE"])
+        for r in spark.sql("SELECT * FROM hopping").collect()
+    }
+    # each event appears in exactly window/slide = 2 overlapping windows
+    assert got[D(2024, 1, 1, 9)] == (3, 20.0)  # covers [9:00,11:00): events 1,2,dup
+    assert got[D(2024, 1, 1, 10)] == (3, 20.0)  # covers [10:00,12:00)
+    assert got[D(2024, 1, 1, 11)] == (1, 7.0)  # covers [11:00,13:00): event 3
+    assert got[D(2024, 1, 1, 12)] == (1, 7.0)
+    # batch parity: same plan shape over a static read of the same files
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .parquet(event_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("N"), F.sum("value").alias("V"))
+        .collect()
+    )
+    assert {r["w"]["start"]: (r["N"], r["V"]) for r in batch} == got
+
+
 def test_streaming_dedup_drops_watermark_duplicates(spark, tmp_path, event_dir):
     stream = S.read_event_stream(spark, event_dir, EVENT_SCHEMA)
     _run_to_memory(
