@@ -20,6 +20,8 @@ is pinned against exact countDistinct in unit tests.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +66,104 @@ def estimate(sketches: DataFrame, estimate_col: str = "APPROX_DISTINCT") -> Data
     """Attach the point estimate to a sketch frame (no re-aggregation)."""
     return sketches.withColumn(
         estimate_col, F.hll_sketch_estimate(F.col(SKETCH_COL)).cast("long")
+    )
+
+
+def _gamma(alpha: float) -> float:
+    if not 0 < alpha < 1:
+        raise ValueError(f"relative accuracy alpha must be in (0,1), got {alpha}")
+    return (1 + alpha) / (1 - alpha)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Per-group mergeable quantile sketch with relative-error guarantee
+    ``alpha`` -- the quantile counterpart of :func:`distinct_sketch`, after
+    the published DDSketch design (Masson, Rim, Lee, VLDB 2019): values map
+    to logarithmic bins ``ceil(log_gamma |x|)`` with ``gamma =
+    (1+alpha)/(1-alpha)``, so every value in a bin is within ``alpha``
+    relative error of the bin's representative. Negatives go to a mirrored
+    store, zero to its own bin (the full-range layout from the paper).
+
+    Exact grouped `percentile` buffers every value per group through the
+    shuffle; the sketch is ONE hash aggregation over (group, bin) -- bin
+    cardinality is O(log(range)/alpha) per group (~1.4k bins for
+    [1e-9,1e9] at alpha=1%), independent of row count. Stored per
+    fine-grain group, any coarser grain or arbitrary date range is an
+    integer-sum merge of the stored rows (:func:`merge_quantile_sketches`)
+    -- raw data never rescanned, and merged == direct-from-raw EXACTLY
+    (same integer bin counts, pinned in tests), not just approximately.
+
+    Returns (group_cols..., SIGN int, SIGNED_BIN int, N long) where
+    SIGNED_BIN ascends with the value within each sign class (mirrored for
+    negatives), so (SIGN, SIGNED_BIN) is the quantile sort key."""
+    g = _gamma(alpha)
+    v = F.col(value_col).cast("double")
+    sign = F.when(v > 0, 1).when(v < 0, -1).otherwise(0)
+    bin_abs = F.when(v == 0, F.lit(0)).otherwise(
+        F.ceil(F.log(F.abs(v)) / F.lit(math.log(g))).cast("int")
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(
+            *group_cols,
+            sign.cast("int").alias("SIGN"),
+            (sign * bin_abs).cast("int").alias("SIGNED_BIN"),
+        )
+        .agg(F.count(F.lit(1)).alias("N"))
+    )
+
+
+def merge_quantile_sketches(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate stored sketches to a coarser grain: integer bin-count
+    sums -- lossless, associative, commutative. Input is the tiny sketch
+    table, not raw data."""
+    return sketches.groupBy(*group_cols, "SIGN", "SIGNED_BIN").agg(F.sum("N").alias("N"))
+
+
+def quantile_estimates(
+    sketches: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    alpha: float = 0.01,
+    q_col: str = "Q",
+    est_col: str = "VALUE_EST",
+) -> DataFrame:
+    """Per-group quantile point estimates from a sketch frame: one row per
+    (group, q). Rank r = floor(q*(n-1)) locates the bin by cumulative count
+    in (SIGN, SIGNED_BIN) order; the estimate is the bin's gamma-midpoint
+    representative ``sign * 2*gamma^bin/(gamma+1)``, within ``alpha``
+    relative error of the true order statistic (DDSketch guarantee). All
+    work runs on the sketch table -- a window cumsum plus one small join."""
+    g = _gamma(alpha)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("SIGN", "SIGNED_BIN")
+    cum = sketches.withColumn("__CUM", F.sum("N").over(w))
+    targets = (
+        sketches.groupBy(*group_cols)
+        .agg(F.sum("N").alias("__TOT"))
+        .select(
+            *group_cols,
+            "__TOT",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias(q_col),
+        )
+        .withColumn("__RANK", F.floor(F.col(q_col) * (F.col("__TOT") - 1)) + 1)
+    )
+    bin_abs = F.col("SIGN") * F.col("SIGNED_BIN")
+    rep = F.col("SIGN") * 2.0 * F.pow(F.lit(g), bin_abs) / F.lit(g + 1.0)
+    hit = cum.join(targets, list(group_cols)).filter(F.col("__CUM") >= F.col("__RANK"))
+    return (
+        hit.groupBy(*group_cols, q_col)
+        .agg(
+            F.min_by(
+                rep, F.struct(F.col("SIGN"), F.col("SIGNED_BIN"))
+            ).alias(est_col)
+        )
     )
 
 

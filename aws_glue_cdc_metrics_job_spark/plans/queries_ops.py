@@ -944,6 +944,32 @@ def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str):
     return rollup_sketches(daily, ["WEEK"])
 
 
+@query("events_quantile_sketch_rollup")  # rows-only: ln() last-ulp binning engine-specific
+def q_events_quantile_sketch_rollup(spark: SparkSession, sf_dir: str):
+    """Weekly p50/p95/p99 of event value answered by integer-summing stored
+    per-day DDSketch-style log-bin sketches (operators/sketches.py) -- the
+    quantile counterpart of the HLL rollup zone: arbitrary-range
+    percentiles without rescanning raw data or buffering per-group value
+    lists. Rows-only: a value exactly on a log-bin boundary can land in
+    the adjacent bin under another engine's ln() rounding; the alpha
+    relative-error contract and merged==direct EXACT equivalence are
+    pinned in tests/test_sketches.py."""
+    from ..operators.sketches import (
+        merge_quantile_sketches,
+        quantile_estimates,
+        quantile_sketch,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("DAY", F.to_date("ts"))
+        .withColumn("WEEK", F.date_trunc("week", "ts").cast("date"))
+    )
+    daily = quantile_sketch(ev, ["WEEK", "DAY"], "value", alpha=0.01)
+    weekly = merge_quantile_sketches(daily.drop("DAY"), ["WEEK"])
+    return quantile_estimates(weekly, ["WEEK"], [0.5, 0.95, 0.99], alpha=0.01)
+
+
 # --- metric-series monitoring (operators/monitoring.py): control-chart
 # z-score of each day's revenue vs its own trailing week, per event type.
 

@@ -61,6 +61,7 @@ HEADLINE = [
     "docs_encode_ids",
     "docs_weighted_sample",
     "events_hopping_6h",
+    "events_quantile_sketch_rollup",
     "events_daily_anomalies",
     "events_funnel",
     "events_retention_cohorts",

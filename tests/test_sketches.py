@@ -68,3 +68,64 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert len(after) == n == 1
     got = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert got == list(range(500))
+
+
+# --- mergeable quantile sketches (DDSketch-style log bins)
+
+
+def test_quantile_sketch_merge_equals_direct(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    rows = [(d, float(v)) for d in range(14) for v in range(1, 50 + d)]
+    df = spark.createDataFrame(rows, "day int, value double").withColumn(
+        "week", (F.col("day") / 7).cast("int")
+    )
+    daily = quantile_sketch(df, ["week", "day"], "value", alpha=0.01)
+    rolled = merge_quantile_sketches(daily.drop("day"), ["week"])
+    direct = quantile_sketch(df, ["week"], "value", alpha=0.01)
+    canon = lambda sk: sorted(
+        (r["week"], r["SIGN"], r["SIGNED_BIN"], r["N"]) for r in sk.collect()
+    )
+    # merged-from-daily == sketched-from-raw EXACTLY (integer bin counts)
+    assert canon(rolled) == canon(direct)
+
+
+def test_quantile_sketch_relative_error_bound(spark):
+    import numpy as np
+
+    from aws_glue_cdc_metrics_job_spark.operators.sketches import (
+        quantile_estimates,
+        quantile_sketch,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.lognormal(3, 2, 4000), -rng.lognormal(1, 1.5, 1000), np.zeros(50)]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double").withColumn(
+        "g", F.lit(1)
+    )
+    alpha = 0.02
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    sk = quantile_sketch(df, ["g"], "value", alpha=alpha)
+    est = {r["Q"]: r["VALUE_EST"] for r in quantile_estimates(sk, ["g"], qs, alpha=alpha).collect()}
+    srt = np.sort(vals)
+    for q in qs:
+        true = srt[int(np.floor(q * (len(srt) - 1)))]
+        got = est[q]
+        if true == 0:
+            assert got == 0
+        else:
+            assert abs(got - true) <= alpha * abs(true) + 1e-12, (q, got, true)
+
+
+def test_quantile_sketch_bin_cardinality_bounded(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sketches import quantile_sketch
+
+    df = spark.range(1, 100001).select((F.col("id") / 10.0).alias("value"), F.lit(1).alias("g"))
+    sk = quantile_sketch(df, ["g"], "value", alpha=0.01)
+    # 100k distinct values spanning [0.1, 1e4] collapse to O(log(range)/alpha) bins
+    assert sk.count() < 600
