@@ -219,6 +219,100 @@ def vocab_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", t
     )
 
 
+def heavy_hitters(df: DataFrame, text_col: str = "text", denom: int = 200) -> DataFrame:
+    """Exact corpus heavy hitters: tokens accounting for at least ``1/denom``
+    of all token occurrences. One hash aggregation over the exploded token
+    stream (map-side partial combine collapses repeats inside the scan
+    stage), then a broadcast of the single-row total -- the threshold
+    compare is exact integer arithmetic (``n * denom >= total``), no float
+    boundary flake. Output cardinality is bounded by ``denom`` rows by
+    construction. For streams/shards where even one exact pass is too
+    expensive, the mergeable summary form is :func:`mg_token_summary`."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("TOKEN"))
+        .groupBy("TOKEN")
+        .agg(F.count(F.lit(1)).cast("long").alias("N"))
+    )
+    total = counts.agg(F.sum("N").alias("__TOT"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("N") * denom >= F.col("__TOT"))
+        .select("TOKEN", "N", rhu(F.col("N") / F.col("__TOT"), 6).alias("SHARE"))
+    )
+
+
+def mg_token_summary(
+    df: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 32,
+) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter summary: per shard, the classic
+    k-counter one-pass MG sketch; summaries from different shards (or
+    different batch deliveries) merge by summing counters and re-pruning
+    (:func:`mg_merge`), preserving the deterministic guarantee that any
+    token with true frequency > N/(k+1) survives with undercount at most
+    N/(k+1) (Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    The token stream never shuffles: sharding is by ``id_col`` hash, so
+    each shard's MG pass runs where the docs already sit (one exchange of
+    doc-sized rows at worst), and only shards x k counter rows leave the
+    Arrow stage. Stream order within a shard is fixed to (doc, position),
+    making the summary -- not just its guarantee -- reproducible.
+
+    Returns (SHARD int, TOKEN string, C long)."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "TOKEN"),
+    ).withColumn("SHARD", F.pmod(F.xxhash64(F.col("__id")), F.lit(shards)).cast("int"))
+
+    def mg(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__id", "__pos"])
+        counters: dict[str, int] = {}
+        for t in pdf["TOKEN"]:
+            if t in counters:
+                counters[t] += 1
+            elif len(counters) < k:
+                counters[t] = 1
+            else:
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+        shard = int(pdf["SHARD"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {"SHARD": shard, "TOKEN": list(counters), "C": list(counters.values())}
+        )
+
+    return tok.groupBy("SHARD").applyInPandas(mg, "SHARD int, TOKEN string, C long")
+
+
+def mg_merge(summaries: DataFrame, k: int = 100) -> DataFrame:
+    """Merge MG summaries (any number of shards/batches): sum counters per
+    token, then subtract the (k+1)-th largest merged count and drop
+    non-positive counters -- the PODS'12 merge that keeps the summary at k
+    counters with the error bounds of a single pass over the concatenated
+    stream. Runs entirely on summary-sized data (<= shards*k rows; the one
+    global window is bounded by that contract). Returns (TOKEN, C)."""
+    merged = summaries.groupBy("TOKEN").agg(F.sum("C").alias("C"))
+    w = Window.orderBy(F.col("C").desc(), F.col("TOKEN"))
+    ranked = merged.withColumn("__rn", F.row_number().over(w))
+    # one-row threshold frame even when there is no (k+1)-th counter
+    thr = (
+        ranked.filter(F.col("__rn") == k + 1)
+        .agg(F.coalesce(F.max("C"), F.lit(0)).alias("__thr"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .withColumn("C", F.col("C") - F.col("__thr"))
+        .filter((F.col("C") > 0) & (F.col("__rn") <= k))
+        .select("TOKEN", "C")
+    )
+
+
 def quality_top_fraction(
     df: DataFrame,
     fraction: float = 0.5,

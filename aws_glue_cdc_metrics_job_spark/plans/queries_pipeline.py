@@ -567,6 +567,26 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "docs_heavy_hitters",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOKS_NE}) AS TOKEN FROM documents),
+tc AS (SELECT TOKEN, COUNT(*) AS N FROM tok GROUP BY 1),
+tot AS (SELECT SUM(N) AS n FROM tc)
+SELECT TOKEN, CAST(tc.N AS BIGINT) AS N, {sql_rhu("tc.N / tot.n", 6)} AS SHARE
+FROM tc, tot WHERE tc.N * 400 >= tot.n
+""",
+)
+def q_docs_heavy_hitters(spark: SparkSession, sf_dir: str):
+    """Exact corpus heavy hitters: tokens with >= 1/400 of all occurrences.
+    Integer threshold compare (n*denom >= total) -- no float boundary; the
+    single-row total broadcasts. The mergeable streaming/sharded form is
+    text.mg_token_summary/mg_merge (Misra-Gries, PODS'12 bounds pinned in
+    tests/test_text.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.heavy_hitters(docs, denom=400)
+
+
+@query(
     "docs_vocab_topk",
     oracle=f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS_NE}) AS TOKEN FROM documents),

@@ -72,6 +72,7 @@ HEADLINE = [
     "emb_semantic_dedup",
     "docs_fuzzy_key_pairs",
     "docs_per_source_sample",
+    "docs_heavy_hitters",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -286,3 +286,63 @@ def test_unigram_logprob_ranks_rare_docs(spark):
     assert set(out) == {0, 1, 2}
     assert out[0]["N_TOKENS"] == 4
     assert out[0]["AVG_NEG_LOGPROB"] < out[2]["AVG_NEG_LOGPROB"] < out[1]["AVG_NEG_LOGPROB"]
+
+
+# --- heavy hitters: exact threshold + mergeable Misra-Gries summary
+
+
+def test_heavy_hitters_exact(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.text import heavy_hitters
+
+    # 'hot' is 6 of 20 tokens (30%); 'warm' 4/20 (20%); everything else 1/20
+    docs = spark.createDataFrame(
+        [
+            (1, "hot hot hot warm warm a b c"),
+            (2, "hot hot hot warm warm d e f"),
+            (3, "g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["TOKEN"]: (r["N"], r["SHARE"]) for r in heavy_hitters(docs, denom=5).collect()}
+    # threshold 1/5 = 4 of 20 occurrences
+    assert set(got) == {"hot", "warm"}
+    assert got["hot"] == (6, 0.3) and got["warm"] == (4, 0.2)
+
+
+def test_mg_summary_guarantee_and_merge(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.text import mg_merge, mg_token_summary
+
+    # stream of n=400 tokens: 'hh' 30%, 'mid' 10%, 280 distinct singletons
+    rows = []
+    for i in range(40):
+        rows.append((i, "hh hh hh mid " + " ".join(f"u{i}_{j}" for j in range(6))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 400
+    k = 20
+    summaries = mg_token_summary(docs, k=k, shards=4)
+    merged = {r["TOKEN"]: r["C"] for r in mg_merge(summaries, k=k).collect()}
+    # any token with true freq > n/(k+1) must survive, undercount <= n/(k+1)
+    assert "hh" in merged and "mid" in merged
+    assert merged["hh"] <= 120 and 120 - merged["hh"] <= n / (k + 1)
+    assert merged["mid"] <= 40 and 40 - merged["mid"] <= n / (k + 1)
+    assert len(merged) <= k
+    # summary is deterministic (fixed stream order within shard)
+    again = {r["TOKEN"]: r["C"] for r in mg_merge(mg_token_summary(docs, k=k, shards=4), k=k).collect()}
+    assert again == merged
+    # merging shard summaries in two stages obeys the same bound
+    s01 = mg_merge(summaries.filter("SHARD < 2").select("TOKEN", "C"), k=k)
+    s23 = mg_merge(summaries.filter("SHARD >= 2").select("TOKEN", "C"), k=k)
+    two_stage = {
+        r["TOKEN"]: r["C"]
+        for r in mg_merge(s01.unionByName(s23), k=k).collect()
+    }
+    assert "hh" in two_stage and 120 - two_stage["hh"] <= n / (k + 1)
+
+
+def test_mg_merge_under_k_counters_is_exact(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.text import mg_merge, mg_token_summary
+
+    docs = spark.createDataFrame([(1, "x x y z")], "doc_id long, text string")
+    got = {r["TOKEN"]: r["C"] for r in mg_merge(mg_token_summary(docs, k=10, shards=2), k=10).collect()}
+    # fewer distinct tokens than k: MG degenerates to exact counts
+    assert got == {"x": 2, "y": 1, "z": 1}
