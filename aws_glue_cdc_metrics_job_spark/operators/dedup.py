@@ -209,6 +209,137 @@ def minhash_signature(
     return df.groupBy(id_col).agg(*aggs)
 
 
+def _minhash_sighset_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared minhash state builder: the persisted per-doc
+    (signature + shingle-hash-set) frame and its banded (id, band, bh)
+    projection.
+
+    Signature AND exact-verification hash set come from ONE aggregation
+    over the exploded shingle frame: the per-doc grouped subplan is then
+    identical for the banding input and both verification join sides, so
+    Catalyst's ReuseExchange materializes the shingle work once instead of
+    three times (measured ~2x on the full operator). The frame still feeds
+    three plan inputs, and Catalyst does not reuse the shingle-window
+    subplan across them (4x recompute measured) -- persist() makes it one
+    shingle pass: K longs + a shingle-hash array per doc (~1-2 KB),
+    spillable. The round-2 eager localCheckpoint+unpersist fixed the
+    unbounded-cache leak but cost +50% (synchronous materialization,
+    truncated lineage blinds AQE); _scoped_persist keeps the fast
+    fully-lazy persist plan and bounds the leak instead: at most
+    _PERSIST_CAP signature caches stay alive process-wide, oldest evicted
+    on the next call. Eviction only drops a perf cache."""
+    r = num_perm // bands
+    # the shingle explode + 128 permutation-min aggregates are the heavy
+    # narrow stage -- don't let a compact input pin them to 1-2 cores
+    hs = shingle_hashes(ensure_min_parallelism(df), id_col, text_col, n, seed)
+    sighset = hs.groupBy(id_col).agg(
+        F.collect_set("h").alias("hset"),
+        *[F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh_{k}") for k in range(num_perm)],
+    )
+    sighset = _scoped_persist(sighset)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sighset.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band", "b.bh"
+    )
+    return sighset, banded
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable LSH index state for incremental near-dup dedup:
+    ``(bands_table, hset_table)`` -- (id, band, bh) candidate-lookup rows
+    and (id, hset) shingle-hash sets for exact-Jaccard verification. At
+    corpus scale store the bands table bucketed by (band, bh)
+    (parquet_io.write_bucketed) so each delivery's candidate probe is a
+    co-located join, and the hset table bucketed by id."""
+    sighset, banded = _minhash_sighset_bands(df, id_col, text_col, n, num_perm, bands, seed)
+    return banded, sighset.select(id_col, "hset")
+
+
+def minhash_dedup_incremental(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    index_hsets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate counterpart of :func:`exact_dedup_incremental`: admit
+    the rows of ``batch`` that are near-duplicates (exact Jaccard >=
+    ``threshold`` over hashed shingles) of neither an indexed document nor
+    a smaller-id batch document. Greedy min-id survivorship within the
+    batch (the :func:`~.similarity.semantic_dedup` policy); admitted docs
+    are therefore pairwise non-near-dup and near-dup-free against the
+    index -- the invariants a streaming corpus feed needs. Like any
+    order-dependent dedup, WHICH exemplar survives depends on delivery
+    grouping; the invariants do not (pinned in tests/test_dedup.py).
+
+    Cost per delivery: O(|batch|) shingling + a (band, bh) equi-join probe
+    of the index + the batch's own banded self-join -- the indexed corpus
+    is never re-shingled and its text never moves. The caller appends
+    :func:`minhash_index` of the ADMITTED rows to the stored index
+    (associative, same seed/params required)."""
+    b_sighset, b_banded = _minhash_sighset_bands(
+        batch, id_col, text_col, n, num_perm, bands, seed
+    )
+    b_hsets = b_sighset.select(F.col(id_col).alias("__bid"), F.col("hset").alias("hs_b"))
+
+    # candidates vs the stored index: equi-join on the band bucket
+    ix_cand = (
+        b_banded.select(F.col(id_col).alias("__bid"), "band", "bh")
+        .join(index_bands.select(F.col(id_col).alias("__iid"), "band", "bh"), ["band", "bh"])
+        .select("__bid", "__iid")
+        .distinct()
+    )
+    inter_i = F.size(F.array_intersect("hs_b", "hs_i"))
+    union_i = F.size("hs_b") + F.size("hs_i") - inter_i
+    rejected_by_index = (
+        ix_cand.join(b_hsets, "__bid")
+        .join(
+            index_hsets.select(F.col(id_col).alias("__iid"), F.col("hset").alias("hs_i")),
+            "__iid",
+        )
+        .withColumn("__j", rhu(F.when(union_i == 0, 0.0).otherwise(inter_i / union_i), 6))
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    # within-batch near-dup pairs (ID_A < ID_B): higher id loses
+    batch_pairs = minhash_lsh_pairs(
+        batch, id_col, text_col, n, num_perm, bands, threshold, seed
+    )
+    rejected_in_batch = batch_pairs.select(F.col("ID_B").alias(id_col)).distinct()
+    rejected = rejected_by_index.unionByName(rejected_in_batch).distinct()
+    return batch.join(rejected, id_col, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -232,43 +363,7 @@ def minhash_lsh_pairs(
     negatives bounded by unit tests vs brute force), while low-J false
     positives are filtered by the exact check. Deterministic for a fixed
     seed. Not SQL-expressible -> rows-only driver check + unit tests."""
-    r = num_perm // bands
-    # the shingle explode + 128 permutation-min aggregates are the heavy
-    # narrow stage -- don't let a compact input pin them to 1-2 cores
-    hs = shingle_hashes(ensure_min_parallelism(df), id_col, text_col, n, seed)
-    # Signature AND exact-verification hash set in ONE aggregation over the
-    # exploded shingle frame: the per-doc grouped subplan is then identical
-    # for the banding input and both verification join sides, so Catalyst's
-    # ReuseExchange materializes the shingle work once instead of three
-    # times (measured ~2x on the full operator).
-    sighset = hs.groupBy(id_col).agg(
-        F.collect_set("h").alias("hset"),
-        *[F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh_{k}") for k in range(num_perm)],
-    )
-    # This frame feeds three plan inputs (banding + both verification join
-    # sides) and Catalyst does not reuse the shingle-window subplan across
-    # them (4x recompute measured). persist() makes it one shingle pass:
-    # K longs + a shingle-hash array per doc (~1-2 KB), spillable. The
-    # round-2 eager localCheckpoint+unpersist fixed the unbounded-cache
-    # leak but cost +50% (synchronous materialization, truncated lineage
-    # blinds AQE); a lazy checkpoint measured no better. _scoped_persist
-    # keeps the fast fully-lazy persist plan and bounds the leak instead:
-    # at most _PERSIST_CAP signature caches stay alive process-wide, oldest
-    # evicted on the next call. Eviction only drops a perf cache -- any
-    # still-running consumer just recomputes lineage.
-    sighset = _scoped_persist(sighset)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sighset.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        id_col, "b.band", "b.bh"
-    )
+    sighset, banded = _minhash_sighset_bands(df, id_col, text_col, n, num_perm, bands, seed)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])

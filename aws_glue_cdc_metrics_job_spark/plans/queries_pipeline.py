@@ -1321,3 +1321,19 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str):
     return out.select(
         F.col("doc_id").alias("DOC_ID"), F.col("source").alias("SOURCE"), "FINGERPRINT"
     )
+
+
+@query("docs_incremental_near_dedup")  # rows-only: MinHash probabilistic, like docs_minhash_lsh_pairs
+def q_docs_incremental_near_dedup(spark: SparkSession, sf_dir: str):
+    """Incremental NEAR-dup dedup (dedup.minhash_dedup_incremental): docs
+    with doc_id%3==0 play the persisted LSH band index; the rest arrive as
+    the batch, admitted only if near-duplicate of neither an indexed doc
+    nor a smaller-id batch doc. The delivery-sized refresh path for the
+    near-dup ladder -- the indexed corpus is never re-shingled. Rows-only:
+    minhash banding is probabilistic; admission invariants are pinned in
+    tests/test_dedup.py."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ib, ih = dedup.minhash_index(docs.filter(F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.minhash_dedup_incremental(batch, ib, ih, threshold=0.9)
+    return out.select("doc_id")

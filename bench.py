@@ -46,6 +46,7 @@ HEADLINE = [
     "docs_pii_scrub",
     "docs_exact_dedup",
     "docs_incremental_dedup",
+    "docs_incremental_near_dedup",
     "docs_intra_doc_dedup",
     "docs_unigram_logprob",
     "docs_token_budget_mix",

@@ -401,3 +401,63 @@ def test_fuzzy_key_pairs_null_keys_ignored(spark):
     )
     got = {(r["ID_A"], r["ID_B"], r["DISTANCE"]) for r in fuzzy_key_pairs(df, max_dist=1).collect()}
     assert got == {(1, 3, 0)}
+
+
+def test_minhash_dedup_incremental_invariants(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow near the river"
+    )
+    other = (
+        "completely different content about spark partitions shuffles and "
+        "broadcast joins in a distributed query engine running at scale"
+    )
+    indexed = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    ib, ih = minhash_index(indexed)
+    batch = spark.createDataFrame(
+        [
+            (10, base),                      # near-dups indexed doc 1: rejected
+            (11, base + " extra token"),     # near-dups indexed doc 1: rejected
+            (12, "totally novel text about gardens flowers honey bees and " 
+                 "sunny afternoons with lemonade under the old oak tree today"),
+            (13, "totally novel text about gardens flowers honey bees and "
+                 "sunny afternoons with lemonade under the old oak tree today"),  # dup of 12
+        ],
+        "doc_id long, text string",
+    )
+    admitted = minhash_dedup_incremental(batch, ib, ih, threshold=0.7)
+    got = sorted(r["doc_id"] for r in admitted.collect())
+    assert got == [12]
+    # invariants: admitted pairwise non-near-dup, and clean vs the index
+    combined = indexed.unionByName(admitted)
+    pairs = minhash_lsh_pairs(combined, threshold=0.7).collect()
+    admitted_ids = set(got)
+    for r in pairs:
+        assert not (r["ID_A"] in admitted_ids or r["ID_B"] in admitted_ids)
+
+
+def test_minhash_dedup_incremental_empty_index(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ib, ih = minhash_index(empty)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in minhash_dedup_incremental(batch, ib, ih, threshold=0.7).collect()
+    )
+    assert got == [1]  # cold start == plain within-batch dedup, min id kept
