@@ -14,6 +14,8 @@ from operator import or_
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import rhu
+
 
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to defaultParallelism when the input has
@@ -134,6 +136,44 @@ def salted_count_distinct(
         F.countDistinct(value_col).alias("__c")
     )
     return partial.groupBy(*keys).agg(F.sum("__c").cast("long").alias(alias))
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: the ``top`` heaviest key values with
+    their row counts, share of all rows (ppm, exact integer arithmetic),
+    and the hot key's multiple of a perfectly-even partition's load -- the
+    number that says whether AQE's skew split will cope or a salted join /
+    explicit salt factor is needed (SKEW_X ~ the salt factor that levels
+    it). One hash aggregation on the keys (map-side combined) plus a
+    top-k over the aggregated frame; the broadcast 1-row total never
+    moves data.
+
+    Returns (keys..., N_ROWS, SHARE_PPM, SKEW_X double) ordered by
+    N_ROWS desc."""
+    n_part = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("N_ROWS"))
+    total = counts.agg(F.sum("N_ROWS").alias("__TOT"))
+    # orderBy+limit compiles to TakeOrderedAndProject: each scan partition
+    # keeps only its local top-k, so the single-reducer step sees
+    # partitions*k rows, not the distinct-key table.
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("N_ROWS").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top)
+    )
+    return ranked.select(
+        *keys,
+        "N_ROWS",
+        F.expr("(N_ROWS * 1000000) div __TOT").alias("SHARE_PPM"),
+        rhu(F.col("N_ROWS") * n_part / F.col("__TOT"), 2).alias("SKEW_X"),
+    )
 
 
 def salted_join(

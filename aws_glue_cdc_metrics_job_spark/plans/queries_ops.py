@@ -925,6 +925,30 @@ def q_dq_orders_report(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "events_type_skew_report",
+    oracle=f"""
+WITH c AS (SELECT event_type, COUNT(*) AS N_ROWS FROM events GROUP BY 1),
+t AS (SELECT SUM(N_ROWS) AS tot FROM c)
+SELECT event_type, CAST(c.N_ROWS AS BIGINT) AS N_ROWS,
+       (c.N_ROWS * 1000000) // t.tot AS SHARE_PPM,
+       {sql_rhu("c.N_ROWS * 256 / t.tot", 2)} AS SKEW_X
+FROM c, t
+ORDER BY c.N_ROWS DESC, event_type LIMIT 5
+""",
+)
+def q_events_type_skew_report(spark: SparkSession, sf_dir: str):
+    """Join/agg-key skew diagnostics (relational.skew_report): heaviest key
+    values with exact ppm share and the hot key's multiple of an even
+    256-partition load -- the pre-flight check that decides between AQE
+    skew split and an explicit salted join. One map-combined hash agg +
+    TakeOrderedAndProject top-k; the 1-row total broadcasts."""
+    from ..operators.relational import skew_report
+
+    ev = read_table(spark, sf_dir, "events")
+    return skew_report(ev, ["event_type"], top=5, partitions=256)
+
+
 @query("events_hll_weekly_rollup")  # rows-only: HLL estimates engine-specific
 def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str):
     """Distinct users per week answered by UNIONING stored per-day HLL

@@ -63,6 +63,7 @@ HEADLINE = [
     "docs_weighted_sample",
     "events_hopping_6h",
     "events_quantile_sketch_rollup",
+    "events_type_skew_report",
     "events_daily_anomalies",
     "events_funnel",
     "events_retention_cohorts",

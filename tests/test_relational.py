@@ -93,3 +93,24 @@ def test_salted_join_matches_plain_join(spark):
     left = sorted((r["k"], r["payload"], r["dim"]) for r in salted_join(big2, small, ["k"], how="left", salt=4).collect())
     plain_left = sorted((r["k"], r["payload"], r["dim"]) for r in big2.join(small, ["k"], "left").collect())
     assert left == plain_left
+
+
+def test_skew_report(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.relational import skew_report
+
+    rows = [(i, "hot") for i in range(80)] + [(i, f"k{i % 4}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = skew_report(df, ["key"], top=3, partitions=10).collect()
+    assert [r["key"] for r in got] == ["hot", "k0", "k1"]
+    top = got[0]
+    assert top["N_ROWS"] == 80
+    assert top["SHARE_PPM"] == 800000  # exact integer ppm
+    assert top["SKEW_X"] == 8.0  # 80 rows vs 10 rows/partition even load
+
+
+def test_skew_report_take_ordered_plan(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.relational import skew_report
+
+    df = spark.createDataFrame([(i, str(i % 7)) for i in range(50)], "id long, key string")
+    plan = skew_report(df, ["key"], top=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
