@@ -203,6 +203,56 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def build_file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-FILE min/max/count statistics for ``cols`` -- the data-skipping
+    index lakehouse formats (Delta/Iceberg) keep in their manifests, built
+    here as a plain DataFrame over ``input_file_name()``. One scan of the
+    directory (column-pruned to ``cols``), aggregated map-side per file;
+    persist it next to the data and a range query never opens
+    non-overlapping files again (:func:`read_pruned`). Rebuild cost is one
+    column-pruned pass; per-partition appends can rebuild just their new
+    files and union.
+
+    Returns (FILE, N_ROWS, <c>_MIN, <c>_MAX per col)."""
+    df = spark.read.parquet(path).select(*cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("N_ROWS")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_MIN"), F.max(c).alias(f"{c}_MAX")]
+    return df.groupBy(F.input_file_name().alias("FILE")).agg(*aggs)
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    stats: DataFrame,
+    ranges: dict[str, tuple],
+) -> DataFrame:
+    """Range scan with file-level skipping: keep only files whose stored
+    [min, max] envelope intersects every requested ``col: (lo, hi)`` range
+    (either bound may be None for open-ended), scan just those, and apply
+    the exact row-level filter as the residual (file stats are a coarser
+    grain). The stats table is #files rows by contract, so collecting the
+    surviving file list on the driver is negligible; at 100 TB this is the
+    difference between opening every file's footer and opening only the
+    slice a time/key-range query touches -- with :func:`write_sorted`
+    layout on the range column the surviving set is contiguous and small."""
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if hi is not None:
+            cond = cond & (F.col(f"{c}_MIN") <= F.lit(hi))
+        if lo is not None:
+            cond = cond & (F.col(f"{c}_MAX") >= F.lit(lo))
+    files = [r["FILE"] for r in stats.filter(cond).select("FILE").collect()]
+    base = spark.read.parquet(*files) if files else spark.read.parquet(path).limit(0)
+    out = base
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            out = out.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(c) <= F.lit(hi))
+    return out
+
+
 @dataclass(frozen=True)
 class MedallionLayout:
     """Zone path scheme mirroring the reference's

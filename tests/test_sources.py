@@ -156,3 +156,29 @@ def test_write_sorted_global_order(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint contiguous ranges across files
+
+
+def test_file_stats_pruned_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        build_file_stats,
+        read_pruned,
+        write_sorted,
+    )
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(1000).select(F.col("id").alias("v"), (F.col("id") % 7).alias("tag"))
+    write_sorted(df, path, ["v"], num_files=8)
+    stats = build_file_stats(spark, path, ["v"])
+    assert stats.count() == 8
+    got = read_pruned(spark, path, stats, {"v": (100, 150)})
+    rows = sorted(r["v"] for r in got.collect())
+    assert rows == list(range(100, 151))
+    # the scan touched a strict subset of the files (range-sorted layout)
+    scanned = {r[0] for r in got.select(F.input_file_name()).distinct().collect()}
+    assert 0 < len(scanned) < 8
+    # open-ended range and schema-preserving empty result
+    assert read_pruned(spark, path, stats, {"v": (990, None)}).count() == 10
+    empty = read_pruned(spark, path, stats, {"v": (5000, 6000)})
+    assert empty.count() == 0 and empty.columns == ["v", "tag"]
