@@ -229,3 +229,41 @@ def retention_cohorts(
         .groupBy("COHORT_WEEK", "WEEK_OFFSET")
         .agg(F.countDistinct(user_col).cast("long").alias("N_USERS"))
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    fill: dict[str, float | int] | None = None,
+) -> DataFrame:
+    """Dense daily spine per key: one output row for EVERY day between each
+    key's first and last observed date, with missing days taking the
+    ``fill`` values (column -> constant; unlisted metric columns fill as
+    NULL). The gap-fill step every rate/trend computation needs before
+    window math -- a LAG over sparse dates silently compares across gaps
+    (the mart_sales_trends family aggregates observed days only; this
+    densifies them).
+
+    Shape: the spine is built from the per-key (min, max) aggregate --
+    ``sequence()`` + one explode, rows proportional to the OUTPUT, not to
+    keys x global range (a sparse short-lived key contributes only its own
+    span). The fact join is a key+date equi-join AQE plans like any other;
+    no window, no cross join."""
+    fill = fill or {}
+    metric_cols = [c for c in df.columns if c not in key_cols and c != date_col]
+    spine = (
+        df.groupBy(*key_cols)
+        .agg(F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 DAY"))
+            ).alias(date_col),
+        )
+    )
+    out = spine.join(df, [*key_cols, date_col], "left")
+    for c in metric_cols:
+        if c in fill:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill[c])))
+    return out

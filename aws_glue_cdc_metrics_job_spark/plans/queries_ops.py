@@ -309,6 +309,46 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "events_daily_gapfill",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type AS EVENT_TYPE, CAST(ts AS DATE) AS EVENT_DATE,
+         COUNT(*) AS N_EVENTS, {sql_dsum("value", 2)} AS TOTAL_VALUE
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT EVENT_TYPE, MIN(EVENT_DATE) AS lo, MAX(EVENT_DATE) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT EVENT_TYPE, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS EVENT_DATE
+  FROM span
+)
+SELECT s.EVENT_TYPE, s.EVENT_DATE,
+       CAST(COALESCE(d.N_EVENTS, 0) AS BIGINT) AS N_EVENTS,
+       COALESCE(d.TOTAL_VALUE, 0.0) AS TOTAL_VALUE
+FROM spine s LEFT JOIN daily d USING (EVENT_TYPE, EVENT_DATE)
+""",
+)
+def q_events_daily_gapfill(spark: SparkSession, sf_dir: str):
+    """Dense daily series per event type (temporal.gap_fill_daily): every
+    day between each type's first and last observation appears, missing
+    days zero-filled -- the spine step trend/rate windows need so LAG
+    doesn't silently compare across gaps. Spine rows come from a
+    sequence() explode of per-key (min, max) -- proportional to the
+    output, never keys x global range."""
+    from ..operators.temporal import gap_fill_daily
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("EVENT_TYPE"), F.to_date("ts").alias("EVENT_DATE")
+    ).agg(
+        F.count(F.lit(1)).alias("N_EVENTS"),
+        dsum("value", 2).alias("TOTAL_VALUE"),
+    )
+    return gap_fill_daily(
+        daily, ["EVENT_TYPE"], "EVENT_DATE", fill={"N_EVENTS": 0, "TOTAL_VALUE": 0.0}
+    )
+
+
+@query(
     "events_hopping_6h",
     oracle=f"""
 WITH e AS (SELECT epoch_us(ts) AS us, event_type, user_id, value FROM events),

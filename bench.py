@@ -65,6 +65,7 @@ HEADLINE = [
     "events_quantile_sketch_rollup",
     "events_type_skew_report",
     "events_daily_anomalies",
+    "events_daily_gapfill",
     "events_funnel",
     "events_retention_cohorts",
     "emb_kmeans_update",

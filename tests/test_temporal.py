@@ -258,3 +258,35 @@ def test_retention_cohorts_hand_computed(spark):
     assert got[("2024-01-01", 0)] == 2
     assert got[("2024-01-01", 1)] == 1
     assert len(got) == 2  # nothing from user 3 or pre-anchor activity
+
+
+def test_gap_fill_daily(spark):
+    import datetime as dt
+
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import gap_fill_daily
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1), 10),
+            ("a", d(2024, 1, 4), 40),   # gap: 2nd, 3rd missing
+            ("b", d(2024, 1, 3), 30),   # single-day key: no spine growth
+        ],
+        "k string, day date, n long",
+    )
+    out = gap_fill_daily(df, ["k"], "day", fill={"n": 0})
+    got = sorted((r["k"], r["day"].isoformat(), r["n"]) for r in out.collect())
+    assert got == [
+        ("a", "2024-01-01", 10),
+        ("a", "2024-01-02", 0),
+        ("a", "2024-01-03", 0),
+        ("a", "2024-01-04", 40),
+        ("b", "2024-01-03", 30),
+    ]
+    # unlisted metric columns stay NULL on filled rows
+    df2 = df.withColumn("x", F.lit(1.5))
+    row = {
+        (r["k"], r["day"].isoformat()): r["x"]
+        for r in gap_fill_daily(df2, ["k"], "day", fill={"n": 0}).collect()
+    }
+    assert row[("a", "2024-01-02")] is None and row[("a", "2024-01-01")] == 1.5
