@@ -164,6 +164,64 @@ def weighted_hash_sample(
     return df.filter(_bucket_hex(key_cols, seed) < thr)
 
 
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    key_cols: list[str],
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    seed: str = "0",
+) -> DataFrame:
+    """Temperature-smoothed source mixing: stratum ``s`` is represented in
+    the output in proportion to ``n_s^alpha`` (the exponent-smoothed
+    multinomial from the multilingual-pretraining literature -- alpha < 1
+    flattens the source distribution so head sources stop drowning tail
+    ones; alpha = 1 is proportional, alpha = 0 uniform). Each stratum keeps
+    fraction ``min(1, T * p_s / n_s)`` with ``p_s = n_s^alpha / sum
+    n^alpha`` and ``T = target_rows`` (default: the input row count) --
+    capped at 1 because sampling cannot upsample; tail strata wanting
+    >1 replication keep everything (cap hit is visible in the returned
+    KEEP_FRAC column).
+
+    Mechanics: one tiny per-stratum count aggregate, the smoothed keep
+    fraction computed on it (rounded half-up to 6 dp so the membership
+    threshold is engine-exact), broadcast-joined back, then the same md5
+    key draw as ``hash_sample`` -- scan-stage filter, reproducible,
+    monotone in alpha for tail strata. Returns the kept rows plus
+    KEEP_FRAC."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    denom = counts.agg(
+        F.sum(F.pow(F.col("__n"), F.lit(alpha))).alias("__den"),
+        F.sum("__n").alias("__tot"),
+    )
+    from ..functions.numeric import rhu
+
+    t_rows = F.lit(float(target_rows)) if target_rows is not None else F.col("__tot")
+    fr = (
+        counts.crossJoin(F.broadcast(denom))
+        .select(
+            stratum_col,
+            rhu(
+                F.least(
+                    F.lit(1.0),
+                    t_rows
+                    * F.pow(F.col("__n"), F.lit(alpha))
+                    / F.col("__den")
+                    / F.col("__n"),
+                ),
+                6,
+            ).alias("KEEP_FRAC"),
+        )
+    )
+    out = df.join(F.broadcast(fr), stratum_col)
+    scaled = F.least(
+        F.floor(F.col("KEEP_FRAC") * F.lit(float(16**_HEX_DIGITS))).cast("bigint"),
+        F.lit(16**_HEX_DIGITS - 1),
+    )
+    thr = F.lower(F.lpad(F.hex(scaled), _HEX_DIGITS, "0"))
+    return out.filter(_bucket_hex(key_cols, seed) < thr)
+
+
 def token_budget_mix(
     df: DataFrame,
     token_col: str,

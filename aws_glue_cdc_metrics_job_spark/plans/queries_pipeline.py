@@ -1045,6 +1045,41 @@ def q_docs_per_source_sample(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "docs_temperature_mix",
+    oracle=f"""
+WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+d AS (SELECT SUM(POW(n, 0.5)) AS den FROM c),
+fr AS (
+  SELECT source, {sql_rhu("LEAST(1.0, 300.0 * POW(c.n, 0.5) / d.den / c.n)", 6)} AS KEEP_FRAC
+  FROM c, d
+)
+SELECT doc_id, fr.source, fr.KEEP_FRAC
+FROM documents JOIN fr USING (source)
+WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|tm1'), 1, 8) <
+      LPAD(LOWER(TO_HEX(LEAST(CAST(FLOOR(KEEP_FRAC * 4294967296.0) AS BIGINT), 4294967295))), 8, '0')
+""",
+)
+def q_docs_temperature_mix(spark: SparkSession, sf_dir: str):
+    """Temperature-smoothed source mixing (sampling.temperature_mix,
+    alpha=0.5): sources kept in proportion to n^alpha -- the
+    exponent-smoothed multinomial that stops head sources drowning tail
+    ones in a pretraining mix. Tiny per-source count agg -> broadcast
+    keep-fraction -> the same md5 scan-stage draw as every sampler here."""
+    from ..operators.sampling import temperature_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = temperature_mix(
+        docs.select("doc_id", "source"),
+        "source",
+        ["doc_id"],
+        alpha=0.5,
+        target_rows=300,
+        seed="tm1",
+    )
+    return out.select("doc_id", "source", "KEEP_FRAC")
+
+
 def _rp_oracle_sql(planes: int = 16, dim: int = 64, seed: str = "rp0") -> str:
     """Oracle dual of rp_lsh_signature, generated from the SAME Python
     constants (similarity.rp_constants) the Spark expression embeds."""

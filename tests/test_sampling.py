@@ -259,3 +259,33 @@ def test_group_top_k_sample_rank_limit_pushdown(spark):
     plan = group_top_k_sample(df, ["source"], ["doc_id"], k=2)._jdf.queryExecution().executedPlan().toString()
     # map-side partial top-k before the exchange (Spark 3.5+ WindowGroupLimit)
     assert "WindowGroupLimit" in plan
+
+
+def test_temperature_mix_flattens_head_sources(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(1000)] + [(10_000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", ["doc_id"], alpha=0.5, seed="t")
+    by_src = {}
+    fracs = {}
+    for r in out.collect():
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        fracs[r["source"]] = r["KEEP_FRAC"]
+    # tail stratum hits the cap and keeps everything
+    assert fracs["small"] == 1.0 and by_src["small"] == 10
+    # head stratum downsampled toward sqrt proportionality:
+    # p_big = sqrt(1000)/(sqrt(1000)+sqrt(10)); frac = 1010*p_big/1000
+    import math
+
+    expect = 1010 * (math.sqrt(1000) / (math.sqrt(1000) + math.sqrt(10))) / 1000
+    assert abs(fracs["big"] - round(expect, 6)) < 1e-9
+    assert abs(by_src["big"] / 1000 - expect) < 0.07  # binomial noise
+    # lower temperature (alpha) flattens harder: big keeps strictly less
+    out2 = temperature_mix(df, "source", ["doc_id"], alpha=0.2, seed="t")
+    f2 = {r["source"]: r["KEEP_FRAC"] for r in out2.select("source", "KEEP_FRAC").distinct().collect()}
+    assert f2["big"] < fracs["big"] and f2["small"] == 1.0
+    # alpha=1 is proportional: every stratum keeps ~everything (frac 1)
+    out3 = temperature_mix(df, "source", ["doc_id"], alpha=1.0, seed="t")
+    f3 = {r["source"]: r["KEEP_FRAC"] for r in out3.select("source", "KEEP_FRAC").distinct().collect()}
+    assert f3 == {"big": 1.0, "small": 1.0}
