@@ -76,3 +76,46 @@ def quantile_bucket(
     expr = expr.otherwise(labels[-1])
     out = df.crossJoin(F.broadcast(cuts)).withColumn(out_col, expr)
     return out.drop(*[f"q{i}" for i in range(len(probs))])
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Clip ``value_col`` to its [p_lower, p_upper] interpolated percentiles
+    -- per group when ``group_cols`` is given -- the standard heavy-tail
+    guard before means/regressions/feature scaling. Adds ``out_col``
+    (default ``<value_col>_W``) plus the bounds used (LO_BOUND/HI_BOUND,
+    rounded half-up to 6 dp so the clip thresholds are engine-exact).
+
+    One percentile aggregation (per group; broadcast back -- group count is
+    small by the usual dimension contract) and a scan-stage clamp; no
+    second pass over the data. ``exact=False`` swaps the mergeable
+    ``approx_percentile`` sketch for the bounds -- the 100 TB path when
+    groups are huge (the clip then lands on a real data value within the
+    sketch's rank error instead of an interpolated point)."""
+    from .numeric import rhu
+
+    out_col = out_col or f"{value_col}_W"
+    group_cols = group_cols or []
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {int(accuracy)}"
+    bounds = df.groupBy(*group_cols).agg(
+        rhu(F.expr(f"{fn}({value_col}, {lower!r}{extra})"), 6).alias("LO_BOUND"),
+        rhu(F.expr(f"{fn}({value_col}, {upper!r}{extra})"), 6).alias("HI_BOUND"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("LO_BOUND")), F.col("HI_BOUND")
+    )
+    return joined.withColumn(out_col, clipped)

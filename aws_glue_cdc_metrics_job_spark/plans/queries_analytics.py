@@ -164,6 +164,39 @@ def q_orders_price_percentiles(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "events_value_winsorized",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         {sql_rhu("quantile_cont(value, 0.05)", 6)} AS LO_BOUND,
+         {sql_rhu("quantile_cont(value, 0.95)", 6)} AS HI_BOUND
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type AS EVENT_TYPE,
+       LEAST(GREATEST(e.value, b.LO_BOUND), b.HI_BOUND) AS VALUE_W,
+       b.LO_BOUND, b.HI_BOUND
+FROM events e JOIN b USING (event_type)
+""",
+)
+def q_events_value_winsorized(spark: SparkSession, sf_dir: str):
+    """Per-type percentile winsorization (functions/quantile.winsorize):
+    clip value to its group's [p05, p95] -- the heavy-tail guard before
+    averaging. One percentile agg broadcast back + a scan-stage clamp;
+    approx_percentile is the in-code 100 TB swap (exact=False)."""
+    from ..functions.quantile import winsorize
+
+    ev = read_table(spark, sf_dir, "events")
+    out = winsorize(ev, "value", lower=0.05, upper=0.95, group_cols=["event_type"])
+    return out.select(
+        "event_id",
+        F.col("event_type").alias("EVENT_TYPE"),
+        F.col("value_W").alias("VALUE_W"),
+        "LO_BOUND",
+        "HI_BOUND",
+    )
+
+
 # --- ntile bucketing (rank-based quartiles; deterministic via full-order
 # tiebreak). Global window, but over events' value column post-filter this
 # is the documented bounded-input exception; the scalable quantile path is

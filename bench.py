@@ -67,6 +67,7 @@ HEADLINE = [
     "events_type_skew_report",
     "events_daily_anomalies",
     "events_daily_gapfill",
+    "events_value_winsorized",
     "events_funnel",
     "events_retention_cohorts",
     "emb_kmeans_update",

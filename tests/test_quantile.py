@@ -74,3 +74,23 @@ def test_label_arity_validated(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "x double")
     with pytest.raises(ValueError):
         quantile_bucket(df, "x", [0.5], ["a", "b", "c"])
+
+
+def test_winsorize_grouped_clip(spark):
+    from aws_glue_cdc_metrics_job_spark.functions.quantile import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 1000.0), ("b", 2000.0), ("b", 3000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", lower=0.05, upper=0.95, group_cols=["g"])
+    a = [r for r in out.collect() if r["g"] == "a"]
+    # bounds are the interpolated p05/p95 of 1..100
+    assert a[0]["LO_BOUND"] == 5.95 and a[0]["HI_BOUND"] == 95.05
+    vals = sorted(r["v_W"] for r in a)
+    assert vals[0] == 5.95 and vals[-1] == 95.05
+    assert vals[10] == 11.0  # interior values untouched
+    b = {r["v"]: r["v_W"] for r in out.collect() if r["g"] == "b"}
+    assert b[1000.0] == 1100.0 and b[3000.0] == 2900.0  # p05/p95 of 3 points
+    # approx path agrees on the fixture within the sketch contract (real data values)
+    approx = winsorize(df, "v", lower=0.05, upper=0.95, group_cols=["g"], exact=False)
+    arow = [r for r in approx.collect() if r["g"] == "a"][0]
+    assert 1 <= arow["LO_BOUND"] <= 11 and 90 <= arow["HI_BOUND"] <= 100
