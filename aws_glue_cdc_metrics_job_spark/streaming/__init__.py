@@ -1,6 +1,7 @@
 from .jobs import (
     cdc_upsert_sink,
     incremental_mart_sink,
+    quantile_sketch_sink,
     decontaminate_sink,
     read_event_stream,
     scd2_dimension_sink,
@@ -13,6 +14,7 @@ from .jobs import (
 __all__ = [
     "cdc_upsert_sink",
     "incremental_mart_sink",
+    "quantile_sketch_sink",
     "decontaminate_sink",
     "read_event_stream",
     "scd2_dimension_sink",

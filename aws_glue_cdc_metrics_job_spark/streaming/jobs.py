@@ -326,3 +326,47 @@ def scd2_dimension_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quantile_sketch_sink(
+    stream: DataFrame,
+    spark: SparkSession,
+    zone_path: str,
+    group_cols: list[str],
+    value_col: str,
+    checkpoint: str,
+    alpha: float = 0.01,
+):
+    """Continuous sketch-zone maintenance: each micro-batch is collapsed to
+    its per-group DDSketch bin counts (operators/sketches.quantile_sketch)
+    and integer-merged into the persisted zone -- the streaming end of the
+    events_quantile_sketch_rollup path. Because the merge is exact
+    (bin-count sums), the accumulated zone is IDENTICAL to sketching all
+    data from raw in one batch, regardless of micro-batch boundaries
+    (pinned in tests/test_streaming.py); any date-range percentile is then
+    a read of this tiny table. Raw rows are reduced to sketch rows inside
+    the batch -- the zone rewrite cost is O(distinct (group, bin)), not
+    O(rows). Same temp-dir + atomic swap discipline as the mart sinks.
+    Returns the started StreamingQuery."""
+    from ..operators.sketches import merge_quantile_sketches, quantile_sketch
+    from ..sources.parquet_io import path_exists, swap_directory
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delta = quantile_sketch(batch, group_cols, value_col, alpha=alpha)
+        if path_exists(spark, zone_path):
+            prev = spark.read.parquet(zone_path)
+            merged = merge_quantile_sketches(prev.unionByName(delta), group_cols)
+        else:
+            merged = delta
+        tmp = f"{zone_path.rstrip('/')}.__tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_directory(spark, tmp, zone_path)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -280,3 +280,35 @@ def test_scd2_dimension_sink_across_batches(spark, tmp_path):
     sym = merged.exceptAll(full).count() + full.exceptAll(merged).count()
     assert sym == 0
     assert merged.count() == 4  # k1: a(closed)+b(open); k2: x(open); k3: z(open)
+
+
+def test_quantile_sketch_sink_equals_direct(spark, tmp_path, event_dir):
+    from aws_glue_cdc_metrics_job_spark.operators.sketches import quantile_sketch
+
+    stream = S.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    zone = str(tmp_path / "sketch_zone")
+    q = S.quantile_sketch_sink(
+        stream.withColumn("d", F.to_date("ts")),
+        spark,
+        zone,
+        ["d"],
+        "value",
+        checkpoint=str(tmp_path / "ckpt_qs"),
+        alpha=0.02,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["d"].isoformat(), r["SIGN"], r["SIGNED_BIN"], r["N"])
+        for r in spark.read.parquet(zone).collect()
+    )
+    # streamed accumulation == one-shot sketch over the same raw data, EXACTLY
+    direct = quantile_sketch(
+        spark.read.schema(EVENT_SCHEMA).parquet(event_dir).withColumn("d", F.to_date("ts")),
+        ["d"],
+        "value",
+        alpha=0.02,
+    )
+    want = sorted(
+        (r["d"].isoformat(), r["SIGN"], r["SIGNED_BIN"], r["N"]) for r in direct.collect()
+    )
+    assert got == want and got
