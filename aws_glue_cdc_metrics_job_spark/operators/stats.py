@@ -1,0 +1,110 @@
+"""Distributed statistics: deterministic bootstrap confidence intervals.
+
+Model-eval pipelines need error bars on corpus-level metrics (mean quality
+score, mean eval accuracy) computed WITHOUT collecting the data: the Poisson
+bootstrap (the standard streaming/distributed bootstrap approximation --
+each row's multiplicity in replicate r is an independent Poisson(1) draw,
+avoiding the need to sample exactly n rows globally) turns resampling into
+a per-row weighting, which is one explode + one aggregation in any engine.
+
+Determinism discipline matches the samplers: every Poisson draw is the
+md5(key|replicate|seed) uniform pushed through the fixed Poisson(1) inverse
+CDF (cumulative thresholds materialized as hex literals from the same
+Python constants in Spark and oracle SQL), so replicate weights -- and
+therefore the interval -- are bit-reproducible across engines, runs, and
+cluster sizes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, rhu
+
+_HEX_DIGITS = 8
+_POISSON_MAX = 7  # tail beyond k=6 (~8e-5 mass) collapses into 7
+
+
+def poisson1_hex_thresholds() -> list[str]:
+    """Cumulative Poisson(1) CDF for k=0..6 on the 32-bit hex lattice --
+    the shared literals both engines compare the md5 draw against."""
+    cum, acc = [], 0.0
+    for k in range(_POISSON_MAX):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cum.append(format(min(int(acc * 16**_HEX_DIGITS), 16**_HEX_DIGITS - 1), "08x"))
+    return cum
+
+
+def _poisson_weight(u_hex: F.Column) -> F.Column:
+    w = None
+    for k, thr in enumerate(poisson1_hex_thresholds()):
+        cond = u_hex < F.lit(thr)
+        w = F.when(cond, k) if w is None else w.when(cond, k)
+    return w.otherwise(_POISSON_MAX)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    group_cols: list[str] | None = None,
+    b: int = 200,
+    level: float = 0.95,
+    seed: str = "bs",
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group mean with a percentile-bootstrap confidence interval:
+    ``b`` Poisson(1) replicates, each replicate's mean an exact-decimal
+    weighted sum over the whole group, interval = interpolated percentiles
+    of the replicate means. Returns (group_cols..., N_ROWS, MEAN, CI_LO,
+    CI_HI).
+
+    Shape: the replicate explode multiplies rows by ``b``, but the partial
+    aggregation collapses map-side to ``b`` rows per (group, partition)
+    before the shuffle -- the exploded stream never crosses the wire, so
+    cost is b x scan-CPU, not b x shuffle. Replicate means use the dsum
+    decimal convention (order-independent), and the final percentile runs
+    over a b-row frame per group."""
+    group_cols = group_cols or []
+    lo_q, hi_q = (1 - level) / 2, 1 - (1 - level) / 2
+    rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__rep")
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(c).cast("string") for c in key_cols],
+                F.col("__rep").cast("string"),
+                F.lit(seed),
+            )
+        ),
+        1,
+        _HEX_DIGITS,
+    )
+    reps = df.select(*group_cols, *key_cols, F.col(value_col), rep).withColumn(
+        "__w", _poisson_weight(u)
+    )
+    means = (
+        reps.groupBy(*group_cols, "__rep")
+        .agg(
+            dsum(F.col(value_col) * F.col("__w"), scale).alias("__s"),
+            F.sum("__w").alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(*group_cols, rhu(F.col("__s") / F.col("__n"), 6).alias("__m"))
+    )
+    ci = means.groupBy(*group_cols).agg(
+        rhu(F.percentile("__m", F.lit(lo_q)), 6).alias("CI_LO"),
+        rhu(F.percentile("__m", F.lit(hi_q)), 6).alias("CI_HI"),
+    )
+    point = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("N_ROWS"),
+        rhu(dsum(value_col, scale) / F.count(F.lit(1)), 6).alias("MEAN"),
+    )
+    if group_cols:
+        return point.join(ci, group_cols).select(
+            *group_cols, "N_ROWS", "MEAN", "CI_LO", "CI_HI"
+        )
+    return point.crossJoin(F.broadcast(ci)).select("N_ROWS", "MEAN", "CI_LO", "CI_HI")

@@ -164,6 +164,63 @@ def q_orders_price_percentiles(spark: SparkSession, sf_dir: str):
     )
 
 
+def _poisson_case_sql() -> str:
+    from ..operators.stats import poisson1_hex_thresholds
+
+    whens = " ".join(
+        f"WHEN u < '{t}' THEN {k}" for k, t in enumerate(poisson1_hex_thresholds())
+    )
+    return f"CASE {whens} ELSE 7 END"
+
+
+@query(
+    "events_value_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT event_type, value,
+         r.rep,
+         SUBSTRING(MD5(CAST(event_id AS VARCHAR) || '|' || CAST(r.rep AS VARCHAR) || '|bs1'),
+                   1, 8) AS u
+  FROM events, (SELECT unnest(range(0, 100)) AS rep) r
+),
+w AS (SELECT event_type, value, rep, {_poisson_case_sql()} AS w FROM reps),
+means AS (
+  SELECT event_type, rep,
+         {sql_rhu(sql_dsum('value * w', 2) + " / SUM(w)", 6)} AS m
+  FROM w GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+ci AS (
+  SELECT event_type,
+         {sql_rhu("quantile_cont(m, 0.025)", 6)} AS CI_LO,
+         {sql_rhu("quantile_cont(m, 0.975)", 6)} AS CI_HI
+  FROM means GROUP BY 1
+),
+pt AS (
+  SELECT event_type, COUNT(*) AS N_ROWS,
+         {sql_rhu(sql_dsum('value', 2) + " / COUNT(*)", 6)} AS MEAN
+  FROM events GROUP BY 1
+)
+SELECT pt.event_type AS EVENT_TYPE, pt.N_ROWS, pt.MEAN, ci.CI_LO, ci.CI_HI
+FROM pt JOIN ci USING (event_type)
+""",
+)
+def q_events_value_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    """Per-type mean value with a 95% Poisson-bootstrap CI
+    (operators/stats.bootstrap_mean_ci, b=100): resampling as a per-row
+    deterministic weight, replicate means as exact decimal sums, interval
+    from interpolated percentiles of the 100 means -- bit-reproducible
+    across engines because the Poisson draws share md5+threshold
+    literals."""
+    from ..operators.stats import bootstrap_mean_ci
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("EVENT_TYPE"), "value"
+    )
+    return bootstrap_mean_ci(
+        ev, "value", ["event_id"], group_cols=["EVENT_TYPE"], b=100, seed="bs1"
+    )
+
+
 @query(
     "events_value_winsorized",
     oracle=f"""

@@ -68,6 +68,7 @@ HEADLINE = [
     "events_daily_anomalies",
     "events_daily_gapfill",
     "events_value_winsorized",
+    "events_value_bootstrap_ci",
     "events_funnel",
     "events_retention_cohorts",
     "emb_kmeans_update",
