@@ -27,81 +27,84 @@ def query(name: str, oracle: str | None = None):
 
 # The driver grades catalog entries in dict order with a bounded budget
 # (exactly the first 50 in rounds 1-2). Rounds 1-2 covered one
-# oracle-equipped representative of every distinct mechanism; all 50 of
-# those rows are green in CORRECTNESS_r02.json. Round 3 rotates the
-# grading window (VERDICT r2 item 4): GRADE_FIRST puts
-# - the 28 entries the r2 window never reached (every remaining
-#   oracle-equipped query plus the 5 rows-only-by-design ops), then
-# - the 14 queries NEW in round 3 (scd2/dq/quantize/mix/intra-doc/variant/
-#   unigram/bpe/anomalies/incremental-agg/incremental-dedup/segment-dedup/
-#   pii), then
-# - a re-grade of every query whose implementation or oracle changed this
-#   round (encode-ids representation, json-props oracle cast, single-pass
-#   CDC diff, winnowing mod-2^31 hash, weighted-sample NULL policy,
-#   quantile flag), then
-# - the heaviest composite re-confirmation,
-# so that r2 ∪ r3 gives every oracle-equipped entry a green row of its
-# own. Entries omitted here (all green in r2, code untouched in r3)
-# follow in definition order.
+# oracle-equipped representative of every distinct mechanism; 48 of those
+# 50 rows are green in CORRECTNESS_r02.json (the 2 red rows were grading
+# -harness representation issues, both fixed this round). Round 3 rotates
+# the grading window (VERDICT r2 item 4) so that r2 ∪ r3 gives EVERY
+# oracle-equipped catalog entry a green row of its own: GRADE_FIRST is
+# exactly
+# - the 46 oracle-equipped entries with no CORRECTNESS_r02 row (the r2
+#   deferred tail plus everything added in round 3), then
+# - a re-grade of the 2 red r2 rows (encode-ids now grades a string-joined
+#   hashable representation; json-props oracle SUM cast to BIGINT), then
+# - a re-grade of the 2 queries whose VALUES changed in round 3
+#   (cdc_apply_changes: single-pass full-outer diff, the r2 superlinear
+#   item; docs_winnow_fingerprints: mod-2^31 gram hash for non-ASCII
+#   safety changes the fingerprint values in BOTH engines).
+# The 46 r2-green entries whose semantics did not change keep their r2
+# rows as evidence and follow in definition order; rows-only-by-design
+# ops (minhash pairs, packing, HLL/DDSketch zones, IVF top-k, fast
+# cosine, stubbed multimodal features, incremental near-dedup) are pinned
+# by exactness/invariant unit tests instead (see COVERAGE.md).
 GRADE_FIRST: list[str] = [
-    # -- never graded before round 3 (r2 positions 50-77)
-    "pricing_rollup",
-    "orders_status_cube",
-    "customers_anti_urgent",
+    # -- relational / analytics tail, never graded before round 3
+    "scan_filter_project",
     "set_union",
     "orders_intersect_custkeys",
-    "docs_vocab_topk",
-    "docs_quality_score",
-    "events_value_ntile",
-    "users_event_type_profile",
-    "docs_stratified_sample",
+    "customers_anti_urgent",
+    "pricing_rollup",
+    "orders_status_cube",
     "orders_priority_pivot",
-    "docs_simhash",
-    "emb_rp_lsh_signature",
-    "emb_ivf_assign",
+    "orders_price_percentiles",
+    "events_value_ntile",
+    "events_value_winsorized",
+    "events_value_bootstrap_ci",
+    "users_event_type_profile",
+    "events_variant_props",
+    "events_type_skew_report",
+    "events_daily_anomalies",
+    # -- marts / temporal tail
     "mart_sales_trends_weekly",
     "mart_sales_trends_monthly",
     "mart_sales_trends_hourly",
     "events_tumbling_hourly",
-    "docs_fingerprint",
-    "orders_price_percentiles",
-    "scan_filter_project",
-    "docs_train_split",
-    "events_approx_distinct_users",  # rows-only: HLL values engine-specific
-    "docs_pack_sequences",  # rows-only: greedy next-fit not SQL-expressible
-    "docs_minhash_lsh_pairs",  # rows-only: probabilistic, pinned in unit tests
-    "emb_ivf_topk",  # rows-only: recall-bounded approximate
-    "multimodal_features",  # rows-only: stubbed decode features
-    "emb_cosine_topk_fast",  # rows-only: == exact pinned in unit tests
-    # -- new in round 3: first grading
+    "events_daily_gapfill",
+    "events_hopping_6h",
+    # -- CDC / warehouse-ops, new in round 3
     "orders_incremental_agg",
-    "docs_segment_dedup",
-    "docs_pii_scrub",
     "scd2_user_dim",
     "scd2_active_at",
     "dq_orders_report",
-    "emb_int8_quantize",
-    "docs_token_budget_mix",
-    "docs_intra_doc_dedup",
-    "events_variant_props",
+    # -- documents / text tail
+    "docs_fingerprint",
+    "docs_quality_score",
+    "docs_simhash",
+    "docs_fuzzy_key_pairs",
+    "docs_vocab_topk",
+    "docs_heavy_hitters",
     "docs_unigram_logprob",
     "docs_bpe_pair_counts",
-    "events_daily_anomalies",
+    "docs_segment_dedup",
+    "docs_intra_doc_dedup",
     "docs_incremental_dedup",
-    # -- changed in round 3: re-grade
+    "docs_pii_scrub",
+    # -- sampling / mixing tail
+    "docs_train_split",
+    "docs_stratified_sample",
+    "docs_per_source_sample",
+    "docs_temperature_mix",
+    "docs_token_budget_mix",
+    # -- embeddings tail
+    "emb_rp_lsh_signature",
+    "emb_ivf_assign",
+    "emb_semantic_dedup",
+    "emb_int8_quantize",
+    # -- red in r2: representation fixed, re-grade
     "docs_encode_ids",
     "events_json_props",
-    "cdc_snapshot_diff",
+    # -- values changed in round 3: re-grade
     "cdc_apply_changes",
     "docs_winnow_fingerprints",
-    "docs_weighted_sample",
-    "mart_customer_clv_segment",
-    # -- heavy composite re-confirmations (the dropped r2-green unchanged
-    # entries -- order_revenue, fact_ltv_daily, pricing_summary,
-    # docs_exact_dedup, and the sales-trends/loyalty/rfm/churn/location/
-    # discount marts -- made room for the round-3 queries and keep their
-    # r2 rows as evidence)
-    "docs_curation_pipeline",
 ]
 
 

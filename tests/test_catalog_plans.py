@@ -34,6 +34,14 @@ BOUNDED_BROADCAST_OK = {
     "docs_bm25_topk": (1, "1-row corpus-stats frame (text.bm25_topk)"),
     # unigram LM crosses the token stream with the ONE-ROW total-count frame
     "docs_unigram_logprob": (1, "1-row corpus-total frame (text.unigram_logprob)"),
+    # heavy hitters crosses per-token counts with the ONE-ROW total frame
+    "docs_heavy_hitters": (1, "1-row corpus-total frame (text.heavy_hitters)"),
+    # skew report crosses per-key counts with the ONE-ROW grand-total frame
+    "events_type_skew_report": (1, "1-row grand-total frame (relational.skew_report)"),
+    # temperature mix crosses per-source counts with the ONE-ROW denominator
+    "docs_temperature_mix": (1, "1-row smoothing denominator (sampling.temperature_mix)"),
+    # equal-key member expansion goes through the broadcast 8-row salt range
+    "docs_fuzzy_key_pairs": (1, "broadcast 8-row salt range (relational.salted_join)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")
