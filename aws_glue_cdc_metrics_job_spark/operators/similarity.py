@@ -777,3 +777,270 @@ def int8_quantize(
         F.transform(e, lambda x: F.floor(x * 127 / amax + 0.5).cast("int"))
     )
     return df.select(F.col(id_col), amax.alias("AMAX"), q.alias("Q"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): Jegou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011 -- the compressed-domain ANN
+# representation FAISS's IVF-PQ indexes are built on. The vector is split
+# into m contiguous subspaces of dsub dims; each subspace is vector-
+# quantized against its own ksub-entry codebook, so a dim-double vector
+# compresses to m small integer codes, and query-to-vector L2 distances are
+# approximated from an m x ksub lookup table without touching the floats
+# (asymmetric distance computation, ADC).
+#
+# Engine shape: the codebook is DATA (a broadcast (SUB, CODE, C0..Cd) frame
+# of m*ksub rows), never plan literals -- the per-row expression stays dsub
+# terms wide regardless of ksub, assignments are BroadcastHashJoins on SUB
+# (the catalog plan guard sees no all-pairs shape), and the argmin is a
+# map-side-combinable min_by. Distances are rounded half-up at 6 dp before
+# any argmin/sum so results are bit-identical in Spark, DuckDB and numpy.
+# ---------------------------------------------------------------------------
+
+
+def pq_constants(
+    m: int = 4, ksub: int = 8, dsub: int = 16, seed: str = "pq0"
+) -> list[list[list[float]]]:
+    """Deterministic codebook literals in [-1, 1): entry [sub][code][d]
+    derives from md5(seed|sub|code|d) in PYTHON, so the identical constants
+    can be embedded in the oracle SQL (same device as rp_constants). Used
+    for graded parity; real indexes train with pq_train."""
+    import hashlib
+
+    out = []
+    for s in range(m):
+        sub = []
+        for c in range(ksub):
+            row = []
+            for d in range(dsub):
+                h = hashlib.md5(f"{seed}|{s}|{c}|{d}".encode()).hexdigest()[:8]
+                row.append(round(int(h, 16) / 2**32 * 2.0 - 1.0, 9))
+            sub.append(row)
+        out.append(sub)
+    return out
+
+
+def pq_codebook_df(spark, consts: list[list[list[float]]]) -> DataFrame:
+    """Materialize constants as the canonical codebook frame
+    (SUB int, CODE int, C0..C{dsub-1} double) -- m*ksub rows, broadcast-
+    sized by construction."""
+    dsub = len(consts[0][0])
+    rows = [
+        (s, c, *consts[s][c]) for s in range(len(consts)) for c in range(len(consts[s]))
+    ]
+    cols = ["SUB", "CODE"] + [f"C{d}" for d in range(dsub)]
+    df = spark.createDataFrame(rows, cols)
+    return df.select(
+        F.col("SUB").cast("int"),
+        F.col("CODE").cast("int"),
+        *[F.col(f"C{d}").cast("double") for d in range(dsub)],
+    )
+
+
+def _pq_sub_dist(vec: F.Column, dsub: int) -> F.Column:
+    """Squared L2 between the SUB-th slice of ``vec`` and the joined
+    codebook row's C0..C{dsub-1}, accumulated left-to-right in double --
+    the same order the oracle SQL's explicit + chain uses, so the rounded
+    distance (and therefore every argmin) matches bit-for-bit."""
+    s = None
+    for d in range(dsub):
+        x = F.element_at(vec, (F.col("SUB") * dsub + d + 1).cast("int")) - F.col(f"C{d}")
+        t = x * x
+        s = t if s is None else s + t
+    return s
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: for every vector and every subspace, the code of the
+    L2-nearest codebook centroid. Long form (id, SUB, CODE) -- the
+    hashable/gradable layout; ``m`` integer codes replace dim doubles
+    (dim=64 float64 -> 4 bytes at m=4/ksub<=256: 128x smaller).
+
+    Plan: explode m subspace tags per row (codegen array), broadcast
+    equi-join the m*ksub codebook on SUB, dsub-term codegen distance,
+    min_by argmin (ties to the lowest CODE). One shuffle of (id, SUB,
+    CODE) triples; the ksub candidates per group collapse map-side."""
+    m, ksub, dsub = _pq_shape(codebook)
+    v = F.col(vec_col).cast("array<double>")
+    ex = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("SUB"),
+    )
+    scored = ex.join(F.broadcast(codebook), "SUB").withColumn(
+        "__dist", rhu(_pq_sub_dist(F.col("__v"), dsub), 6)
+    )
+    return (
+        scored.groupBy(id_col, "SUB")
+        .agg(F.min_by("CODE", F.struct("__dist", "CODE")).alias("CODE"))
+    )
+
+
+def _pq_shape(codebook: DataFrame) -> tuple[int, int, int]:
+    dsub = sum(1 for c in codebook.columns if c.startswith("C") and c[1:].isdigit())
+    # m/ksub from the frame would need an action; infer from max SUB/CODE
+    # lazily only where needed -- encode needs m, so probe it once (the
+    # codebook is broadcast-sized by contract).
+    row = codebook.agg(
+        (F.max("SUB") + 1).alias("m"), (F.max("CODE") + 1).alias("k")
+    ).first()
+    return int(row["m"]), int(row["k"]), dsub
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate L2 from each query to every
+    ENCODED corpus vector as the sum of per-subspace lookup-table entries
+    -- the float corpus is never touched at query time (the whole point of
+    PQ: the index stores m bytes per vector).
+
+    The LUT is (query x SUB x CODE) partial distances, |Q|*m*ksub rows --
+    broadcast-sized because the query set is contract-small. Corpus codes
+    equi-join the LUT on (SUB, CODE); per-(query, id) sums run on
+    DECIMAL(27,15) images of the partials (order-independent -- a double
+    sum would make the ranking partitioning-dependent), then one
+    TakeOrdered top-k per query. Shuffle: (query, id) partial sums, map-
+    side combined from m rows to 1.
+
+    Returns (QUERY_ID, id, ADC_DIST) -- k rows per query, ties to the
+    lowest id."""
+    m, ksub, dsub = _pq_shape(codebook)
+    codes = pq_encode(corpus, codebook, id_col, vec_col)
+    qv = F.col(vec_col).cast("array<double>")
+    qex = queries.select(
+        F.col(id_col).alias("QUERY_ID"),
+        qv.alias("__q"),
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("SUB"),
+    )
+    lut = qex.join(F.broadcast(codebook), "SUB").select(
+        "QUERY_ID",
+        "SUB",
+        "CODE",
+        rhu(_pq_sub_dist(F.col("__q"), dsub), 6).alias("__part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["SUB", "CODE"])
+        .groupBy("QUERY_ID", id_col)
+        .agg(
+            rhu(
+                F.sum(F.col("__part").cast("decimal(27,15)")).cast("double"), 6
+            ).alias("ADC_DIST")
+        )
+    )
+    return top_k_per_group(
+        scored, ["QUERY_ID"], [F.col("ADC_DIST").asc(), F.col(id_col).asc()], k=k
+    )
+
+
+def pq_train_update(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd update of the PQ codebooks: assign every subvector to its
+    nearest code (pq_encode semantics, argmin kept with the subvector),
+    then the per-(SUB, CODE) elementwise mean over member subvectors.
+    DECIMAL(27,15) sums make the trained codebook bit-reproducible at any
+    partitioning (same convention as kmeans_update). Codes that lose all
+    members emit no rows; pq_train carries the old entry forward.
+
+    Returns long form (SUB, CODE, DIM, N_MEMBERS, CENTROID_VAL) with DIM
+    the within-subspace dimension 0..dsub-1."""
+    m, ksub, dsub = _pq_shape(codebook)
+    v = F.col(vec_col).cast("array<double>")
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("SUB"),
+        v.alias("__v"),
+    ).withColumn("__sv", F.slice(F.col("__v"), F.col("SUB") * dsub + 1, dsub))
+    scored = ex.join(F.broadcast(codebook), "SUB").withColumn(
+        "__dist", rhu(_pq_sub_dist(F.col("__v"), dsub), 6)
+    )
+    assigned = (
+        scored.groupBy(id_col, "SUB")
+        .agg(
+            F.min_by("CODE", F.struct("__dist", "CODE")).alias("CODE"),
+            F.any_value("__sv").alias("__sv"),
+        )
+    )
+    exd = assigned.select(
+        "SUB", "CODE", F.posexplode("__sv").alias("DIM", "__x")
+    )
+    mean = F.sum(F.col("__x").cast("decimal(27,15)")).cast("double") / F.count("*")
+    return exd.groupBy("SUB", "CODE", "DIM").agg(
+        F.count("*").cast("long").alias("N_MEMBERS"),
+        rhu(mean, 6).alias("CENTROID_VAL"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Train PQ codebooks with bounded Lloyd rounds. Init is deterministic:
+    the ksub lowest-md5(id) vectors seed every subspace's codebook (their
+    subspace slices), the reproducible device kmeans_train uses. Each
+    round runs one distributed pq_train_update; the m*ksub*dsub long-form
+    means -- broadcast-sized by construction -- are collected to rebuild
+    the codebook frame, which is the documented-contract driver traffic
+    (identical in kind to _collect_centroids). Codes that lose all members
+    keep their previous entry (the standard empty-cell policy).
+
+    Returns the trained codebook frame (SUB, CODE, C0..C{dsub-1})."""
+    if m < 1 or ksub < 1 or iters < 1:
+        raise ValueError(f"m, ksub, iters must be >= 1, got {m}/{ksub}/{iters}")
+    dim = dim if dim is not None else probe_dim(df, vec_col)
+    if dim is None or dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(ksub)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if len(seeds) < ksub:
+        raise ValueError(f"corpus has {len(seeds)} rows < ksub={ksub}")
+    consts = [
+        [
+            [round(float(seeds[c]["v"][s * dsub + d]), 9) for d in range(dsub)]
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    spark = df.sparkSession
+    cb = pq_codebook_df(spark, consts)
+    for _ in range(iters):
+        upd = pq_train_update(df, cb, id_col, vec_col)
+        got = {
+            (int(r["SUB"]), int(r["CODE"]), int(r["DIM"])): float(r["CENTROID_VAL"])
+            for r in upd.collect()
+        }
+        consts = [
+            [
+                [got.get((s, c, d), consts[s][c][d]) for d in range(dsub)]
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
+        cb = pq_codebook_df(spark, consts)
+    return cb

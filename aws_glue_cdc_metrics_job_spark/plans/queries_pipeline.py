@@ -1372,3 +1372,114 @@ def q_docs_incremental_near_dedup(spark: SparkSession, sf_dir: str):
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     out = dedup.minhash_dedup_incremental(batch, ib, ih, threshold=0.9)
     return out.select("doc_id")
+
+
+# --- Product quantization (similarity.pq_*): shared-literal oracles --------
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 8, 16
+
+
+def _pq_cb_values() -> str:
+    """The pq_constants codebook as a DuckDB VALUES relation -- the same
+    Python-generated literals the Spark codebook frame carries, so every
+    distance (and so every argmin and ADC sum) matches bit-for-bit."""
+    consts = similarity.pq_constants(_PQ_M, _PQ_K, _PQ_DSUB)
+    rows = ",\n".join(
+        "(" + ",".join([str(s), str(c)] + [repr(v) for v in consts[s][c]]) + ")"
+        for s in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    cols = ",".join(["SUB", "CODE"] + [f"C{d}" for d in range(_PQ_DSUB)])
+    return f"(VALUES\n{rows}) AS cb({cols})"
+
+
+def _pq_dist_sql(vec: str) -> str:
+    """Left-to-right squared-L2 chain between ``vec``'s SUB-th slice and
+    the cb row -- the exact add order of similarity._pq_sub_dist."""
+    terms = " + ".join(
+        f"(({vec}[cb.SUB*{_PQ_DSUB} + {d + 1}] - cb.C{d}) * ({vec}[cb.SUB*{_PQ_DSUB} + {d + 1}] - cb.C{d}))"
+        for d in range(_PQ_DSUB)
+    )
+    return sql_rhu(terms, 6)
+
+
+def _pq_enc_cte() -> str:
+    return f"""
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id, cb.SUB, cb.CODE, {_pq_dist_sql("e.v")} AS dist
+  FROM e, {_pq_cb_values()}
+),
+enc AS (
+  SELECT vec_id, CAST(SUB AS INT) AS SUB, CAST(CODE AS INT) AS CODE FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, SUB ORDER BY dist, CODE) = 1
+)"""
+
+
+@query("emb_pq_encode", oracle=f"WITH {_pq_enc_cte()}\nSELECT vec_id, SUB, CODE FROM enc")
+def q_emb_pq_encode(spark: SparkSession, sf_dir: str):
+    """Product-quantization encoding (Jegou et al., TPAMI 2011): each
+    64-dim vector compresses to 4 subspace codes against a deterministic
+    32-entry codebook -- long form (vec_id, SUB, CODE). The codebook is a
+    broadcast DATA frame (never plan literals), the per-row distance is a
+    16-term codegen chain, the argmin a map-side-combinable min_by; the
+    oracle replays the identical literals and add order."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_df(spark, similarity.pq_constants(_PQ_M, _PQ_K, _PQ_DSUB))
+    return similarity.pq_encode(emb, cb)
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=f"""
+WITH {_pq_enc_cte()},
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+lut AS (
+  SELECT q.vec_id AS QUERY_ID, cb.SUB, cb.CODE, {_pq_dist_sql("q.v")} AS part
+  FROM q, {_pq_cb_values()}
+),
+adc AS (
+  SELECT lut.QUERY_ID, enc.vec_id,
+         {sql_rhu("CAST(SUM(CAST(part AS DECIMAL(27,15))) AS DOUBLE)", 6)} AS ADC_DIST
+  FROM enc JOIN lut ON enc.SUB = lut.SUB AND enc.CODE = lut.CODE
+  GROUP BY lut.QUERY_ID, enc.vec_id
+)
+SELECT QUERY_ID, vec_id, ADC_DIST FROM adc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY ADC_DIST, vec_id) <= 5
+""",
+)
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str):
+    """Asymmetric-distance top-k over PQ codes: the query's m x ksub
+    lookup table is broadcast, corpus codes equi-join it on (SUB, CODE),
+    per-pair sums run on DECIMAL images (order-independent ranking at any
+    partitioning), one row_number top-k per query. The float corpus is
+    never touched at query time -- the compressed-domain search PQ
+    exists for."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_df(spark, similarity.pq_constants(_PQ_M, _PQ_K, _PQ_DSUB))
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.pq_adc_topk(emb, queries, cb, k=5)
+
+
+@query(
+    "emb_pq_train_update",
+    oracle=f"""
+WITH {_pq_enc_cte()},
+sv AS (
+  SELECT enc.SUB, enc.CODE, CAST(d.DIM AS INT) AS DIM,
+         e.v[enc.SUB*{_PQ_DSUB} + d.DIM + 1] AS x
+  FROM enc JOIN e USING (vec_id), UNNEST(range(0, {_PQ_DSUB})) AS d(DIM)
+)
+SELECT SUB, CODE, DIM, CAST(COUNT(*) AS BIGINT) AS N_MEMBERS,
+       {sql_rhu("CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)", 6)} AS CENTROID_VAL
+FROM sv GROUP BY SUB, CODE, DIM
+""",
+)
+def q_emb_pq_train_update(spark: SparkSession, sf_dir: str):
+    """One Lloyd update of the PQ codebooks (pq_train's distributed step):
+    subvector assignment, then per-(SUB, CODE) elementwise means on
+    DECIMAL(27,15) sums -- bit-reproducible at any partitioning, so
+    distributed PQ training is restartable (same convention as
+    emb_kmeans_update)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_df(spark, similarity.pq_constants(_PQ_M, _PQ_K, _PQ_DSUB))
+    return similarity.pq_train_update(emb, cb)

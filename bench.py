@@ -76,6 +76,9 @@ HEADLINE = [
     "emb_cosine_topk_fast",
     "emb_cosine_dup_pairs",
     "emb_semantic_dedup",
+    "emb_pq_encode",
+    "emb_pq_adc_topk",
+    "emb_pq_train_update",
     "docs_fuzzy_key_pairs",
     "docs_per_source_sample",
     "docs_heavy_hitters",
@@ -167,8 +170,19 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
-    # ONE compact final line, guaranteed under the driver's tail buffer.
-    print(json.dumps(out, separators=(",", ":")))
+    # ONE compact final line, guaranteed under the driver's tail buffer
+    # (2000 chars): if the per-query dict has outgrown it, drop the
+    # FASTEST entries first -- the slow ones are the regression signal --
+    # and note the spill; bench_detail.json always has the full set.
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        kept = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+        while len(line) > 1900 and kept:
+            kept.pop()
+            out["queries"] = dict(sorted(kept))
+            out["queries_spilled"] = f"{len(timings) - len(kept)} fastest in bench_detail.json"
+            line = json.dumps(out, separators=(",", ":"))
+    print(line)
     return 0
 
 
