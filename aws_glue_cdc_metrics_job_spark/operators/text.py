@@ -609,3 +609,48 @@ def bpe_train(
 
         syms = syms.mapInPandas(apply_merge, schema=out_schema).localCheckpoint()
     return merges
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking -- the retrieval/embedding prep
+    step (RAG corpora, context-window packing feeds): window w covers
+    normalized-whitespace tokens [w*stride, w*stride + chunk_tokens), so
+    consecutive chunks share chunk_tokens - stride tokens of overlap and
+    every token lands in at least one chunk. The final window may be a
+    runt; token-free docs produce no rows.
+
+    One posexplode of the per-doc start list (output-proportional: the
+    token array is sliced per window, never re-tokenized), all codegen,
+    no shuffle -- chunking runs inside the scan stage however large the
+    corpus, and the output inherits the input's partitioning.
+
+    Returns (id_col, CHUNK_IDX int, N_TOKENS long, CHUNK_TEXT)."""
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(f"chunk_tokens and stride must be >= 1, got {chunk_tokens}/{stride}")
+    if stride > chunk_tokens:
+        raise ValueError(f"stride {stride} > chunk_tokens {chunk_tokens} would drop tokens")
+    t = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") > 0)
+    )
+    ex = t.select(
+        F.col(id_col),
+        "__t",
+        F.posexplode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))).alias(
+            "CHUNK_IDX", "__start"
+        ),
+    )
+    sl = F.slice("__t", F.col("__start") + 1, chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("CHUNK_IDX"),
+        F.size(sl).cast("long").alias("N_TOKENS"),
+        F.concat_ws(" ", sl).alias("CHUNK_TEXT"),
+    )

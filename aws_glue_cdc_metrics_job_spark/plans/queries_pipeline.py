@@ -1483,3 +1483,27 @@ def q_emb_pq_train_update(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
     cb = similarity.pq_codebook_df(spark, similarity.pq_constants(_PQ_M, _PQ_K, _PQ_DSUB))
     return similarity.pq_train_update(emb, cb)
+
+
+@query(
+    "docs_chunk_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+w AS (
+  SELECT doc_id, toks, u.i AS start, CAST(u.i // 48 AS INT) AS CHUNK_IDX
+  FROM nz, UNNEST(range(0, n, 48)) AS u(i)
+)
+SELECT doc_id, CHUNK_IDX,
+       CAST(len(toks[start+1 : start+64]) AS BIGINT) AS N_TOKENS,
+       array_to_string(toks[start+1 : start+64], ' ') AS CHUNK_TEXT
+FROM w
+""",
+)
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str):
+    """Overlapping token-window chunking (text.chunk_documents): 64-token
+    windows at stride 48 (16 tokens of overlap) -- the RAG/embedding prep
+    step. Pure scan-stage codegen, output-proportional; the oracle slices
+    the same normalized token arrays."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, stride=48)

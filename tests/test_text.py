@@ -346,3 +346,46 @@ def test_mg_merge_under_k_counters_is_exact(spark):
     got = {r["TOKEN"]: r["C"] for r in mg_merge(mg_token_summary(docs, k=10, shards=2), k=10).collect()}
     # fewer distinct tokens than k: MG degenerates to exact counts
     assert got == {"x": 2, "y": 1, "z": 1}
+
+
+class TestChunkDocuments:
+    def test_coverage_and_overlap(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import chunk_documents
+
+        txt = " ".join(f"w{i}" for i in range(150))
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=64, stride=48).collect(),
+            key=lambda r: r["CHUNK_IDX"],
+        )
+        # starts 0, 48, 96, 144 -> 4 chunks; last is a 6-token runt
+        assert [r["CHUNK_IDX"] for r in rows] == [0, 1, 2, 3]
+        assert [r["N_TOKENS"] for r in rows] == [64, 64, 54, 6]
+        # every token appears in at least one chunk, in order
+        toks = [t for r in rows for t in r["CHUNK_TEXT"].split(" ")]
+        assert set(toks) == {f"w{i}" for i in range(150)}
+        # consecutive chunks share exactly chunk - stride = 16 tokens
+        a, b = rows[0]["CHUNK_TEXT"].split(" "), rows[1]["CHUNK_TEXT"].split(" ")
+        assert a[-16:] == b[:16]
+
+    def test_short_and_empty_docs(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "only three tokens"), (2, "   "), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(df, chunk_tokens=8, stride=4).collect()
+        assert len(rows) == 1
+        assert rows[0]["doc_id"] == 1 and rows[0]["N_TOKENS"] == 3
+
+    def test_validation(self, spark):
+        import pytest
+
+        from aws_glue_cdc_metrics_job_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, stride=8)  # would drop tokens
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=0)
