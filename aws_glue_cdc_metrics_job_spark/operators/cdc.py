@@ -45,6 +45,28 @@ def business_columns(df: DataFrame, pks: list[str]) -> list[str]:
     return [c for c in df.columns if c not in pks and c not in METADATA_COLS]
 
 
+def align_to_current(previous: DataFrame, current: DataFrame, pks: list[str]) -> DataFrame:
+    """Project ``previous`` onto ``current``'s schema for a diff across a
+    schema change: columns ADDED since the previous snapshot appear as
+    typed NULLs (so the null-safe change predicate classifies any row
+    where the new column is now populated as an update), columns DROPPED
+    since then are discarded (the diff -- like the downstream table --
+    speaks the current schema; their values cannot make a row an update
+    because updates are judged on surviving columns only). Primary keys
+    must exist on both sides; a renamed pk is a different table, not an
+    evolved one."""
+    missing_pks = [k for k in pks if k not in previous.columns]
+    if missing_pks:
+        raise ValueError(f"previous snapshot lacks primary key column(s) {missing_pks}")
+    prev_cols = set(previous.columns)
+    return previous.select(
+        *[
+            F.col(f.name) if f.name in prev_cols else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in current.schema.fields
+        ]
+    )
+
+
 def cdc_diff(
     current: DataFrame,
     previous: DataFrame,
@@ -53,6 +75,7 @@ def cdc_diff(
     null_safe: bool = True,
     mode: str = "keyed",
     with_old_image: bool = False,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Diff two snapshots into a tagged change set.
 
@@ -67,6 +90,8 @@ def cdc_diff(
     single full-outer join for free: both sides are already in the joined
     row, so no extra scan or shuffle.
     """
+    if evolve_schema:
+        previous = align_to_current(previous, current, pks)
     cols = compare_cols or business_columns(current, pks)
     keep = pks + [c for c in current.columns if c not in pks and c not in METADATA_COLS]
     cur = current.select(*keep)

@@ -1094,3 +1094,84 @@ def q_events_daily_anomalies(spark: SparkSession, sf_dir: str):
         "ZSCORE",
         "IS_ANOMALY",
     )
+
+
+# --- C2-ext: snapshot diff ACROSS a schema change (evolve_schema=True).
+# prev speaks the old schema (has o_legacy_flag, lacks o_orderpriority);
+# cur speaks the new one (o_orderpriority populated for keys %5==0). The
+# aligned diff judges updates on surviving+added columns only: %5==0 rows
+# flip NULL->priority (update), legacy-flag differences are invisible,
+# %7==0 keeps the price-bump update, %11/%13 the insert/delete legs.
+
+_CDC_EVOLVED_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+  FROM orders
+),
+cur AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN {rhu_bump}
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority END AS o_orderpriority
+  FROM base WHERE o_orderkey % 11 <> 5
+),
+prev AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM base WHERE o_orderkey % 13 <> 3
+),
+ins AS (
+  SELECT c.*, 'insert' AS cdc_action FROM cur c
+  ANTI JOIN prev p ON c.o_orderkey = p.o_orderkey
+),
+del AS (
+  SELECT p.*, 'delete' AS cdc_action FROM prev p
+  ANTI JOIN cur c ON p.o_orderkey = c.o_orderkey
+),
+upd AS (
+  SELECT c.*, 'update' AS cdc_action
+  FROM cur c JOIN prev p ON c.o_orderkey = p.o_orderkey
+  WHERE c.o_custkey IS DISTINCT FROM p.o_custkey
+     OR c.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+     OR c.o_totalprice IS DISTINCT FROM p.o_totalprice
+     OR c.o_orderpriority IS DISTINCT FROM p.o_orderpriority
+)
+SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+"""
+
+
+@query("cdc_evolved_diff", oracle=_CDC_EVOLVED_SQL)
+def q_cdc_evolved_diff(spark: SparkSession, sf_dir: str):
+    """Keyed snapshot diff across a schema change (cdc.align_to_current):
+    previous lacks the ADDED o_orderpriority (null-compared, so newly
+    populated rows classify as updates) and carries a DROPPED
+    o_legacy_flag (discarded -- it can't make a row an update). Same
+    single full-outer-join plan as cdc_snapshot_diff; alignment is a
+    zero-cost projection."""
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    cur = (
+        base.filter(F.col("o_orderkey") % 11 != 5)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, rhu(F.col("o_totalprice") * 1.1, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_orderpriority")),
+        )
+    )
+    prev = (
+        base.drop("o_orderpriority")
+        .filter(F.col("o_orderkey") % 13 != 3)
+        .withColumn("o_legacy_flag", (F.col("o_orderkey") % 2 == 0))
+    )
+    return cdc_diff(cur, prev, pks=["o_orderkey"], evolve_schema=True)

@@ -91,3 +91,48 @@ def test_tag_appends(snapshots):
     rows = tagged.collect()
     assert all(r["cdc_action"] == "insert" for r in rows)
     assert len(rows) == cur.count()
+
+
+class TestEvolvedSchemaDiff:
+    def _frames(self, spark):
+        cur = spark.createDataFrame(
+            [(1, "a", "NEW"), (2, "b", None), (3, "c", "X")],
+            "pk long, val string, added string",
+        )
+        prev = spark.createDataFrame(
+            [(1, "a", True), (2, "b", False), (4, "d", True)],
+            "pk long, val string, dropped boolean",
+        )
+        return cur, prev
+
+    def test_alignment_semantics(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.cdc import cdc_diff
+
+        cur, prev = self._frames(spark)
+        got = {
+            r["pk"]: r["cdc_action"]
+            for r in cdc_diff(cur, prev, pks=["pk"], evolve_schema=True).collect()
+        }
+        # pk1: added col NULL->'NEW' => update; pk2: NULL->NULL, dropped col
+        # invisible => no change; pk3 insert; pk4 delete
+        assert got == {1: "update", 3: "insert", 4: "delete"}
+
+    def test_output_speaks_current_schema(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.cdc import cdc_diff
+
+        cur, prev = self._frames(spark)
+        out = cdc_diff(cur, prev, pks=["pk"], evolve_schema=True)
+        assert "dropped" not in out.columns and "added" in out.columns
+        # the delete row carries a typed NULL for the added column
+        dels = out.filter("cdc_action = 'delete'").collect()
+        assert dels[0]["added"] is None
+
+    def test_missing_pk_raises(self, spark):
+        import pytest
+
+        from aws_glue_cdc_metrics_job_spark.operators.cdc import cdc_diff
+
+        cur, _ = self._frames(spark)
+        prev = spark.createDataFrame([(1,)], "other long")
+        with pytest.raises(ValueError, match="primary key"):
+            cdc_diff(cur, prev, pks=["pk"], evolve_schema=True)
