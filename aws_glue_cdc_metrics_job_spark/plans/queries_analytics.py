@@ -452,3 +452,97 @@ def q_events_variant_props(spark: SparkSession, sf_dir: str):
         F.max("__k").alias("MAX_K"),
         F.sum(F.when(F.col("__k") >= 50, 1).otherwise(0)).cast("long").alias("N_HIGH"),
     )
+
+
+# --- classic multi-join analytics (TPC-H Q3/Q5 shapes): the join-ordering
+# and broadcast-chain workload every warehouse user runs. Catalyst orders
+# the joins and broadcasts every dimension side (region/nation/customer
+# fit; orders x lineitem is the one real shuffle pair); revenue sums use
+# the decimal convention so the oracle hashes match at any partitioning.
+
+
+@query(
+    "orders_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey AS ORDER_ID,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS REVENUE,
+       o.o_orderdate AS ORDER_DATE,
+       o.o_orderpriority AS PRIORITY
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY REVENUE DESC, ORDER_ID
+LIMIT 10
+""",
+)
+def q_orders_shipping_priority(spark: SparkSession, sf_dir: str):
+    """Unshipped high-value orders for one market segment (TPC-H Q3
+    shape): 3-way join with both filters pushed to the scans, revenue
+    agg, global top-10 as TakeOrderedAndProject (no full sort). The
+    segment-filtered customer side broadcasts."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("ORDER_ID"),
+            F.col("o_orderdate").alias("ORDER_DATE"),
+            F.col("o_orderpriority").alias("PRIORITY"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("REVENUE"))
+        .orderBy(F.col("REVENUE").desc(), "ORDER_ID")
+        .limit(10)
+    )
+
+
+@query(
+    "region_nation_volume",
+    oracle=f"""
+SELECT n.n_name AS NATION,
+       CAST(COUNT(*) AS BIGINT) AS N_LINES,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS REVENUE
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q_region_nation_volume(spark: SparkSession, sf_dir: str):
+    """Per-nation order volume for one region over two years (TPC-H Q5
+    shape): a 5-way join where region -> nation -> customer collapse into
+    broadcast hash joins feeding the one genuine orders x lineitem
+    shuffle; the region filter prunes before anything widens."""
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .groupBy(F.col("n_name").alias("NATION"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("N_LINES"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("REVENUE"),
+        )
+    )

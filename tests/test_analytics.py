@@ -85,3 +85,28 @@ def test_event_type_profile_sorted_distinct(spark, sf_dir):
         types = r.EVENT_TYPES.split(",")
         assert types == sorted(types)
         assert len(types) == len(set(types)) == r.N_TYPES
+
+
+class TestClassicJoinShapes:
+    def test_shipping_priority_plan(self, spark, sf_dir):
+        from aws_glue_cdc_metrics_job_spark.plans import catalog
+
+        catalog.load_all()
+        plan = (
+            catalog.QUERIES["orders_shipping_priority"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # global top-10 must be TakeOrderedAndProject, never a full sort
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_region_volume_rows(self, spark, sf_dir):
+        from aws_glue_cdc_metrics_job_spark.plans import catalog
+
+        catalog.load_all()
+        rows = catalog.QUERIES["region_nation_volume"](spark, sf_dir).collect()
+        # one row per ASIA nation present; revenue strictly positive
+        assert 0 < len(rows) <= 5
+        assert all(r["REVENUE"] > 0 and r["N_LINES"] > 0 for r in rows)
