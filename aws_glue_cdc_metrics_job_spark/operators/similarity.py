@@ -1044,3 +1044,82 @@ def pq_train(
         ]
         cb = pq_codebook_df(spark, consts)
     return cb
+
+
+def semantic_cross_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-corpus near matches by embedding cosine: every (corpus,
+    bench) pair with cosine >= threshold, blocked by SHARED IVF cells --
+    the semantic complement to the n-gram benchmark decontaminator
+    (operators/decontam.py): paraphrased eval contamination has no
+    verbatim n-grams to catch, but its embeddings still land in the same
+    cell as the leaked item.
+
+    Both sides take one narrow assignment pass against the same centroid
+    set, then the per-cell kernel scores corpus-rows x bench-rows only
+    (never side x itself). One CELL-keyed shuffle; cross-cell pairs are
+    missed by construction, the standard IVF recall trade. Ids may
+    overlap between sides (different tables) -- the side tag, not the id,
+    partitions the kernel.
+
+    Returns (CORPUS_ID, BENCH_ID, COSINE)."""
+    import numpy as np
+    import pandas as pd
+
+    a = assign_cells(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col, dim=dim
+    ).select("CELL", F.col(id_col), F.col(vec_col), F.lit(0).alias("__side"))
+    b = assign_cells(
+        bench.select(id_col, vec_col), centroids, id_col, vec_col, dim=dim
+    ).select("CELL", F.col(id_col), F.col(vec_col), F.lit(1).alias("__side"))
+
+    def cell_cross(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"CORPUS_ID": [], "BENCH_ID": [], "COSINE": []}).astype(
+            {"CORPUS_ID": "int64", "BENCH_ID": "int64", "COSINE": "float64"}
+        )
+        ca = pdf[pdf["__side"] == 0].sort_values(id_col)
+        cb = pdf[pdf["__side"] == 1].sort_values(id_col)
+        if len(ca) == 0 or len(cb) == 0:
+            return empty
+        A = np.array(list(ca[vec_col]), dtype=np.float64)
+        B = np.array(list(cb[vec_col]), dtype=np.float64)
+        cos = _rhu_np(_seq_dots(A, B) / (_seq_sq_norms(A)[:, None] * _seq_sq_norms(B)[None, :]))
+        ia, ib = np.nonzero(cos >= threshold)
+        return pd.DataFrame(
+            {
+                "CORPUS_ID": ca[id_col].to_numpy()[ia],
+                "BENCH_ID": cb[id_col].to_numpy()[ib],
+                "COSINE": cos[ia, ib],
+            }
+        )
+
+    return a.unionByName(b).groupBy("CELL").applyInPandas(
+        cell_cross, "CORPUS_ID long, BENCH_ID long, COSINE double"
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Drop corpus rows semantically too close to any benchmark item
+    (cosine >= threshold under shared-cell blocking). All corpus columns
+    pass through; the anti-join shuffles ids only."""
+    dirty = (
+        semantic_cross_pairs(corpus, bench, centroids, threshold, id_col, vec_col, dim)
+        .select(F.col("CORPUS_ID").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dirty, id_col, "left_anti")

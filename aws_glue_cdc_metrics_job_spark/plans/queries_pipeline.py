@@ -1507,3 +1507,49 @@ def q_docs_chunk_windows(spark: SparkSession, sf_dir: str):
     the same normalized token arrays."""
     docs = read_table(spark, sf_dir, "documents")
     return text.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@query(
+    "emb_cross_contamination",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS CELL, v AS cv FROM e WHERE vec_id % 31 = 1),
+scored AS (
+  SELECT e.vec_id, cents.CELL,
+         FLOOR((list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS sim
+  FROM e, cents
+),
+cells AS (
+  SELECT vec_id, CELL FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, CELL) = 1
+)
+SELECT a.vec_id AS CORPUS_ID, b.vec_id AS BENCH_ID,
+       FLOOR((list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))))
+          * 1000000 + 0.5) / 1000000 AS COSINE
+FROM cells a
+JOIN cells b ON a.CELL = b.CELL
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE a.vec_id % 97 <> 0 AND b.vec_id % 97 = 0
+  AND FLOOR((list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))))
+         * 1000000 + 0.5) / 1000000 >= 0.3
+""",
+)
+def q_emb_cross_contamination(spark: SparkSession, sf_dir: str):
+    """Semantic benchmark contamination (similarity.semantic_cross_pairs):
+    vectors with vec_id%97==0 play the benchmark embeddings, the rest the
+    training corpus; every cross-side pair with cosine >= 0.3 under
+    shared IVF-cell blocking is a leak candidate. The embedding
+    complement to docs_decontaminate -- paraphrases carry no verbatim
+    n-grams but keep their neighborhood."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    return similarity.semantic_cross_pairs(corpus, bench, centroids, threshold=0.3)

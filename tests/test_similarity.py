@@ -238,3 +238,69 @@ def test_int8_quantize_roundtrip(spark):
             continue
         deq = np.array(out[vid]["Q"]) * out[vid]["AMAX"] / 127
         assert np.max(np.abs(deq - np.array(emb))) <= out[vid]["AMAX"] / 254 + 1e-12
+
+
+class TestSemanticCrossDecontamination:
+    def test_survivors_complement_pairs(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators import similarity as S
+        from aws_glue_cdc_metrics_job_spark.sources import read_table
+        from pyspark.sql import functions as F
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = emb.filter(F.col("vec_id") % 31 == 1).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") % 97 != 0)
+        bench = emb.filter(F.col("vec_id") % 97 == 0)
+        pairs = S.semantic_cross_pairs(corpus, bench, cents, threshold=0.3)
+        dirty = {r["CORPUS_ID"] for r in pairs.collect()}
+        kept = {r["vec_id"] for r in S.semantic_decontaminate(corpus, bench, cents, 0.3).collect()}
+        allc = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+        assert dirty  # the synthetic clusters guarantee cross-side neighbors
+        assert kept == allc - dirty
+        # no self-side pairs: every BENCH_ID is a bench row
+        assert all(r["BENCH_ID"] % 97 == 0 for r in pairs.collect())
+
+    def test_pairs_match_bruteforce_within_cells(self, spark):
+        import numpy as np
+
+        from aws_glue_cdc_metrics_job_spark.operators import similarity as S
+        from aws_glue_cdc_metrics_job_spark.sources import read_table
+        from pyspark.sql import functions as F
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = emb.filter(F.col("vec_id") % 31 == 1).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") % 97 != 0)
+        bench = emb.filter(F.col("vec_id") % 97 == 0)
+        got = {
+            (r["CORPUS_ID"], r["BENCH_ID"]): r["COSINE"]
+            for r in S.semantic_cross_pairs(corpus, bench, cents, threshold=0.3).collect()
+        }
+        # independent replication: assignment + cross cosine in numpy
+        cells = {
+            r["vec_id"]: r["CELL"]
+            for r in S.assign_cells(emb, cents).select("vec_id", "CELL").collect()
+        }
+        vecs = {
+            r["vec_id"]: np.array(list(r["embedding"]), dtype=np.float64)
+            for r in emb.collect()
+        }
+        exp = {}
+        for ci, cv in vecs.items():
+            if ci % 97 == 0:
+                continue
+            for bi, bv in vecs.items():
+                if bi % 97 != 0 or cells[ci] != cells[bi]:
+                    continue
+                acc = cv[0] * bv[0]
+                na, nb = cv[0] * cv[0], bv[0] * bv[0]
+                for d in range(1, len(cv)):
+                    acc += cv[d] * bv[d]
+                    na += cv[d] * cv[d]
+                    nb += bv[d] * bv[d]
+                c = float(S._rhu_np(acc / (np.sqrt(na) * np.sqrt(nb))))
+                if c >= 0.3:
+                    exp[(ci, bi)] = c
+        assert got == exp
