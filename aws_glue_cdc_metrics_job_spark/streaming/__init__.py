@@ -1,5 +1,6 @@
 from .jobs import (
     cdc_upsert_sink,
+    chunk_encode_sink,
     incremental_mart_sink,
     quantile_sketch_sink,
     decontaminate_sink,
@@ -13,6 +14,7 @@ from .jobs import (
 
 __all__ = [
     "cdc_upsert_sink",
+    "chunk_encode_sink",
     "incremental_mart_sink",
     "quantile_sketch_sink",
     "decontaminate_sink",

@@ -370,3 +370,54 @@ def quantile_sketch_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def chunk_encode_sink(
+    doc_stream: DataFrame,
+    vocab: DataFrame,
+    chunks_path: str,
+    checkpoint: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming retrieval-corpus maintenance: per micro-batch, window new
+    documents into overlapping token chunks (text.chunk_documents) and
+    encode each chunk against the FROZEN vocabulary
+    (text.encode_token_ids), appending to the chunk zone -- the RAG
+    ingest path, kept bit-identical to a batch backfill because both
+    reuse the same batch operators on a bounded frame.
+
+    foreachBatch, not a streaming transform: chunking explodes rows
+    (stateless, fine) but encoding joins the vocab per token -- inside
+    foreachBatch that join broadcasts per micro-batch with no streaming
+    state at all. The vocabulary must be frozen for the ids to be stable;
+    re-training it belongs to a batch job that rewrites the zone."""
+    from ..operators.text import chunk_documents, encode_token_ids
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        chunks = chunk_documents(
+            batch, chunk_tokens=chunk_tokens, stride=stride, id_col=id_col, text_col=text_col
+        ).select(
+            F.col(id_col),
+            "CHUNK_IDX",
+            # chunk key for the encoder's single-column group; CHUNK_IDX is
+            # bounded by the doc's token count / stride, 2^20 is generous
+            (F.col(id_col) * (1 << 20) + F.col("CHUNK_IDX")).alias("CHUNK_ID"),
+            F.col("CHUNK_TEXT").alias(text_col),
+        )
+        enc = encode_token_ids(chunks, vocab, id_col="CHUNK_ID", text_col=text_col)
+        out = chunks.join(enc, "CHUNK_ID").select(
+            id_col, "CHUNK_IDX", F.col(text_col).alias("CHUNK_TEXT"), "TOKEN_IDS", "N_TOKENS"
+        )
+        out.write.mode("append").parquet(chunks_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -312,3 +312,44 @@ def test_quantile_sketch_sink_equals_direct(spark, tmp_path, event_dir):
         (r["d"].isoformat(), r["SIGN"], r["SIGNED_BIN"], r["N"]) for r in direct.collect()
     )
     assert got == want and got
+
+
+def test_chunk_encode_sink_matches_batch(spark, tmp_path):
+    DOC_SCHEMA = "doc_id long, text string"
+    vocab = spark.createDataFrame(
+        [("w%d" % i, i) for i in range(10)], "TOKEN string, TOKEN_ID long"
+    )
+    src = str(tmp_path / "rag_in")
+    long_doc = " ".join("w%d" % (i % 10) for i in range(20))
+    spark.createDataFrame([(1, long_doc)], DOC_SCHEMA).write.mode("append").parquet(src)
+    spark.createDataFrame([(2, "w1 w2 oov")], DOC_SCHEMA).write.mode("append").parquet(src)
+
+    stream = S.read_event_stream(spark, src, DOC_SCHEMA)
+    chunks_path = str(tmp_path / "chunks")
+    q = S.chunk_encode_sink(
+        stream, vocab, chunks_path, checkpoint=str(tmp_path / "ckpt_rag"),
+        chunk_tokens=8, stride=6,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(chunks_path).collect()
+    by_key = {(r["doc_id"], r["CHUNK_IDX"]): r for r in got}
+    # doc 1: 20 tokens, starts 0/6/12/18 -> 4 chunks; doc 2: 1 chunk
+    assert len(by_key) == 5
+    # encoding agrees with the batch operators run on the full input
+    from aws_glue_cdc_metrics_job_spark.operators.text import chunk_documents, encode_token_ids
+    from pyspark.sql import functions as F
+
+    full = chunk_documents(spark.read.parquet(src), chunk_tokens=8, stride=6).select(
+        "doc_id", "CHUNK_IDX",
+        (F.col("doc_id") * (1 << 20) + F.col("CHUNK_IDX")).alias("CHUNK_ID"),
+        F.col("CHUNK_TEXT").alias("text"),
+    )
+    exp = {
+        (r["CHUNK_ID"] >> 20, r["CHUNK_ID"] & ((1 << 20) - 1)): r["TOKEN_IDS"]
+        for r in encode_token_ids(full, vocab, id_col="CHUNK_ID").collect()
+    }
+    for k, r in by_key.items():
+        assert list(r["TOKEN_IDS"]) == list(exp[k])
+    # OOV maps to -1
+    assert list(by_key[(2, 0)]["TOKEN_IDS"]) == [1, 2, -1]
