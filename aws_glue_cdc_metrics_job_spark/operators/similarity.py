@@ -855,29 +855,34 @@ def pq_encode(
     codebook: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """PQ encoding: for every vector and every subspace, the code of the
     L2-nearest codebook centroid. Long form (id, SUB, CODE) -- the
     hashable/gradable layout; ``m`` integer codes replace dim doubles
     (dim=64 float64 -> 4 bytes at m=4/ksub<=256: 128x smaller).
+    ``carry_cols`` ride along per row (constant within a group -- e.g.
+    the IVF CELL for an IVF-PQ index layout).
 
     Plan: explode m subspace tags per row (codegen array), broadcast
     equi-join the m*ksub codebook on SUB, dsub-term codegen distance,
     min_by argmin (ties to the lowest CODE). One shuffle of (id, SUB,
     CODE) triples; the ksub candidates per group collapse map-side."""
+    carry_cols = carry_cols or []
     m, ksub, dsub = _pq_shape(codebook)
     v = F.col(vec_col).cast("array<double>")
     ex = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         v.alias("__v"),
         F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("SUB"),
     )
     scored = ex.join(F.broadcast(codebook), "SUB").withColumn(
         "__dist", rhu(_pq_sub_dist(F.col("__v"), dsub), 6)
     )
-    return (
-        scored.groupBy(id_col, "SUB")
-        .agg(F.min_by("CODE", F.struct("__dist", "CODE")).alias("CODE"))
+    return scored.groupBy(id_col, "SUB").agg(
+        F.min_by("CODE", F.struct("__dist", "CODE")).alias("CODE"),
+        *[F.any_value(c).alias(c) for c in carry_cols],
     )
 
 
@@ -915,28 +920,89 @@ def pq_adc_topk(
 
     Returns (QUERY_ID, id, ADC_DIST) -- k rows per query, ties to the
     lowest id."""
-    m, ksub, dsub = _pq_shape(codebook)
     codes = pq_encode(corpus, codebook, id_col, vec_col)
+    lut = _pq_query_lut(queries, codebook, id_col, vec_col)
+    scored = (
+        codes.join(F.broadcast(lut), ["SUB", "CODE"])
+        .groupBy("QUERY_ID", id_col)
+        .agg(_pq_adc_sum())
+    )
+    return top_k_per_group(
+        scored, ["QUERY_ID"], [F.col("ADC_DIST").asc(), F.col(id_col).asc()], k=k
+    )
+
+
+def _pq_query_lut(
+    queries: DataFrame, codebook: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(QUERY_ID, SUB, CODE, __part) lookup table: the query's rounded
+    squared-L2 to every codebook entry. |Q|*m*ksub rows, broadcast-sized
+    because the query set is contract-small."""
+    m, ksub, dsub = _pq_shape(codebook)
     qv = F.col(vec_col).cast("array<double>")
     qex = queries.select(
         F.col(id_col).alias("QUERY_ID"),
         qv.alias("__q"),
         F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("SUB"),
     )
-    lut = qex.join(F.broadcast(codebook), "SUB").select(
+    return qex.join(F.broadcast(codebook), "SUB").select(
         "QUERY_ID",
         "SUB",
         "CODE",
         rhu(_pq_sub_dist(F.col("__q"), dsub), 6).alias("__part"),
     )
+
+
+def _pq_adc_sum():
+    """Per-(query, id) ADC distance: DECIMAL images of the 6dp partials so
+    the sum -- and therefore the ranking -- is partitioning-independent."""
+    return rhu(F.sum(F.col("__part").cast("decimal(27,15)")).cast("double"), 6).alias(
+        "ADC_DIST"
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search (the FAISS index architecture, Jegou et al. 2011):
+    the coarse quantizer (IVF cells) restricts each query to its
+    ``nprobe`` most promising cells, and within them vectors are scored
+    from PQ codes by ADC -- so query cost is (nprobe/K of the corpus) x
+    (m lookups per vector), touching neither the full corpus nor any
+    corpus float.
+
+    Plan shape: corpus -> one narrow Arrow assignment pass + one PQ
+    encode (both index-build steps, amortized over queries in a real
+    deployment); query side -> probe_cells x LUT, both broadcast-sized;
+    candidate scoring is an equi-join of codes against (CELL-filtered)
+    LUT rows with map-side-combined decimal sums. Recall loss is exactly
+    the IVF trade (neighbors outside probed cells) -- PQ adds distance
+    approximation but never drops a candidate within a probed cell; both
+    levers (nprobe, ksub) are explicit.
+
+    Returns (QUERY_ID, id, ADC_DIST) -- up to k rows per query."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col, dim=dim)
+    codes = pq_encode(cells, codebook, id_col, vec_col, carry_cols=["CELL"])
+    probed = probe_cells(queries, centroids, nprobe, id_col, vec_col, dim=dim).select(
+        F.col(id_col).alias("QUERY_ID"), "CELL"
+    )
+    lut = _pq_query_lut(queries, codebook, id_col, vec_col)
+    # each query's LUT rows replicate once per probed cell (nprobe * m *
+    # ksub rows per query -- still broadcast-sized), keyed so the corpus
+    # side joins on (CELL, SUB, CODE) and only probed cells' members score
+    probed_lut = probed.join(lut, "QUERY_ID")
     scored = (
-        codes.join(F.broadcast(lut), ["SUB", "CODE"])
+        codes.join(F.broadcast(probed_lut), ["CELL", "SUB", "CODE"])
         .groupBy("QUERY_ID", id_col)
-        .agg(
-            rhu(
-                F.sum(F.col("__part").cast("decimal(27,15)")).cast("double"), 6
-            ).alias("ADC_DIST")
-        )
+        .agg(_pq_adc_sum())
     )
     return top_k_per_group(
         scored, ["QUERY_ID"], [F.col("ADC_DIST").asc(), F.col(id_col).asc()], k=k

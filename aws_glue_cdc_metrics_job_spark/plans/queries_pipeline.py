@@ -1553,3 +1553,20 @@ def q_emb_cross_contamination(spark: SparkSession, sf_dir: str):
     corpus = emb.filter(F.col("vec_id") % 97 != 0)
     bench = emb.filter(F.col("vec_id") % 97 == 0)
     return similarity.semantic_cross_pairs(corpus, bench, centroids, threshold=0.3)
+
+
+@query("emb_ivf_pq_topk")  # rows-only: doubly-approximate (IVF recall x PQ distance)
+def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str):
+    """IVF-PQ search (similarity.ivf_pq_topk): coarse cells restrict each
+    query to nprobe=2 probed cells, PQ codes + ADC score the members --
+    the FAISS index architecture end-to-end. Rows-only: the result is
+    approximate by design on both axes; tests/test_pq.py pins that it
+    EXACTLY equals ADC over the probed-cell subset (PQ never drops a
+    candidate within a probed cell)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb = similarity.pq_codebook_df(spark, similarity.pq_constants(_PQ_M, _PQ_K, _PQ_DSUB))
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_pq_topk(emb, queries_df, centroids, cb, k=5, nprobe=2)

@@ -159,3 +159,44 @@ def test_train_rejects_bad_dims(emb):
         S.pq_train(emb, m=5, ksub=4)  # 64 % 5 != 0
     with pytest.raises(ValueError):
         S.pq_train(emb, m=0, ksub=4)
+
+
+def test_ivf_pq_equals_adc_on_probed_subset(spark, emb, codebook):
+    from pyspark.sql import functions as F
+
+    cents = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = sorted(
+        map(tuple, S.ivf_pq_topk(emb, queries, cents, codebook, k=4, nprobe=2).collect())
+    )
+    # replicate: for each query, ADC top-k over ONLY the members of its
+    # probed cells -- IVF-PQ must match exactly (PQ never drops a
+    # candidate inside a probed cell)
+    cells = {r["vec_id"]: r["CELL"] for r in S.assign_cells(emb, cents).select("vec_id", "CELL").collect()}
+    probed = {}
+    for r in S.probe_cells(queries, cents, nprobe=2).select("vec_id", "CELL").collect():
+        probed.setdefault(r["vec_id"], set()).add(r["CELL"])
+    exp = []
+    for q, cset in probed.items():
+        members = [v for v, c in cells.items() if c in cset]
+        sub = emb.filter(F.col("vec_id").isin(members))
+        one_q = emb.filter(F.col("vec_id") == q)
+        for r in S.pq_adc_topk(sub, one_q, codebook, k=4).collect():
+            exp.append(tuple(r))
+    assert got == sorted(exp)
+
+
+def test_ivf_pq_row_bounds(spark, emb, codebook):
+    from pyspark.sql import functions as F
+
+    cents = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    rows = S.ivf_pq_topk(emb, queries, cents, codebook, k=5, nprobe=1).collect()
+    per_q = {}
+    for r in rows:
+        per_q[r["QUERY_ID"]] = per_q.get(r["QUERY_ID"], 0) + 1
+    assert set(per_q) == set(range(8)) and all(v <= 5 for v in per_q.values())
