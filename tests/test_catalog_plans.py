@@ -30,6 +30,8 @@ BOUNDED_BROADCAST_OK = {
     # probe scoring crosses the contractually-small query set with the
     # centroid table (~sqrt(N) rows), both broadcast-sized by construction
     "emb_ivf_topk": (1, "bounded query-set x centroids probe scoring"),
+    # same probe_cells pattern inside the IVF-PQ composition
+    "emb_ivf_pq_topk": (1, "bounded query-set x centroids probe scoring"),
     # BM25 crosses each per-term hit row with the ONE-ROW (N, avgdl) frame
     "docs_bm25_topk": (1, "1-row corpus-stats frame (text.bm25_topk)"),
     # unigram LM crosses the token stream with the ONE-ROW total-count frame
