@@ -79,6 +79,12 @@ HEADLINE = [
     "emb_pq_encode",
     "emb_pq_adc_topk",
     "emb_pq_train_update",
+    "emb_ivf_pq_topk",
+    "emb_cross_contamination",
+    "docs_chunk_windows",
+    "cdc_evolved_diff",
+    "orders_shipping_priority",
+    "region_nation_volume",
     "docs_fuzzy_key_pairs",
     "docs_per_source_sample",
     "docs_heavy_hitters",
