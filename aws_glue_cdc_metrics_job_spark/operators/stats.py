@@ -108,3 +108,65 @@ def bootstrap_mean_ci(
             *group_cols, "N_ROWS", "MEAN", "CI_LO", "CI_HI"
         )
     return point.crossJoin(F.broadcast(ci)).select("N_ROWS", "MEAN", "CI_LO", "CI_HI")
+
+
+def grouped_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line over (x, y) pairs --
+    the metric-drift detector: slope of a KPI against time (or any
+    ordinal), its intercept, and R² goodness of fit, from the closed-form
+    sufficient statistics
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        r²    = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    The sufficient statistics are EXACT integers: x and y quantize to the
+    6-dp lattice (floor(v·1e6 + 0.5), a DECIMAL(19,0) image -- 19, not 18,
+    because DuckDB computes an 18-digit multiply in int64 and overflows;
+    19 promotes to hugeint), products stay inside DECIMAL(38,0), sums too — the same
+    arithmetic in every engine at every partitioning, where the builtin
+    ``regr_slope`` accumulates doubles in shuffle order and drifts in the
+    last ulp at 1000 executors. Both axes share the lattice, so the slope
+    and R² are those of the quantized data unchanged; the intercept
+    de-scales by 1e6. One aggregation, map-side combinable, no window;
+    degenerate groups (n < 2 or zero x-variance) return NULL rather than
+    ±inf. Operand contract: |x|, |y| < 1e12 (the shared 1e6 lattice).
+
+    Returns (group_cols..., N_POINTS, SLOPE, INTERCEPT, R2)."""
+    xq = F.floor(F.col(x_col) * 1000000 + F.lit(0.5)).cast("decimal(19,0)")
+    yq = F.floor(F.col(y_col) * 1000000 + F.lit(0.5)).cast("decimal(19,0)")
+    q = df.select(*group_cols, xq.alias("__x"), yq.alias("__y"))
+    agg = q.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("N_POINTS"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("N_POINTS").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("__sxy").cast("double"),
+        F.col("__sxx").cast("double"),
+        F.col("__syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    ok = (F.col("N_POINTS") >= 2) & (var_x > 0)
+    slope = F.when(ok, rhu(cov_n / var_x, scale))
+    intercept = F.when(ok, rhu(((sy - (cov_n / var_x) * sx) / n) / 1000000, scale))
+    r2 = F.when(ok & (var_y > 0), rhu((cov_n * cov_n) / (var_x * var_y), scale))
+    return agg.select(
+        *group_cols,
+        "N_POINTS",
+        slope.alias("SLOPE"),
+        intercept.alias("INTERCEPT"),
+        r2.alias("R2"),
+    )

@@ -546,3 +546,62 @@ def q_region_nation_volume(spark: SparkSession, sf_dir: str):
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("REVENUE"),
         )
     )
+
+
+@query(
+    "events_value_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         {sql_dsum("value", 2)} AS y
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT event_type,
+         CAST(floor(date_diff('day', DATE '2024-01-01', d) * 1000000 + 0.5) AS DECIMAL(19,0)) AS xq,
+         CAST(floor(y * 1000000 + 0.5) AS DECIMAL(19,0)) AS yq
+  FROM daily
+),
+a AS (
+  SELECT event_type, COUNT(*) AS np,
+         SUM(xq) AS sx, SUM(yq) AS sy,
+         SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx, SUM(yq * yq) AS syy
+  FROM q GROUP BY 1
+),
+d AS (
+  SELECT event_type, np,
+         CAST(np AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM a
+)
+SELECT event_type AS EVENT_TYPE,
+       CAST(np AS BIGINT) AS N_POINTS,
+       CASE WHEN np >= 2 AND (n * sxxd - sxd * sxd) > 0
+            THEN {sql_rhu("(n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)", 6)} END AS SLOPE,
+       CASE WHEN np >= 2 AND (n * sxxd - sxd * sxd) > 0
+            THEN {sql_rhu("((syd - ((n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)) * sxd) / n) / 1000000", 6)} END AS INTERCEPT,
+       CASE WHEN np >= 2 AND (n * sxxd - sxd * sxd) > 0 AND (n * syyd - syd * syd) > 0
+            THEN {sql_rhu("((n * sxyd - sxd * syd) * (n * sxyd - sxd * syd)) / ((n * sxxd - sxd * sxd) * (n * syyd - syd * syd))", 6)} END AS R2
+FROM d
+""",
+)
+def q_events_value_trend(spark: SparkSession, sf_dir: str):
+    """Per-event-type OLS trend of daily total value against the day
+    index (stats.grouped_trend): the metric-drift detector. Sufficient
+    statistics are exact lattice integers, so the fitted slopes are
+    bit-identical across engines and cluster sizes -- unlike the builtin
+    regr_slope's shuffle-order double accumulation."""
+    from ..operators.stats import grouped_trend
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("EVENT_TYPE"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("__d"),
+        )
+        .agg(dsum("value", 2).alias("__y"))
+        .withColumn("__x", F.datediff(F.col("__d"), F.lit("2024-01-01").cast("date")))
+    )
+    return grouped_trend(daily, "__x", "__y", ["EVENT_TYPE"])

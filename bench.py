@@ -69,6 +69,7 @@ HEADLINE = [
     "events_daily_gapfill",
     "events_value_winsorized",
     "events_value_bootstrap_ci",
+    "events_value_trend",
     "events_funnel",
     "events_retention_cohorts",
     "emb_kmeans_update",

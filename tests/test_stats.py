@@ -3,6 +3,8 @@
 import hashlib
 import math
 
+import pytest
+
 from aws_glue_cdc_metrics_job_spark.operators.stats import (
     bootstrap_mean_ci,
     poisson1_hex_thresholds,
@@ -66,3 +68,51 @@ def test_bootstrap_ci_grouped(spark):
     assert out["a"]["CI_LO"] == out["a"]["CI_HI"] == out["a"]["MEAN"] == 10.0
     assert out["b"]["CI_LO"] <= out["b"]["MEAN"] <= out["b"]["CI_HI"]
     assert out["b"]["CI_LO"] < out["b"]["CI_HI"]
+
+
+class TestGroupedTrend:
+    def test_matches_numpy_polyfit(self, spark):
+        import numpy as np
+
+        from aws_glue_cdc_metrics_job_spark.operators.stats import grouped_trend
+
+        rows = []
+        rng_x = list(range(12))
+        for g, (a, b) in enumerate([(2.5, 10.0), (-1.25, 3.0)]):
+            for x in rng_x:
+                noise = ((x * 7919 + g * 104729) % 13 - 6) / 10.0
+                rows.append((g, float(x), a * x + b + noise))
+        df = spark.createDataFrame(rows, "g int, x double, y double")
+        got = {r["g"]: r for r in grouped_trend(df, "x", "y", ["g"]).collect()}
+        for g in (0, 1):
+            xs = np.array([r[1] for r in rows if r[0] == g])
+            ys = np.array([r[2] for r in rows if r[0] == g])
+            slope, intercept = np.polyfit(xs, ys, 1)
+            assert got[g]["N_POINTS"] == 12
+            assert got[g]["SLOPE"] == pytest.approx(slope, abs=1e-5)
+            assert got[g]["INTERCEPT"] == pytest.approx(intercept, abs=1e-5)
+            r = np.corrcoef(xs, ys)[0, 1]
+            assert got[g]["R2"] == pytest.approx(r * r, abs=1e-5)
+
+    def test_degenerate_groups_null(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import grouped_trend
+
+        df = spark.createDataFrame(
+            [(0, 1.0, 5.0), (1, 2.0, 1.0), (1, 2.0, 9.0), (2, 1.0, 4.0), (2, 2.0, 4.0)],
+            "g int, x double, y double",
+        )
+        got = {r["g"]: r for r in grouped_trend(df, "x", "y", ["g"]).collect()}
+        assert got[0]["SLOPE"] is None  # n < 2
+        assert got[1]["SLOPE"] is None  # zero x-variance
+        # constant y: slope 0, R2 NULL (zero y-variance)
+        assert got[2]["SLOPE"] == 0.0 and got[2]["R2"] is None
+
+    def test_partitioning_independent(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import grouped_trend
+
+        rows = [(0, float(i % 37), float((i * i) % 101) / 3.0) for i in range(500)]
+        df1 = spark.createDataFrame(rows, "g int, x double, y double").repartition(1)
+        df8 = spark.createDataFrame(rows, "g int, x double, y double").repartition(8)
+        a = grouped_trend(df1, "x", "y", ["g"]).collect()[0]
+        b = grouped_trend(df8, "x", "y", ["g"]).collect()[0]
+        assert tuple(a) == tuple(b)
