@@ -171,3 +171,51 @@ def apply_changes(snapshot: DataFrame, changes: DataFrame, pks: list[str]) -> Da
     survivors = snapshot.join(touched, pks, "left_anti")
     new_images = changes.filter(F.col(CDC_ACTION).isin("insert", "update")).select(*snapshot.columns)
     return survivors.unionByName(new_images)
+
+
+def compact_changelog(
+    log: DataFrame,
+    pks: list[str],
+    order_cols: list[str],
+    action_col: str = CDC_ACTION,
+) -> DataFrame:
+    """Collapse a change log (many insert/update/delete rows per key over
+    time) to the NET change per key across the whole window -- what a
+    downstream MERGE actually needs to apply, and the Debezium/Delta
+    changelog-compaction semantic:
+
+      first=insert, last=delete  -> no row (the key came and went)
+      first=insert, last!=delete -> one 'insert' with the LAST image
+      first!=insert, last=delete -> one 'delete'
+      first!=insert, last!=delete-> one 'update' with the LAST image
+      (a delete followed by re-insert inside the window is an update)
+
+    One keyed aggregation -- min_by/max_by over ``order_cols`` pick the
+    first action and last image without a window sort, map-side
+    combinable, one shuffle of (pk, first-action, last-image) rows
+    however long the log is. ``order_cols`` must totally order each key's
+    changes (e.g. a sequence number, or cdc_timestamp + a tiebreaker);
+    applying the compacted set then equals replaying the full log
+    (pinned in tests/test_cdc.py).
+
+    Returns pks + the last image's payload columns + ``cdc_action`` (the
+    net action)."""
+    payload = [c for c in log.columns if c not in pks and c != action_col]
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    agg = log.groupBy(*pks).agg(
+        F.min_by(F.col(action_col), ordk).alias("__first"),
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("__last"),
+        F.max_by(F.col(action_col), ordk).alias("__last_action"),
+    )
+    net = (
+        F.when((F.col("__first") == "insert") & (F.col("__last_action") == "delete"), F.lit(None))
+        .when(F.col("__first") == "insert", F.lit("insert"))
+        .when(F.col("__last_action") == "delete", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    out_payload = [c for c in payload if c not in order_cols]
+    return (
+        agg.withColumn(action_col, net)
+        .filter(F.col(action_col).isNotNull())
+        .select(*pks, *[F.col(f"__last.{c}").alias(c) for c in out_payload], action_col)
+    )

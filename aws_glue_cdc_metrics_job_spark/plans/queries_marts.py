@@ -351,3 +351,36 @@ def q_discount(spark: SparkSession, sf_dir: str):
     items = adapters.order_items(spark, sf_dir)
     options = adapters.order_item_options(spark, sf_dir)
     return marts.discount_effectiveness(items, options, _revenue(spark, sf_dir))
+
+
+@query(
+    "mart_sales_trends_all_grains",
+    oracle=f"""
+WITH {_CTE_TRENDS},
+g AS (
+  SELECT CAST(CREATION_DATE AS VARCHAR) AS D, YEAR_WEEK AS W, YEAR_MONTH AS M,
+         CAST(HOUR_OF_DAY AS VARCHAR) AS H, RESTAURANT_ID, ITEM_CATEGORY, TOTAL_REVENUE
+  FROM trends
+)
+SELECT CASE WHEN GROUPING(D) = 0 THEN 'daily'
+            WHEN GROUPING(W) = 0 THEN 'weekly'
+            WHEN GROUPING(M) = 0 THEN 'monthly'
+            ELSE 'hourly' END AS GRAIN,
+       COALESCE(D, W, M, H) AS GRAIN_KEY,
+       RESTAURANT_ID, ITEM_CATEGORY,
+       {_SUM_REV} AS REVENUE
+FROM g
+GROUP BY GROUPING SETS (
+  (D, RESTAURANT_ID, ITEM_CATEGORY),
+  (W, RESTAURANT_ID, ITEM_CATEGORY),
+  (M, RESTAURANT_ID, ITEM_CATEGORY),
+  (H, RESTAURANT_ID, ITEM_CATEGORY)
+)
+""",
+)
+def q_trends_all_grains(spark: SparkSession, sf_dir: str):
+    """All four sales-trends grains from ONE scan + ONE shuffle (GROUPING
+    SETS Expand), where the per-grain marts pay four of each -- the
+    multi-grain consolidation a trends dashboard actually wants. Values
+    match the four per-grain marts exactly (pinned in test_marts)."""
+    return marts.sales_trends_all_grains(_revenue(spark, sf_dir))

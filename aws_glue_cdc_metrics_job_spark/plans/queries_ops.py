@@ -1175,3 +1175,89 @@ def q_cdc_evolved_diff(spark: SparkSession, sf_dir: str):
         .withColumn("o_legacy_flag", (F.col("o_orderkey") % 2 == 0))
     )
     return cdc_diff(cur, prev, pks=["o_orderkey"], evolve_schema=True)
+
+
+# --- changelog compaction: many changes per key -> the net change. The log
+# is synthesized from orders with an explicit SEQ so both engines replay
+# identical histories: %5==0 keys are inserted then (%15==0) deleted or
+# (else) updated; %7==0 of the rest are updated then (%2==0) deleted or
+# updated again; %11==5 of the rest emit a lone delete.
+
+_CDC_LOG_SQL = f"""
+log AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         1 AS SEQ, 'insert' AS cdc_action
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 2, 'delete'
+  FROM orders WHERE o_orderkey % 15 = 0
+  UNION ALL
+  SELECT o_orderkey, {rhu_bump}, 2, 'update'
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 15 <> 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 1, 'update'
+  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 2, 'delete'
+  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0 AND o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, {rhu_bump}, 2, 'update'
+  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0 AND o_orderkey % 2 <> 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 1, 'delete'
+  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 11 = 5
+)
+"""
+
+
+@query(
+    "cdc_compact_changelog",
+    oracle=f"""
+WITH {_CDC_LOG_SQL},
+agg AS (
+  SELECT o_orderkey,
+         min_by(cdc_action, SEQ) AS first_action,
+         max_by(cdc_action, SEQ) AS last_action,
+         max_by(o_totalprice, SEQ) AS o_totalprice
+  FROM log GROUP BY 1
+)
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN first_action = 'insert' THEN 'insert'
+            WHEN last_action = 'delete' THEN 'delete'
+            ELSE 'update' END AS cdc_action
+FROM agg
+WHERE NOT (first_action = 'insert' AND last_action = 'delete')
+""",
+)
+def q_cdc_compact_changelog(spark: SparkSession, sf_dir: str):
+    """Changelog compaction (cdc.compact_changelog): the synthesized
+    multi-action log collapses to one net change per key -- insert+delete
+    vanishes, insert+update nets to an insert with the last image,
+    update+delete to a delete -- in one keyed min_by/max_by aggregation,
+    no window sort. Replay equivalence is pinned in test_cdc."""
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    k = F.col("o_orderkey")
+    bump = rhu(F.col("o_totalprice") * 1.1, 2)
+
+    def leg(cond, price, seq, action):
+        return base.filter(cond).select(
+            "o_orderkey",
+            price.alias("o_totalprice"),
+            F.lit(seq).alias("SEQ"),
+            F.lit(action).alias("cdc_action"),
+        )
+
+    log = (
+        leg(k % 5 == 0, F.col("o_totalprice"), 1, "insert")
+        .unionByName(leg(k % 15 == 0, F.col("o_totalprice"), 2, "delete"))
+        .unionByName(leg((k % 5 == 0) & (k % 15 != 0), bump, 2, "update"))
+        .unionByName(leg((k % 5 != 0) & (k % 7 == 0), F.col("o_totalprice"), 1, "update"))
+        .unionByName(leg((k % 5 != 0) & (k % 7 == 0) & (k % 2 == 0), F.col("o_totalprice"), 2, "delete"))
+        .unionByName(leg((k % 5 != 0) & (k % 7 == 0) & (k % 2 != 0), bump, 2, "update"))
+        .unionByName(leg((k % 5 != 0) & (k % 7 != 0) & (k % 11 == 5), F.col("o_totalprice"), 1, "delete"))
+    )
+    from ..operators.cdc import compact_changelog
+
+    return compact_changelog(log, pks=["o_orderkey"], order_cols=["SEQ"])

@@ -136,3 +136,50 @@ class TestEvolvedSchemaDiff:
         prev = spark.createDataFrame([(1,)], "other long")
         with pytest.raises(ValueError, match="primary key"):
             cdc_diff(cur, prev, pks=["pk"], evolve_schema=True)
+
+
+class TestCompactChangelog:
+    def _log(self, spark):
+        rows = [
+            # key 1: insert then update -> net insert with last image
+            (1, "a1", 1, "insert"), (1, "a2", 2, "update"),
+            # key 2: insert then delete -> vanishes
+            (2, "b1", 1, "insert"), (2, "b2", 2, "delete"),
+            # key 3: update then delete -> net delete
+            (3, "c1", 1, "update"), (3, "c2", 2, "delete"),
+            # key 4: delete then re-insert -> net update with last image
+            (4, "d1", 1, "delete"), (4, "d2", 2, "insert"),
+            # key 5: lone update
+            (5, "e1", 1, "update"),
+        ]
+        return spark.createDataFrame(rows, "pk long, val string, SEQ int, cdc_action string")
+
+    def test_net_semantics(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.cdc import compact_changelog
+
+        got = {
+            r["pk"]: (r["cdc_action"], r["val"])
+            for r in compact_changelog(self._log(spark), ["pk"], ["SEQ"]).collect()
+        }
+        assert got == {
+            1: ("insert", "a2"),
+            3: ("delete", "c2"),
+            4: ("update", "d2"),
+            5: ("update", "e1"),
+        }
+
+    def test_replay_equivalence(self, spark):
+        """Applying the compacted set == replaying the log change by change."""
+        from aws_glue_cdc_metrics_job_spark.operators.cdc import apply_changes, compact_changelog
+
+        snapshot = spark.createDataFrame(
+            [(3, "c0"), (4, "d0"), (5, "e0"), (9, "z0")], "pk long, val string"
+        )
+        log = self._log(spark)
+        replay = snapshot
+        for seq in (1, 2):
+            step = log.filter(f"SEQ = {seq}").drop("SEQ")
+            replay = apply_changes(replay, step, ["pk"])
+        compacted = compact_changelog(log, ["pk"], ["SEQ"])
+        direct = apply_changes(snapshot, compacted, ["pk"])
+        assert sorted(map(tuple, replay.collect())) == sorted(map(tuple, direct.collect()))

@@ -164,3 +164,46 @@ def test_discount_effectiveness(items, options, revenue):
 def test_clv_segment_buckets(revenue):
     seg = {r["USER_ID"]: r["CLV_GROUP"] for r in marts.clv_segment(marts.ltv_snapshot(marts.fact_ltv_daily(revenue))).collect()}
     assert seg == {20: "Low", 10: "High"}
+
+
+class TestAllGrainsTrends:
+    def test_matches_per_grain_marts(self, spark, sf_dir):
+        from aws_glue_cdc_metrics_job_spark.plans import adapters, marts
+        from pyspark.sql import functions as F
+
+        rev = adapters.order_revenue(spark, sf_dir)
+        allg = marts.sales_trends_all_grains(rev)
+        got_daily = {
+            (r["GRAIN_KEY"], r["RESTAURANT_ID"], r["ITEM_CATEGORY"]): r["REVENUE"]
+            for r in allg.filter("GRAIN = 'daily'").collect()
+        }
+        exp_daily = {
+            (str(r["CREATION_DATE"]), r["RESTAURANT_ID"], r["ITEM_CATEGORY"]): r["DAILY_REVENUE"]
+            for r in marts.sales_trends(rev, "daily").collect()
+        }
+        assert got_daily == exp_daily
+        got_hourly = {
+            (r["GRAIN_KEY"], r["RESTAURANT_ID"], r["ITEM_CATEGORY"]): r["REVENUE"]
+            for r in allg.filter("GRAIN = 'hourly'").collect()
+        }
+        exp_hourly = {
+            (str(r["HOUR_OF_DAY"]), r["RESTAURANT_ID"], r["ITEM_CATEGORY"]): r["HOURLY_REVENUE"]
+            for r in marts.sales_trends(rev, "hourly").collect()
+        }
+        assert got_hourly == exp_hourly
+
+    def test_single_expand_single_shuffle(self, spark, sf_dir):
+        from aws_glue_cdc_metrics_job_spark.plans import adapters, marts
+
+        rev = adapters.order_revenue(spark, sf_dir)
+        plan = (
+            marts.sales_trends_all_grains(rev)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Expand") == 1
+        # exactly one hash exchange above the (cached) revenue input
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning\(__", plan)) == 1
