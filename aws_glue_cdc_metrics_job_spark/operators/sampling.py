@@ -318,3 +318,47 @@ def token_budget_mix(
         .select(*df.columns)
     )
     return full_rows.unionByName(part_rows)
+
+
+def balanced_hash_sample(
+    df: DataFrame,
+    label_col: str,
+    key_cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Class-balanced downsampling: keep ~min-class-count rows of EVERY
+    class (fraction min_n/n_c per class c), chosen by the same md5 key
+    draw as the other samplers -- the classifier-training rebalance step,
+    with data-derived fractions instead of stratified_hash_sample's
+    caller-supplied ones.
+
+    Shape: one tiny per-class count aggregate, the min broadcast back as
+    a scalar frame, thresholds joined per class (broadcast) -- the corpus
+    itself is filtered in the scan stage and never shuffles. Membership
+    is deterministic, partitioning-independent, and nested across runs
+    with the same seed. NULL labels form their own class. Expected
+    (not exact) per-class counts, like every hash sampler here; the
+    exact-count variant is group_top_k_sample(k=min_count).
+
+    Returns the kept rows plus KEEP_FRAC."""
+    from ..functions.numeric import rhu
+
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__mn"))
+    fr = (
+        counts.crossJoin(F.broadcast(mn))
+        .select(
+            label_col,
+            rhu(F.least(F.lit(1.0), F.col("__mn") / F.col("__n")), 6).alias("KEEP_FRAC"),
+        )
+    )
+    # null-safe equi-join so NULL-labeled rows match their own class row
+    out = df.join(F.broadcast(fr), df[label_col].eqNullSafe(fr[label_col])).drop(
+        fr[label_col]
+    )
+    scaled = F.least(
+        F.floor(F.col("KEEP_FRAC") * F.lit(float(16**_HEX_DIGITS))).cast("bigint"),
+        F.lit(16**_HEX_DIGITS - 1),
+    )
+    thr = F.lower(F.lpad(F.hex(scaled), _HEX_DIGITS, "0"))
+    return out.filter(_bucket_hex(key_cols, seed) < thr)

@@ -1570,3 +1570,30 @@ def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str):
     cb = similarity.pq_codebook_df(spark, similarity.pq_constants(_PQ_M, _PQ_K, _PQ_DSUB))
     queries_df = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_pq_topk(emb, queries_df, centroids, cb, k=5, nprobe=2)
+
+
+@query(
+    "docs_balanced_sample",
+    oracle=f"""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+m AS (SELECT MIN(n) AS mn FROM c),
+fr AS (
+  SELECT lang, {sql_rhu("LEAST(1.0, m.mn / c.n)", 6)} AS KEEP_FRAC FROM c, m
+)
+SELECT doc_id, fr.lang AS LANG, fr.KEEP_FRAC
+FROM documents d JOIN fr ON d.lang IS NOT DISTINCT FROM fr.lang
+WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|bal1'), 1, 8) <
+      LPAD(LOWER(TO_HEX(LEAST(CAST(FLOOR(KEEP_FRAC * 4294967296.0) AS BIGINT), 4294967295))), 8, '0')
+""",
+)
+def q_docs_balanced_sample(spark: SparkSession, sf_dir: str):
+    """Class-balanced downsampling (sampling.balanced_hash_sample): every
+    language kept at ~the minority class's count (fraction min_n/n_c,
+    derived from the data) -- the classifier-training rebalance. Tiny
+    count agg + broadcast fractions; the corpus filters in the scan
+    stage."""
+    from ..operators.sampling import balanced_hash_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = balanced_hash_sample(docs.select("doc_id", "lang"), "lang", ["doc_id"], seed="bal1")
+    return out.select("doc_id", F.col("lang").alias("LANG"), "KEEP_FRAC")

@@ -62,6 +62,7 @@ HEADLINE = [
     "docs_bm25_topk",
     "docs_encode_ids",
     "docs_weighted_sample",
+    "docs_balanced_sample",
     "events_hopping_6h",
     "events_quantile_sketch_rollup",
     "events_type_skew_report",
@@ -84,6 +85,8 @@ HEADLINE = [
     "emb_cross_contamination",
     "docs_chunk_windows",
     "cdc_evolved_diff",
+    "cdc_compact_changelog",
+    "mart_sales_trends_all_grains",
     "orders_shipping_priority",
     "region_nation_volume",
     "docs_fuzzy_key_pairs",

@@ -289,3 +289,36 @@ def test_temperature_mix_flattens_head_sources(spark):
     out3 = temperature_mix(df, "source", ["doc_id"], alpha=1.0, seed="t")
     f3 = {r["source"]: r["KEEP_FRAC"] for r in out3.select("source", "KEEP_FRAC").distinct().collect()}
     assert f3 == {"big": 1.0, "small": 1.0}
+
+
+class TestBalancedSample:
+    def test_balances_toward_min_class(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import balanced_hash_sample
+
+        rows = [(i, "big") for i in range(2000)] + [(i + 10000, "small") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, label string")
+        out = balanced_hash_sample(df, "label", ["doc_id"], seed="t")
+        by = {r[0]: r[1] for r in out.groupBy("label").count().collect()}
+        # minority kept whole (frac 1.0); majority ~100 expected (binomial)
+        assert by["small"] == 100
+        assert 60 <= by["big"] <= 150
+        fracs = {r["label"]: r["KEEP_FRAC"] for r in out.select("label", "KEEP_FRAC").distinct().collect()}
+        assert fracs["small"] == 1.0 and abs(fracs["big"] - 0.05) < 1e-9
+
+    def test_null_label_is_own_class(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import balanced_hash_sample
+
+        rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, label string")
+        out = balanced_hash_sample(df, "label", ["doc_id"], seed="t")
+        nulls = out.filter("label IS NULL").count()
+        assert nulls == 5  # minority class kept whole, not dropped
+
+    def test_deterministic(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import balanced_hash_sample
+
+        rows = [(i, "x" if i % 3 else "y") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, label string")
+        a = sorted(r["doc_id"] for r in balanced_hash_sample(df, "label", ["doc_id"], "s").collect())
+        b = sorted(r["doc_id"] for r in balanced_hash_sample(df, "label", ["doc_id"], "s").collect())
+        assert a == b
