@@ -654,3 +654,45 @@ def chunk_documents(
         F.size(sl).cast("long").alias("N_TOKENS"),
         F.concat_ws(" ", sl).alias("CHUNK_TEXT"),
     )
+
+
+def segment_language_profile(
+    df: DataFrame,
+    segment_tokens: int = 32,
+    threshold: float = 0.08,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level language profile for MIXED-language documents: split
+    each doc into non-overlapping token windows (chunk_documents with
+    stride == chunk), run the scan-stage language heuristic per segment,
+    and roll up a per-doc profile -- a doc-level tag alone misclassifies
+    half-and-half documents, and per-segment ratios are what a curation
+    filter thresholds ("drop docs under 70% primary-language segments").
+
+    Same shape economics as chunking itself: one posexplode + one keyed
+    aggregation; segments never leave their doc's partition path.
+
+    Returns (id_col, N_SEGMENTS, N_EN_SEGMENTS, EN_SEGMENT_RATIO,
+    DOC_LANG_GUESS) -- majority tag, 'en' when >= half the segments
+    clear the stopword threshold."""
+    segs = chunk_documents(
+        df, chunk_tokens=segment_tokens, stride=segment_tokens, id_col=id_col, text_col=text_col
+    )
+    tagged = language_guess(
+        segs.withColumnRenamed("CHUNK_TEXT", "__seg"), text_col="__seg", threshold=threshold
+    )
+    en = F.sum(F.when(F.col("LANG_GUESS") == "en", 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    out = tagged.groupBy(id_col).agg(
+        n.alias("N_SEGMENTS"),
+        en.alias("N_EN_SEGMENTS"),
+    )
+    ratio = F.col("N_EN_SEGMENTS") / F.col("N_SEGMENTS")
+    return out.select(
+        F.col(id_col),
+        "N_SEGMENTS",
+        "N_EN_SEGMENTS",
+        rhu(ratio, 6).alias("EN_SEGMENT_RATIO"),
+        F.when(ratio >= 0.5, "en").otherwise("unknown").alias("DOC_LANG_GUESS"),
+    )

@@ -1597,3 +1597,40 @@ def q_docs_balanced_sample(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     out = balanced_hash_sample(docs.select("doc_id", "lang"), "lang", ["doc_id"], seed="bal1")
     return out.select("doc_id", F.col("lang").alias("LANG"), "KEEP_FRAC")
+
+
+@query(
+    "docs_segment_lang_profile",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+segs AS (
+  SELECT doc_id, toks[u.i+1 : u.i+32] AS seg
+  FROM nz, UNNEST(range(0, n, 32)) AS u(i)
+),
+tagged AS (
+  SELECT doc_id,
+         CASE WHEN len(seg) > 0
+              AND len(list_filter(seg, t -> list_contains({_STOPLIST}, t))) / len(seg) >= 0.08
+              THEN 1 ELSE 0 END AS is_en
+  FROM segs
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS N_SEGMENTS,
+         CAST(SUM(is_en) AS BIGINT) AS N_EN_SEGMENTS
+  FROM tagged GROUP BY 1
+)
+SELECT doc_id, N_SEGMENTS, N_EN_SEGMENTS,
+       {sql_rhu("N_EN_SEGMENTS / CAST(N_SEGMENTS AS DOUBLE)", 6)} AS EN_SEGMENT_RATIO,
+       CASE WHEN N_EN_SEGMENTS / CAST(N_SEGMENTS AS DOUBLE) >= 0.5
+            THEN 'en' ELSE 'unknown' END AS DOC_LANG_GUESS
+FROM agg
+""",
+)
+def q_docs_segment_lang_profile(spark: SparkSession, sf_dir: str):
+    """Per-segment language profile (text.segment_language_profile):
+    32-token non-overlapping windows, stopword-heuristic tag per segment,
+    per-doc majority + ratio -- the mixed-language curation signal a
+    doc-level tag can't give."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.segment_language_profile(docs)

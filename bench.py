@@ -84,6 +84,7 @@ HEADLINE = [
     "emb_ivf_pq_topk",
     "emb_cross_contamination",
     "docs_chunk_windows",
+    "docs_segment_lang_profile",
     "cdc_evolved_diff",
     "cdc_compact_changelog",
     "mart_sales_trends_all_grains",

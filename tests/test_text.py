@@ -389,3 +389,20 @@ class TestChunkDocuments:
             chunk_documents(df, chunk_tokens=4, stride=8)  # would drop tokens
         with pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=0)
+
+
+class TestSegmentLanguageProfile:
+    def test_mixed_doc_profile(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import segment_language_profile
+
+        en_seg = "the of and to in is on for it a " * 4  # 40 stopword tokens
+        xx_seg = "zzz qqq www rrr ttt yyy uuu iii ooo ppp " * 4
+        mixed = en_seg * 2 + xx_seg  # segments: en, en, xx ((40*3)/32 -> 4 w/ runt)
+        df = spark.createDataFrame(
+            [(1, mixed), (2, xx_seg), (3, en_seg)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in segment_language_profile(df, segment_tokens=40).collect()}
+        assert got[1]["N_SEGMENTS"] == 3 and got[1]["N_EN_SEGMENTS"] == 2
+        assert got[1]["DOC_LANG_GUESS"] == "en"
+        assert got[2]["DOC_LANG_GUESS"] == "unknown" and got[2]["N_EN_SEGMENTS"] == 0
+        assert got[3]["DOC_LANG_GUESS"] == "en" and got[3]["EN_SEGMENT_RATIO"] == 1.0
