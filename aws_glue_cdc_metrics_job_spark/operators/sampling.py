@@ -362,3 +362,80 @@ def balanced_hash_sample(
     )
     thr = F.lower(F.lpad(F.hex(scaled), _HEX_DIGITS, "0"))
     return out.filter(_bucket_hex(key_cols, seed) < thr)
+
+
+def dense_index(df: DataFrame, id_col: str, buckets: int = 64) -> DataFrame:
+    """zipWithIndex for DataFrames, without a global sort: rows bucket by
+    ``pmod(id, buckets)``, rank inside each bucket (a PARTITIONED window),
+    and bucket offsets come from a cumulative sum over the ``buckets``-row
+    count frame -- so the dense 0..N-1 index costs one keyed shuffle plus
+    a bounded window, where the naive ROW_NUMBER() OVER (ORDER BY ...)
+    funnels the whole table through one reducer. Index order is
+    (bucket, md5(id), id): deterministic and partitioning-independent,
+    not meaningful -- which is exactly what positional sampling needs.
+
+    Returns the input plus ROW_IDX (long)."""
+    from pyspark.sql import Window
+
+    b = F.pmod(F.col(id_col).cast("long"), F.lit(buckets))
+    w = Window.partitionBy("__b").orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    ranked = df.withColumn("__b", b).withColumn("__r", F.row_number().over(w))
+    counts = ranked.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("__off", F.coalesce(F.sum("__n").over(wo), F.lit(0)))
+    return (
+        ranked.join(F.broadcast(offsets.select("__b", "__off")), "__b")
+        .withColumn("ROW_IDX", (F.col("__off") + F.col("__r") - 1).cast("long"))
+        .drop("__b", "__r", "__off")
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: int = 7,
+    buckets: int = 64,
+) -> DataFrame:
+    """Deterministic corpus-wide negative sampling for contrastive
+    training: every row becomes an anchor paired with ``k`` pseudo-random
+    OTHER rows. The draw is pure integer arithmetic on the dense index --
+    ``neg = (a31 * 2654435761 + rank * 40503 + seed) mod 2^31 mod N``
+    (the Knuth multiplicative mixer, computed identically in any engine;
+    a collision with the anchor's own position shifts by one) -- so the
+    pairing is reproducible across engines, runs, and cluster sizes, and
+    nested in k.
+
+    Shape: dense_index (one keyed shuffle, no global sort), a k-explode
+    of compact (anchor, position) pairs, the 1-row corpus count broadcast,
+    and one equi-join on ROW_IDX to resolve positions to ids. Nothing
+    ever cross-joins data-sized frames.
+
+    Returns (ANCHOR_ID, NEG_RANK, NEG_ID)."""
+    idx = dense_index(df.select(id_col), id_col, buckets).select(
+        F.col(id_col), F.col("ROW_IDX")
+    )
+    n1 = idx.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    anchors = idx.select(
+        F.col(id_col).alias("ANCHOR_ID"),
+        F.col("ROW_IDX").alias("__a_idx"),
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("NEG_RANK"),
+    )
+    a31 = F.pmod(F.col("ANCHOR_ID").cast("long"), F.lit(2**31))
+    raw = F.pmod(
+        a31 * F.lit(2654435761) + F.col("NEG_RANK") * F.lit(40503) + F.lit(seed),
+        F.lit(2**31),
+    )
+    cand = anchors.crossJoin(F.broadcast(n1)).withColumn(
+        "__neg_idx",
+        F.pmod(raw, F.col("__N")),
+    )
+    cand = cand.withColumn(
+        "__neg_idx",
+        F.when(
+            F.col("__neg_idx") == F.col("__a_idx"),
+            F.pmod(F.col("__neg_idx") + 1, F.col("__N")),
+        ).otherwise(F.col("__neg_idx")),
+    )
+    neg = idx.select(F.col(id_col).alias("NEG_ID"), F.col("ROW_IDX").alias("__neg_idx"))
+    return cand.join(neg, "__neg_idx").select("ANCHOR_ID", "NEG_RANK", "NEG_ID")

@@ -1634,3 +1634,51 @@ def q_docs_segment_lang_profile(spark: SparkSession, sf_dir: str):
     doc-level tag can't give."""
     docs = read_table(spark, sf_dir, "documents")
     return text.segment_language_profile(docs)
+
+
+@query(
+    "docs_negative_samples",
+    oracle="""
+WITH rk AS (
+  SELECT doc_id, doc_id % 64 AS b,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 64
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+),
+cnt AS (SELECT b, COUNT(*) AS n FROM rk GROUP BY 1),
+off AS (
+  SELECT b, COALESCE(SUM(n) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM cnt
+),
+idx AS (SELECT rk.doc_id, CAST(o + r - 1 AS BIGINT) AS row_idx FROM rk JOIN off USING (b)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM idx),
+anch AS (
+  SELECT doc_id AS ANCHOR_ID, row_idx AS a_idx, CAST(j.NEG_RANK AS INT) AS NEG_RANK
+  FROM idx, (SELECT UNNEST(range(0, 4)) AS NEG_RANK) j
+),
+cand AS (
+  SELECT ANCHOR_ID, NEG_RANK, a_idx, N,
+         ((ANCHOR_ID % 2147483648) * 2654435761 + NEG_RANK * 40503 + 7)
+           % 2147483648 % N AS neg0
+  FROM anch, nn
+),
+adj AS (
+  SELECT ANCHOR_ID, NEG_RANK,
+         CASE WHEN neg0 = a_idx THEN (neg0 + 1) % N ELSE neg0 END AS neg
+  FROM cand
+)
+SELECT ANCHOR_ID, NEG_RANK, idx.doc_id AS NEG_ID
+FROM adj JOIN idx ON idx.row_idx = adj.neg
+""",
+)
+def q_docs_negative_samples(spark: SparkSession, sf_dir: str):
+    """Deterministic corpus-wide negative sampling
+    (sampling.negative_samples, k=4): contrastive-training pairs drawn by
+    an integer mixer over a dense index built WITHOUT a global sort
+    (bucketed ranks + bucket-offset cumsum). The oracle replays the
+    identical two-level index and arithmetic."""
+    from ..operators.sampling import negative_samples
+
+    docs = read_table(spark, sf_dir, "documents")
+    return negative_samples(docs.select("doc_id"), "doc_id", k=4, seed=7)

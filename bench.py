@@ -63,6 +63,7 @@ HEADLINE = [
     "docs_encode_ids",
     "docs_weighted_sample",
     "docs_balanced_sample",
+    "docs_negative_samples",
     "events_hopping_6h",
     "events_quantile_sketch_rollup",
     "events_type_skew_report",

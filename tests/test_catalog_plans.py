@@ -44,6 +44,10 @@ BOUNDED_BROADCAST_OK = {
     "docs_temperature_mix": (1, "1-row smoothing denominator (sampling.temperature_mix)"),
     # equal-key member expansion goes through the broadcast 8-row salt range
     "docs_fuzzy_key_pairs": (1, "broadcast 8-row salt range (relational.salted_join)"),
+    # negative draw crosses anchors with the ONE-ROW corpus-count frame
+    "docs_negative_samples": (1, "1-row corpus-count frame (sampling.negative_samples)"),
+    # per-class fractions cross the class counts with the ONE-ROW min frame
+    "docs_balanced_sample": (1, "1-row min-class-count frame (sampling.balanced_hash_sample)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -322,3 +322,34 @@ class TestBalancedSample:
         a = sorted(r["doc_id"] for r in balanced_hash_sample(df, "label", ["doc_id"], "s").collect())
         b = sorted(r["doc_id"] for r in balanced_hash_sample(df, "label", ["doc_id"], "s").collect())
         assert a == b
+
+
+class TestNegativeSamples:
+    def test_shape_and_no_self_pairs(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import negative_samples
+
+        df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+        out = negative_samples(df, "doc_id", k=3, seed=5).collect()
+        assert len(out) == 97 * 3
+        assert all(r["ANCHOR_ID"] != r["NEG_ID"] for r in out)
+        per_anchor = {}
+        for r in out:
+            per_anchor.setdefault(r["ANCHOR_ID"], set()).add(r["NEG_RANK"])
+        assert all(v == {0, 1, 2} for v in per_anchor.values())
+
+    def test_deterministic_and_partitioning_independent(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import negative_samples
+
+        rows = [(i * 13 + 5,) for i in range(200)]
+        a = sorted(map(tuple, negative_samples(
+            spark.createDataFrame(rows, "doc_id long").repartition(1), "doc_id", k=2).collect()))
+        b = sorted(map(tuple, negative_samples(
+            spark.createDataFrame(rows, "doc_id long").repartition(16), "doc_id", k=2).collect()))
+        assert a == b
+
+    def test_dense_index_is_dense(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import dense_index
+
+        df = spark.createDataFrame([(i * 3,) for i in range(150)], "doc_id long")
+        idx = sorted(r["ROW_IDX"] for r in dense_index(df, "doc_id").collect())
+        assert idx == list(range(150))
