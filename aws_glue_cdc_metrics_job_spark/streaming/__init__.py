@@ -1,4 +1,5 @@
 from .jobs import (
+    anomaly_alert_sink,
     cdc_upsert_sink,
     chunk_encode_sink,
     incremental_mart_sink,
@@ -13,6 +14,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "anomaly_alert_sink",
     "cdc_upsert_sink",
     "chunk_encode_sink",
     "incremental_mart_sink",

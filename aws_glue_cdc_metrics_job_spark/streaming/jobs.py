@@ -421,3 +421,55 @@ def chunk_encode_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def anomaly_alert_sink(
+    metric_stream: DataFrame,
+    spark: SparkSession,
+    series_path: str,
+    alerts_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    n: int = 7,
+    z_threshold: float = 2.0,
+    checkpoint: str | None = None,
+):
+    """Streaming control-chart alerting: per micro-batch, append the new
+    metric points to the persisted series zone, score ONLY the new points
+    against their trailing-n baseline with the SAME batch operator
+    (monitoring.rolling_zscore), and append flagged points to the alerts
+    zone -- a batch backfill over the final series and the streamed run
+    flag identical anomalies.
+
+    Efficiency shape: scoring reads back only the affected keys' series
+    (semi-join on the batch's keys), not the whole zone, and the window
+    operator then sees per-key frames of bounded relevance; the alerts
+    table stores flagged points only. Late/duplicate points follow the
+    series zone's append semantics -- upstream dedup (C4) runs before
+    this sink, as in the pipeline composition."""
+    from ..operators.monitoring import rolling_zscore
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("append").parquet(series_path)
+        series = spark.read.parquet(series_path)
+        touched = batch.select(*key_cols).distinct()
+        affected = series.join(F.broadcast(touched), key_cols, "left_semi")
+        scored = rolling_zscore(
+            affected, key_cols, ts_col, value_col, n=n, z_threshold=z_threshold,
+            min_periods=2,
+        )
+        new_keys = batch.select(*key_cols, ts_col).distinct()
+        alerts = scored.filter(F.col("IS_ANOMALY") == 1).join(
+            F.broadcast(new_keys), [*key_cols, ts_col], "left_semi"
+        )
+        alerts.write.mode("append").parquet(alerts_path)
+
+    return (
+        metric_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint or series_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )

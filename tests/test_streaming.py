@@ -353,3 +353,40 @@ def test_chunk_encode_sink_matches_batch(spark, tmp_path):
         assert list(r["TOKEN_IDS"]) == list(exp[k])
     # OOV maps to -1
     assert list(by_key[(2, 0)]["TOKEN_IDS"]) == [1, 2, -1]
+
+
+def test_anomaly_alert_sink_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    SCHEMA = "metric string, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1)
+    pts = [("m1", t0 + dt.timedelta(days=i), 10.0) for i in range(6)]
+    pts.append(("m1", t0 + dt.timedelta(days=6), 10.2))   # calm
+    pts.append(("m1", t0 + dt.timedelta(days=7), 99.0))   # spike
+    pts.append(("m1", t0 + dt.timedelta(days=8), 10.1))   # back to normal
+    src = str(tmp_path / "metrics_in")
+    # two in-order micro-batches
+    spark.createDataFrame(pts[:5], SCHEMA).write.mode("append").parquet(src)
+    spark.createDataFrame(pts[5:], SCHEMA).write.mode("append").parquet(src)
+
+    stream = S.read_event_stream(spark, src, SCHEMA)
+    series, alerts = str(tmp_path / "series"), str(tmp_path / "alerts")
+    q = S.anomaly_alert_sink(
+        stream, spark, series, alerts, ["metric"], "ts", "value",
+        n=5, z_threshold=2.0, checkpoint=str(tmp_path / "ckpt_anom"),
+    )
+    q.awaitTermination(120)
+
+    got = {(r["metric"], r["ts"]) for r in spark.read.parquet(alerts).collect()}
+    # batch replay over the final series flags the same points
+    from aws_glue_cdc_metrics_job_spark.operators.monitoring import rolling_zscore
+
+    full = spark.read.parquet(series)
+    exp = {
+        (r["metric"], r["ts"])
+        for r in rolling_zscore(full, ["metric"], "ts", "value", n=5, min_periods=2)
+        .filter("IS_ANOMALY = 1")
+        .collect()
+    }
+    assert got == exp and got  # the spike is flagged, nothing else
+    assert all(ts == t0 + dt.timedelta(days=7) for _, ts in got)
