@@ -439,3 +439,47 @@ def negative_samples(
     )
     neg = idx.select(F.col(id_col).alias("NEG_ID"), F.col("ROW_IDX").alias("__neg_idx"))
     return cand.join(neg, "__neg_idx").select("ANCHOR_ID", "NEG_RANK", "NEG_ID")
+
+
+def weighted_top_k_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: list[str],
+    key_cols: list[str],
+    k: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``min(k, |group|)``
+    rows per group: the Efraimidis-Spirakis A-Res scheme -- rank rows by
+    ``u^(1/w)`` descending, where ``u`` is the same md5 uniform draw every
+    sampler here uses, and take the top k. Inclusion probability rises
+    with weight, the selection is a true without-replacement sample, and
+    determinism/partitioning-independence come for free from the keyed
+    draw. The fixed-SIZE counterpart of weighted_hash_sample's Bernoulli
+    (use this when the output must have a guaranteed count, e.g. "best
+    100 docs per source, quality-weighted").
+
+    Rows with weight <= 0 or NULL sort after every positive-weight row
+    (rank key -1) and are only taken when a group has fewer than k
+    positive rows. Ranking math: u in (0,1] from the 32-bit lattice
+    (+1 so u is never 0), u^(1/w) in doubles -- identical IEEE pow in
+    Spark/DuckDB/numpy, ties broken by key.
+
+    Same WindowGroupLimit pushdown as group_top_k_sample: each map
+    partition keeps its local top-k before the shuffle."""
+    from .relational import top_k_per_group
+
+    u = (
+        F.conv(_bucket_hex(key_cols, seed), 16, 10).cast("double") + 1.0
+    ) / float(16**_HEX_DIGITS)
+    w = F.col(weight_col).cast("double")
+    rank_key = F.when(
+        w > 0, F.pow(u, F.lit(1.0) / w)
+    ).otherwise(F.lit(-1.0))
+    out = df.withColumn("__ares", rank_key)
+    return top_k_per_group(
+        out,
+        group_cols,
+        [F.col("__ares").desc(), *[F.col(c).asc() for c in key_cols]],
+        k=k,
+    ).drop("__ares")

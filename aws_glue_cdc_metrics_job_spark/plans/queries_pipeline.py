@@ -1682,3 +1682,42 @@ def q_docs_negative_samples(spark: SparkSession, sf_dir: str):
 
     docs = read_table(spark, sf_dir, "documents")
     return negative_samples(docs.select("doc_id"), "doc_id", k=4, seed=7)
+
+
+@query(
+    "docs_weighted_topk_sample",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_TOKS_NE} AS toks FROM documents),
+s AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) > 0
+              THEN 0.7 * least(len(toks) / 200.0, 1.0)
+                   + 0.3 * (len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) / len(toks))
+              ELSE 0.0 END AS w
+  FROM t
+),
+r AS (
+  SELECT doc_id, source,
+         FLOOR(w * 1000000 + 0.5) / 1000000 AS QUALITY_SCORE,
+         CASE WHEN FLOOR(w * 1000000 + 0.5) / 1000000 > 0
+              THEN POW((('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|wtk1'), 1, 8))::UBIGINT + 1.0) / 4294967296.0,
+                       1.0 / (FLOOR(w * 1000000 + 0.5) / 1000000))
+              ELSE -1.0 END AS ares
+  FROM s
+)
+SELECT doc_id, source, QUALITY_SCORE FROM r
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY ares DESC, doc_id) <= 15
+""",
+)
+def q_docs_weighted_topk_sample(spark: SparkSession, sf_dir: str):
+    """Weighted without-replacement sampling, exactly 15 docs per source
+    (sampling.weighted_top_k_sample, Efraimidis-Spirakis A-Res):
+    quality-score-weighted rank u^(1/w) on the shared md5 draw --
+    the guaranteed-count counterpart of the Bernoulli weighted sampler."""
+    from ..operators.sampling import weighted_top_k_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "source", "QUALITY_SCORE")
+    return weighted_top_k_sample(
+        scored, "QUALITY_SCORE", ["source"], ["doc_id"], k=15, seed="wtk1"
+    )

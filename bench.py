@@ -64,6 +64,7 @@ HEADLINE = [
     "docs_weighted_sample",
     "docs_balanced_sample",
     "docs_negative_samples",
+    "docs_weighted_topk_sample",
     "events_hopping_6h",
     "events_quantile_sketch_rollup",
     "events_type_skew_report",

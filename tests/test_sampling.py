@@ -353,3 +353,44 @@ class TestNegativeSamples:
         df = spark.createDataFrame([(i * 3,) for i in range(150)], "doc_id long")
         idx = sorted(r["ROW_IDX"] for r in dense_index(df, "doc_id").collect())
         assert idx == list(range(150))
+
+
+class TestWeightedTopK:
+    def test_exact_count_and_weight_bias(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import weighted_top_k_sample
+
+        # group A: 5 heavy (w=50) + 45 light (w=0.02); heavies should dominate
+        rows = [(i, "A", 50.0) for i in range(5)] + [(100 + i, "A", 0.02) for i in range(45)]
+        rows += [(1000 + i, "B", 1.0) for i in range(3)]  # |B| < k
+        df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+        out = weighted_top_k_sample(df, "w", ["src"], ["doc_id"], k=10, seed="t").collect()
+        a = [r for r in out if r["src"] == "A"]
+        b = [r for r in out if r["src"] == "B"]
+        assert len(a) == 10 and len(b) == 3
+        heavy_kept = sum(1 for r in a if r["doc_id"] < 100)
+        assert heavy_kept == 5  # all heavies survive at these odds
+
+    def test_nonpositive_weights_only_as_filler(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import weighted_top_k_sample
+
+        rows = [(1, 2.0), (2, 0.0), (3, None), (4, 1.0)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = sorted(r["doc_id"] for r in weighted_top_k_sample(df, "w", [], ["doc_id"], k=3, seed="t").collect())
+        # both positive rows kept; exactly one filler joins them
+        assert set(out) >= {1, 4} and len(out) == 3
+
+    def test_matches_python_replication(self, spark):
+        import hashlib
+
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import weighted_top_k_sample
+
+        rows = [(i, float((i * 7) % 13 + 1) / 13.0) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = sorted(r["doc_id"] for r in weighted_top_k_sample(df, "w", [], ["doc_id"], k=8, seed="s").collect())
+        ranked = []
+        for i, w in rows:
+            u = (int(hashlib.md5(f"{i}|s".encode()).hexdigest()[:8], 16) + 1.0) / 2**32
+            ranked.append((u ** (1.0 / w), -i))
+        ranked.sort(reverse=True)
+        exp = sorted(-x[1] for x in ranked[:8])
+        assert got == exp
