@@ -11,6 +11,7 @@ snapshot pair; the deterministic unit tests in test_cdc.py cover the
 targeted edge cases (nulls, empties)."""
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -53,3 +54,49 @@ def test_cdc_invariants(spark, prev, cur):
 def test_diff_self_is_empty(spark, snap):
     df = _df(spark, snap)
     assert cdc_diff(df, df, pks=["pk"]).isEmpty()
+
+
+# --- changelog compaction: for ARBITRARY consistent change logs,
+# applying the compacted set equals replaying the log step by step.
+
+ACTION_SEQS = st.lists(
+    st.sampled_from(["update", "delete", "insert"]), min_size=1, max_size=4
+)
+LOG_KEYS = st.dictionaries(KEYS, ACTION_SEQS, min_size=1, max_size=8)
+
+
+def _consistent_log(key_actions):
+    """Rewrite an arbitrary action list into a CONSISTENT history given
+    the key starts existing (so step-wise apply is well-defined):
+    exists -> update/delete allowed; absent -> only insert."""
+    rows = []
+    for k, seq in key_actions.items():
+        exists = True
+        for i, a in enumerate(seq):
+            if exists and a == "insert":
+                a = "update"
+            if not exists and a != "insert":
+                a = "insert"
+            rows.append((k, f"v{k}_{i}", i, a))
+            exists = a != "delete"
+    return rows
+
+
+@pytest.mark.slow
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(LOG_KEYS)
+def test_compacted_apply_equals_replay(spark, key_actions):
+    from aws_glue_cdc_metrics_job_spark.operators.cdc import compact_changelog
+
+    rows = _consistent_log(key_actions)
+    log = spark.createDataFrame(rows, "pk int, attr string, SEQ int, cdc_action string")
+    snapshot = spark.createDataFrame(
+        [(k, "base") for k in key_actions], "pk int, attr string"
+    )
+    replay = snapshot
+    for seq in sorted({r[2] for r in rows}):
+        step = log.filter(F.col("SEQ") == seq).drop("SEQ")
+        replay = apply_changes(replay, step, ["pk"])
+    compacted = compact_changelog(log, ["pk"], ["SEQ"])
+    direct = apply_changes(snapshot, compacted, ["pk"])
+    assert sorted(map(tuple, replay.collect())) == sorted(map(tuple, direct.collect()))
