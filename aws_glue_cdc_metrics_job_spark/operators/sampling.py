@@ -374,9 +374,19 @@ def dense_index(df: DataFrame, id_col: str, buckets: int = 64) -> DataFrame:
     (bucket, md5(id), id): deterministic and partitioning-independent,
     not meaningful -- which is exactly what positional sampling needs.
 
+    Requires an integral id column: a non-numeric id would cast to NULL
+    buckets and silently drop every row through the bucket join, so it is
+    rejected up front (hash string ids to a surrogate long first).
+
     Returns the input plus ROW_IDX (long)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    if not isinstance(df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"dense_index needs an integral id column, got "
+            f"{df.schema[id_col].dataType.simpleString()} for {id_col!r}"
+        )
     b = F.pmod(F.col(id_col).cast("long"), F.lit(buckets))
     w = Window.partitionBy("__b").orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
     ranked = df.withColumn("__b", b).withColumn("__r", F.row_number().over(w))
@@ -438,7 +448,15 @@ def negative_samples(
         ).otherwise(F.col("__neg_idx")),
     )
     neg = idx.select(F.col(id_col).alias("NEG_ID"), F.col("ROW_IDX").alias("__neg_idx"))
-    return cand.join(neg, "__neg_idx").select("ANCHOR_ID", "NEG_RANK", "NEG_ID")
+    # The +1 collision shift guarantees NEG != anchor whenever N >= 2; a
+    # single-row corpus would shift back onto the anchor itself, so the
+    # final guard drops those rather than emit a positive labeled negative
+    # (a 1-row corpus then yields 0 pairs, not k lies).
+    return (
+        cand.join(neg, "__neg_idx")
+        .filter(F.col("ANCHOR_ID") != F.col("NEG_ID"))
+        .select("ANCHOR_ID", "NEG_RANK", "NEG_ID")
+    )
 
 
 def weighted_top_k_sample(

@@ -856,6 +856,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry_cols: list[str] | None = None,
+    shape: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """PQ encoding: for every vector and every subspace, the code of the
     L2-nearest codebook centroid. Long form (id, SUB, CODE) -- the
@@ -868,8 +869,26 @@ def pq_encode(
     equi-join the m*ksub codebook on SUB, dsub-term codegen distance,
     min_by argmin (ties to the lowest CODE). One shuffle of (id, SUB,
     CODE) triples; the ksub candidates per group collapse map-side."""
-    carry_cols = carry_cols or []
-    m, ksub, dsub = _pq_shape(codebook)
+    shape = shape or _pq_shape(codebook)
+    return _pq_assign(df, codebook, id_col, vec_col, shape, carry_cols or [])
+
+
+def _pq_assign(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    shape: tuple[int, int, int],
+    carry_cols: list[str],
+    with_subvec: bool = False,
+) -> DataFrame:
+    """THE assignment pipeline -- the single definition of the argmin
+    convention (6dp-rounded distance, ties to the lowest CODE) that both
+    encoding and training use, so a change to either can never
+    desynchronize trained codebooks from what pq_encode produces.
+    ``with_subvec=True`` additionally carries the per-(row, SUB) slice of
+    the vector (the training means' input)."""
+    m, ksub, dsub = shape
     v = F.col(vec_col).cast("array<double>")
     ex = df.select(
         F.col(id_col),
@@ -877,20 +896,24 @@ def pq_encode(
         v.alias("__v"),
         F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("SUB"),
     )
+    if with_subvec:
+        ex = ex.withColumn("__sv", F.slice(F.col("__v"), F.col("SUB") * dsub + 1, dsub))
     scored = ex.join(F.broadcast(codebook), "SUB").withColumn(
         "__dist", rhu(_pq_sub_dist(F.col("__v"), dsub), 6)
     )
+    extras = list(carry_cols) + (["__sv"] if with_subvec else [])
     return scored.groupBy(id_col, "SUB").agg(
         F.min_by("CODE", F.struct("__dist", "CODE")).alias("CODE"),
-        *[F.any_value(c).alias(c) for c in carry_cols],
+        *[F.any_value(c).alias(c) for c in extras],
     )
 
 
 def _pq_shape(codebook: DataFrame) -> tuple[int, int, int]:
     dsub = sum(1 for c in codebook.columns if c.startswith("C") and c[1:].isdigit())
     # m/ksub from the frame would need an action; infer from max SUB/CODE
-    # lazily only where needed -- encode needs m, so probe it once (the
-    # codebook is broadcast-sized by contract).
+    # (the codebook is broadcast-sized by contract). Callers that invoke
+    # several PQ steps against one codebook compute this ONCE and thread
+    # the tuple through the ``shape`` parameters.
     row = codebook.agg(
         (F.max("SUB") + 1).alias("m"), (F.max("CODE") + 1).alias("k")
     ).first()
@@ -920,8 +943,9 @@ def pq_adc_topk(
 
     Returns (QUERY_ID, id, ADC_DIST) -- k rows per query, ties to the
     lowest id."""
-    codes = pq_encode(corpus, codebook, id_col, vec_col)
-    lut = _pq_query_lut(queries, codebook, id_col, vec_col)
+    shape = _pq_shape(codebook)
+    codes = pq_encode(corpus, codebook, id_col, vec_col, shape=shape)
+    lut = _pq_query_lut(queries, codebook, id_col, vec_col, shape)
     scored = (
         codes.join(F.broadcast(lut), ["SUB", "CODE"])
         .groupBy("QUERY_ID", id_col)
@@ -933,12 +957,16 @@ def pq_adc_topk(
 
 
 def _pq_query_lut(
-    queries: DataFrame, codebook: DataFrame, id_col: str, vec_col: str
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    shape: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """(QUERY_ID, SUB, CODE, __part) lookup table: the query's rounded
     squared-L2 to every codebook entry. |Q|*m*ksub rows, broadcast-sized
     because the query set is contract-small."""
-    m, ksub, dsub = _pq_shape(codebook)
+    m, ksub, dsub = shape or _pq_shape(codebook)
     qv = F.col(vec_col).cast("array<double>")
     qex = queries.select(
         F.col(id_col).alias("QUERY_ID"),
@@ -989,12 +1017,13 @@ def ivf_pq_topk(
     levers (nprobe, ksub) are explicit.
 
     Returns (QUERY_ID, id, ADC_DIST) -- up to k rows per query."""
+    shape = _pq_shape(codebook)
     cells = assign_cells(corpus, centroids, id_col, vec_col, dim=dim)
-    codes = pq_encode(cells, codebook, id_col, vec_col, carry_cols=["CELL"])
+    codes = pq_encode(cells, codebook, id_col, vec_col, carry_cols=["CELL"], shape=shape)
     probed = probe_cells(queries, centroids, nprobe, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("QUERY_ID"), "CELL"
     )
-    lut = _pq_query_lut(queries, codebook, id_col, vec_col)
+    lut = _pq_query_lut(queries, codebook, id_col, vec_col, shape)
     # each query's LUT rows replicate once per probed cell (nprobe * m *
     # ksub rows per query -- still broadcast-sized), keyed so the corpus
     # side joins on (CELL, SUB, CODE) and only probed cells' members score
@@ -1014,33 +1043,20 @@ def pq_train_update(
     codebook: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shape: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """One Lloyd update of the PQ codebooks: assign every subvector to its
-    nearest code (pq_encode semantics, argmin kept with the subvector),
-    then the per-(SUB, CODE) elementwise mean over member subvectors.
-    DECIMAL(27,15) sums make the trained codebook bit-reproducible at any
-    partitioning (same convention as kmeans_update). Codes that lose all
-    members emit no rows; pq_train carries the old entry forward.
+    nearest code (the SHARED _pq_assign pipeline -- training can never
+    drift from pq_encode's argmin convention), then the per-(SUB, CODE)
+    elementwise mean over member subvectors. DECIMAL(27,15) sums make the
+    trained codebook bit-reproducible at any partitioning (same
+    convention as kmeans_update). Codes that lose all members emit no
+    rows; pq_train carries the old entry forward.
 
     Returns long form (SUB, CODE, DIM, N_MEMBERS, CENTROID_VAL) with DIM
     the within-subspace dimension 0..dsub-1."""
-    m, ksub, dsub = _pq_shape(codebook)
-    v = F.col(vec_col).cast("array<double>")
-    ex = df.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("SUB"),
-        v.alias("__v"),
-    ).withColumn("__sv", F.slice(F.col("__v"), F.col("SUB") * dsub + 1, dsub))
-    scored = ex.join(F.broadcast(codebook), "SUB").withColumn(
-        "__dist", rhu(_pq_sub_dist(F.col("__v"), dsub), 6)
-    )
-    assigned = (
-        scored.groupBy(id_col, "SUB")
-        .agg(
-            F.min_by("CODE", F.struct("__dist", "CODE")).alias("CODE"),
-            F.any_value("__sv").alias("__sv"),
-        )
-    )
+    shape = shape or _pq_shape(codebook)
+    assigned = _pq_assign(df, codebook, id_col, vec_col, shape, [], with_subvec=True)
     exd = assigned.select(
         "SUB", "CODE", F.posexplode("__sv").alias("DIM", "__x")
     )
@@ -1096,7 +1112,7 @@ def pq_train(
     spark = df.sparkSession
     cb = pq_codebook_df(spark, consts)
     for _ in range(iters):
-        upd = pq_train_update(df, cb, id_col, vec_col)
+        upd = pq_train_update(df, cb, id_col, vec_col, shape=(m, ksub, dsub))
         got = {
             (int(r["SUB"]), int(r["CODE"]), int(r["DIM"])): float(r["CENTROID_VAL"])
             for r in upd.collect()

@@ -135,7 +135,11 @@ def grouped_trend(
     and R² are those of the quantized data unchanged; the intercept
     de-scales by 1e6. One aggregation, map-side combinable, no window;
     degenerate groups (n < 2 or zero x-variance) return NULL rather than
-    ±inf. Operand contract: |x|, |y| < 1e12 (the shared 1e6 lattice).
+    ±inf. Operand contract: the DECIMAL(38,0) sum of squared lattice
+    values must fit 38 digits, i.e. n·(v·1e6)² < 1e38 — |x|, |y| ≤ 1e9
+    is safe up to 1e14 points per group (metric series are far inside
+    this); beyond it Spark NULLs the sum while DuckDB errors, so
+    pre-scale larger operands.
 
     Returns (group_cols..., N_POINTS, SLOPE, INTERCEPT, R2)."""
     xq = F.floor(F.col(x_col) * 1000000 + F.lit(0.5)).cast("decimal(19,0)")

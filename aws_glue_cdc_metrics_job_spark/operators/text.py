@@ -630,22 +630,32 @@ def chunk_documents(
     no shuffle -- chunking runs inside the scan stage however large the
     corpus, and the output inherits the input's partitioning.
 
+    A trailing start whose window would add NO tokens beyond the previous
+    chunk's coverage (possible when the runt is shorter than the overlap)
+    is dropped: such a chunk is a pure suffix-duplicate of its
+    predecessor, and duplicate retrieval units mean duplicate embeddings
+    and duplicate hits. Kept starts are s == 0 or
+    s < n - (chunk_tokens - stride).
+
     Returns (id_col, CHUNK_IDX int, N_TOKENS long, CHUNK_TEXT)."""
     if chunk_tokens < 1 or stride < 1:
         raise ValueError(f"chunk_tokens and stride must be >= 1, got {chunk_tokens}/{stride}")
     if stride > chunk_tokens:
         raise ValueError(f"stride {stride} > chunk_tokens {chunk_tokens} would drop tokens")
+    overlap = chunk_tokens - stride
     t = (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .withColumn("__n", F.size("__t"))
         .filter(F.col("__n") > 0)
     )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s < F.col("__n") - overlap),
+    )
     ex = t.select(
         F.col(id_col),
         "__t",
-        F.posexplode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))).alias(
-            "CHUNK_IDX", "__start"
-        ),
+        F.posexplode(starts).alias("CHUNK_IDX", "__start"),
     )
     sl = F.slice("__t", F.col("__start") + 1, chunk_tokens)
     return ex.select(

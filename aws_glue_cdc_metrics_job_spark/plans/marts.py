@@ -179,12 +179,13 @@ def churn_profile(revenue: DataFrame, now: str) -> DataFrame:
     )
 
 
-def sales_trends(revenue: DataFrame, grain: str) -> DataFrame:
-    """Calendar-rollup revenue by restaurant x category
-    (scripts/cdc_metrics_job.py:383-418). YEAR_WEEK deliberately combines
-    calendar year with ISO week -- the reference's observable behavior
-    around Jan 1 (SURVEY.md F4), reproduced."""
-    df = (
+def with_calendar_grains(revenue: DataFrame) -> DataFrame:
+    """THE grain-key definitions shared by every trends consumer.
+    YEAR_WEEK deliberately combines calendar year with ISO week -- the
+    reference's observable behavior around Jan 1 (SURVEY.md F4),
+    reproduced; single definition so the per-grain marts and the
+    all-grains GROUPING SETS pass can never disagree."""
+    return (
         revenue.withColumn("YEAR", F.year("CREATION_DATE"))
         .withColumn("MONTH", F.month("CREATION_DATE"))
         .withColumn("YEAR_MONTH", F.concat_ws("-", F.col("YEAR"), F.col("MONTH")))
@@ -192,6 +193,12 @@ def sales_trends(revenue: DataFrame, grain: str) -> DataFrame:
         .withColumn("YEAR_WEEK", F.concat_ws("-", F.col("YEAR"), F.col("WEEK")))
         .withColumn("HOUR_OF_DAY", F.hour("CREATION_TIME_UTC"))
     )
+
+
+def sales_trends(revenue: DataFrame, grain: str) -> DataFrame:
+    """Calendar-rollup revenue by restaurant x category
+    (scripts/cdc_metrics_job.py:383-418)."""
+    df = with_calendar_grains(revenue)
     grains = {
         "daily": ("CREATION_DATE", "DAILY_REVENUE"),
         "weekly": ("YEAR_WEEK", "WEEKLY_REVENUE"),
@@ -317,22 +324,22 @@ def sales_trends_all_grains(revenue: DataFrame) -> DataFrame:
     with values identical to sales_trends() by construction."""
     from ..functions.numeric import sql_dsum
 
-    df = (
-        revenue.withColumn("__D", F.col("CREATION_DATE").cast("string"))
-        .withColumn(
-            "__W",
-            F.concat_ws(
-                "-", F.year("CREATION_DATE"), F.weekofyear("CREATION_DATE")
-            ),
-        )
-        .withColumn(
-            "__M",
-            F.concat_ws("-", F.year("CREATION_DATE"), F.month("CREATION_DATE")),
-        )
-        .withColumn("__H", F.hour("CREATION_TIME_UTC").cast("string"))
+    import uuid
+
+    g = with_calendar_grains(revenue).select(
+        F.col("CREATION_DATE").cast("string").alias("__D"),
+        F.col("YEAR_WEEK").alias("__W"),
+        F.col("YEAR_MONTH").alias("__M"),
+        F.col("HOUR_OF_DAY").cast("string").alias("__H"),
+        "RESTAURANT_ID",
+        "ITEM_CATEGORY",
+        "TOTAL_REVENUE",
     )
-    df.createOrReplaceTempView("_trends_all_grains")
-    return df.sparkSession.sql(
+    # unique view name: repeated calls must not clobber a shared catalog
+    # entry out from under a concurrent consumer
+    view = f"_trends_all_grains_{uuid.uuid4().hex}"
+    g.createOrReplaceTempView(view)
+    out = g.sparkSession.sql(
         f"""
         SELECT CASE WHEN grouping(__D) = 0 THEN 'daily'
                     WHEN grouping(__W) = 0 THEN 'weekly'
@@ -341,7 +348,7 @@ def sales_trends_all_grains(revenue: DataFrame) -> DataFrame:
                coalesce(__D, __W, __M, __H) AS GRAIN_KEY,
                RESTAURANT_ID, ITEM_CATEGORY,
                {sql_dsum("TOTAL_REVENUE", 4)} AS REVENUE
-        FROM _trends_all_grains
+        FROM {view}
         GROUP BY GROUPING SETS (
           (__D, RESTAURANT_ID, ITEM_CATEGORY),
           (__W, RESTAURANT_ID, ITEM_CATEGORY),
@@ -350,3 +357,4 @@ def sales_trends_all_grains(revenue: DataFrame) -> DataFrame:
         )
         """
     )
+    return out

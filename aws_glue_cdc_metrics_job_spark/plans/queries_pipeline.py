@@ -1491,8 +1491,10 @@ def q_emb_pq_train_update(spark: SparkSession, sf_dir: str):
 WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
 nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
 w AS (
-  SELECT doc_id, toks, u.i AS start, CAST(u.i // 48 AS INT) AS CHUNK_IDX
+  SELECT doc_id, toks, u.i AS start,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.i) - 1 AS INT) AS CHUNK_IDX
   FROM nz, UNNEST(range(0, n, 48)) AS u(i)
+  WHERE u.i = 0 OR u.i < n - (64 - 48)
 )
 SELECT doc_id, CHUNK_IDX,
        CAST(len(toks[start+1 : start+64]) AS BIGINT) AS N_TOKENS,
@@ -1670,6 +1672,7 @@ adj AS (
 )
 SELECT ANCHOR_ID, NEG_RANK, idx.doc_id AS NEG_ID
 FROM adj JOIN idx ON idx.row_idx = adj.neg
+WHERE idx.doc_id <> adj.ANCHOR_ID
 """,
 )
 def q_docs_negative_samples(spark: SparkSession, sf_dir: str):

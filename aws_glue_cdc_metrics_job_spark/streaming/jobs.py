@@ -404,9 +404,13 @@ def chunk_encode_sink(
         ).select(
             F.col(id_col),
             "CHUNK_IDX",
-            # chunk key for the encoder's single-column group; CHUNK_IDX is
-            # bounded by the doc's token count / stride, 2^20 is generous
-            (F.col(id_col) * (1 << 20) + F.col("CHUNK_IDX")).alias("CHUNK_ID"),
+            # composite string key for the encoder's single-column group:
+            # collision-free for any id type and any chunk count (an
+            # arithmetic doc_id*2^20+idx key would collide past 2^20
+            # chunks and NULL out non-numeric ids)
+            F.concat_ws("#", F.col(id_col).cast("string"), F.col("CHUNK_IDX")).alias(
+                "CHUNK_ID"
+            ),
             F.col("CHUNK_TEXT").alias(text_col),
         )
         enc = encode_token_ids(chunks, vocab, id_col="CHUNK_ID", text_col=text_col)
@@ -442,21 +446,39 @@ def anomaly_alert_sink(
     zone -- a batch backfill over the final series and the streamed run
     flag identical anomalies.
 
-    Efficiency shape: scoring reads back only the affected keys' series
-    (semi-join on the batch's keys), not the whole zone, and the window
-    operator then sees per-key frames of bounded relevance; the alerts
-    table stores flagged points only. Late/duplicate points follow the
-    series zone's append semantics -- upstream dedup (C4) runs before
-    this sink, as in the pipeline composition."""
+    Efficiency shape: the series zone is PARTITIONED by the key columns
+    and the read is filtered with the batch's literal key list (metric
+    keys per batch are bounded -- one collect of a tiny distinct set), so
+    partition pruning opens only the touched keys' files; without the
+    literal filter a semi-join would prune rows but still read the whole
+    ever-growing zone every trigger. The alerts table stores flagged
+    points only. Late/duplicate points follow the series zone's append
+    semantics -- upstream dedup (C4) runs before this sink, as in the
+    pipeline composition."""
     from ..operators.monitoring import rolling_zscore
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch.write.mode("append").parquet(series_path)
+        batch.write.mode("append").partitionBy(*key_cols).parquet(series_path)
+        keys = [tuple(r) for r in batch.select(*key_cols).distinct().collect()]
         series = spark.read.parquet(series_path)
-        touched = batch.select(*key_cols).distinct()
-        affected = series.join(F.broadcast(touched), key_cols, "left_semi")
+        if len(key_cols) == 1:
+            pred = F.col(key_cols[0]).isin([k[0] for k in keys])
+        else:
+            from functools import reduce
+
+            pred = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda x, y: x & y,
+                        [F.col(c) == F.lit(v) for c, v in zip(key_cols, k)],
+                    )
+                    for k in keys
+                ],
+            )
+        affected = series.filter(pred)
         scored = rolling_zscore(
             affected, key_cols, ts_col, value_col, n=n, z_threshold=z_threshold,
             min_periods=2,

@@ -394,3 +394,20 @@ class TestWeightedTopK:
         ranked.sort(reverse=True)
         exp = sorted(-x[1] for x in ranked[:8])
         assert got == exp
+
+
+class TestReviewGuards:
+    def test_dense_index_rejects_string_ids(self, spark):
+        import pytest
+
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import dense_index
+
+        df = spark.createDataFrame([("doc-a1",), ("doc-b2",)], "doc_id string")
+        with pytest.raises(ValueError, match="integral id"):
+            dense_index(df, "doc_id")
+
+    def test_negative_samples_single_row_corpus_yields_no_self_pairs(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import negative_samples
+
+        df = spark.createDataFrame([(42,)], "doc_id long")
+        assert negative_samples(df, "doc_id", k=3).count() == 0

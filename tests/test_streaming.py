@@ -334,8 +334,9 @@ def test_chunk_encode_sink_matches_batch(spark, tmp_path):
 
     got = spark.read.parquet(chunks_path).collect()
     by_key = {(r["doc_id"], r["CHUNK_IDX"]): r for r in got}
-    # doc 1: 20 tokens, starts 0/6/12/18 -> 4 chunks; doc 2: 1 chunk
-    assert len(by_key) == 5
+    # doc 1: 20 tokens, starts 0/6/12 (18 dropped: suffix-duplicate runt);
+    # doc 2: 1 chunk
+    assert len(by_key) == 4
     # encoding agrees with the batch operators run on the full input
     from aws_glue_cdc_metrics_job_spark.operators.text import chunk_documents, encode_token_ids
     from pyspark.sql import functions as F

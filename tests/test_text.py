@@ -358,9 +358,10 @@ class TestChunkDocuments:
             chunk_documents(df, chunk_tokens=64, stride=48).collect(),
             key=lambda r: r["CHUNK_IDX"],
         )
-        # starts 0, 48, 96, 144 -> 4 chunks; last is a 6-token runt
-        assert [r["CHUNK_IDX"] for r in rows] == [0, 1, 2, 3]
-        assert [r["N_TOKENS"] for r in rows] == [64, 64, 54, 6]
+        # starts 0, 48, 96; start 144 is dropped (its 6-token runt is a
+        # pure suffix-duplicate of the start-96 chunk's coverage)
+        assert [r["CHUNK_IDX"] for r in rows] == [0, 1, 2]
+        assert [r["N_TOKENS"] for r in rows] == [64, 64, 54]
         # every token appears in at least one chunk, in order
         toks = [t for r in rows for t in r["CHUNK_TEXT"].split(" ")]
         assert set(toks) == {f"w{i}" for i in range(150)}
