@@ -174,3 +174,89 @@ def approx_distinct(value_col: str | Column, rsd: float = 0.05) -> Column:
     return F.approx_count_distinct(
         F.col(value_col) if isinstance(value_col, str) else value_col, rsd
     )
+
+
+# --- Count-min sketch (Cormode & Muthukrishnan, J.Algorithms 2005): a
+# mergeable point-frequency summary. d independent hash rows x w columns
+# of counters; an item's estimated count is the MIN of its d cells --
+# always an overestimate, within eps*N (eps = e/w) with probability
+# 1 - delta (delta = e^-d). Complements the family: HLL answers "how many
+# distinct", DDSketch "what quantile", Misra-Gries "which heavy items",
+# CM "how often THIS item" -- for items that may not have survived a
+# top-k cut. Merge is exact cell-wise addition, so per-partition /
+# per-day sketches roll up losslessly.
+#
+# Cells are md5-derived (same engine-portable draw as the samplers), so
+# the sketch TABLE itself is oracle-checkable bit-for-bit; only the
+# point-estimate semantics are approximate.
+
+CM_D, CM_W = 4, 1024
+
+
+def _cm_col(item: Column, r: Column, w: int, seed: str) -> Column:
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", item.cast("string"), r.cast("string"), F.lit(seed))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(u, F.lit(w))
+
+
+def cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    d: int = CM_D,
+    w: int = CM_W,
+    seed: str = "cm0",
+) -> DataFrame:
+    """Build the sketch table (R, C, N): one pass, d-way explode of
+    compact (item) rows, then a (R, C)-keyed aggregation -- at most d*w
+    result rows however large the input, and the shuffle carries partial
+    (R, C, count) cells (map-side combined), never items. Weighted counts
+    via ``weight_col`` (e.g. pre-aggregated token counts)."""
+    wt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    ex = df.select(
+        F.col(item_col).alias("__i"),
+        wt.alias("__w"),
+        F.explode(F.array(*[F.lit(r).cast("int") for r in range(d)])).alias("R"),
+    )
+    return (
+        ex.withColumn("C", _cm_col(F.col("__i"), F.col("R"), w, seed).cast("int"))
+        .groupBy("R", "C")
+        .agg(F.sum("__w").alias("N"))
+    )
+
+
+def cm_merge(sketches: DataFrame) -> DataFrame:
+    """Merge any number of unioned sketch tables: exact cell-wise sum
+    (build per-day sketches, answer any range by merging -- the same
+    rollup contract as the HLL/DDSketch zones)."""
+    return sketches.groupBy("R", "C").agg(F.sum("N").alias("N"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int = CM_D,
+    w: int = CM_W,
+    seed: str = "cm0",
+) -> DataFrame:
+    """Point-frequency estimates for ``items``: recompute each item's d
+    cells, equi-join the sketch (broadcast -- it is at most d*w rows by
+    construction), take the MIN. Missing cells count 0 (item never
+    seen). Returns (item_col, EST_COUNT): EST >= true count always,
+    EST <= true + (e/w)*N with prob 1 - e^-d."""
+    ex = items.select(
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(r).cast("int") for r in range(d)])).alias("R"),
+    ).withColumn("C", _cm_col(F.col(item_col), F.col("R"), w, seed).cast("int"))
+    joined = ex.join(F.broadcast(sketch), ["R", "C"], "left").select(
+        F.col(item_col), F.coalesce(F.col("N"), F.lit(0)).alias("__n")
+    )
+    return joined.groupBy(item_col).agg(F.min("__n").cast("long").alias("EST_COUNT"))

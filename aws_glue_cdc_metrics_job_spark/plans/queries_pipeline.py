@@ -1724,3 +1724,30 @@ def q_docs_weighted_topk_sample(spark: SparkSession, sf_dir: str):
     return weighted_top_k_sample(
         scored, "QUALITY_SCORE", ["source"], ["doc_id"], k=15, seed="wtk1"
     )
+
+
+@query(
+    "docs_cm_sketch",
+    oracle=f"""
+WITH t AS (SELECT unnest({_TOKS_NE}) AS tok FROM documents),
+ex AS (SELECT tok, r.R FROM t, (SELECT UNNEST(range(0, 4)) AS R) r),
+cells AS (
+  SELECT CAST(R AS INT) AS R,
+         CAST((('0x' || SUBSTRING(MD5(tok || '|' || CAST(R AS VARCHAR) || '|cm0'), 1, 8))::UBIGINT % 1024) AS INT) AS C
+  FROM ex
+)
+SELECT R, C, CAST(COUNT(*) AS BIGINT) AS N FROM cells GROUP BY 1, 2
+""",
+)
+def q_docs_cm_sketch(spark: SparkSession, sf_dir: str):
+    """Count-min sketch over the corpus token stream (sketches.cm_sketch,
+    d=4 x w=1024): the mergeable point-frequency summary -- per-delivery
+    sketches roll up by exact cell addition, and any token's count is
+    answerable within eps*N without the token surviving a top-k cut. The
+    sketch TABLE is bit-exact cross-engine (md5 cells); only point
+    estimates are approximate (bounds pinned in tests/test_sketches.py)."""
+    from ..operators.sketches import cm_sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("TOKEN"))
+    return cm_sketch(toks, "TOKEN")

@@ -67,6 +67,7 @@ HEADLINE = [
     "docs_weighted_topk_sample",
     "events_hopping_6h",
     "events_quantile_sketch_rollup",
+    "docs_cm_sketch",
     "events_type_skew_report",
     "events_daily_anomalies",
     "events_daily_gapfill",

@@ -129,3 +129,56 @@ def test_quantile_sketch_bin_cardinality_bounded(spark):
     sk = quantile_sketch(df, ["g"], "value", alpha=0.01)
     # 100k distinct values spanning [0.1, 1e4] collapse to O(log(range)/alpha) bins
     assert sk.count() < 600
+
+
+class TestCountMin:
+    def _toks(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators import text
+        from aws_glue_cdc_metrics_job_spark.sources import read_table
+        from pyspark.sql import functions as F
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        return docs.select(F.explode(text.tokens("text")).alias("TOKEN"))
+
+    def test_overestimate_and_bound(self, spark):
+        import math
+
+        from aws_glue_cdc_metrics_job_spark.operators.sketches import (
+            CM_D, CM_W, cm_estimate, cm_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        toks = self._toks(spark)
+        sk = cm_sketch(toks, "TOKEN")
+        exact = {r["TOKEN"]: r["n"] for r in toks.groupBy("TOKEN").agg(F.count("*").alias("n")).collect()}
+        total = sum(exact.values())
+        items = spark.createDataFrame([(t,) for t in exact], "TOKEN string")
+        est = {r["TOKEN"]: r["EST_COUNT"] for r in cm_estimate(sk, items, "TOKEN").collect()}
+        assert all(est[t] >= exact[t] for t in exact)  # never underestimates
+        eps = math.e / CM_W
+        over = [est[t] - exact[t] for t in exact]
+        # the eps*N bound holds per-item w.h.p.; assert no gross violation
+        assert max(over) <= 3 * eps * total
+        # unseen item estimates (almost surely) near zero, never negative
+        ghost = spark.createDataFrame([("zz-unseen-token",)], "TOKEN string")
+        g = cm_estimate(sk, ghost, "TOKEN").collect()[0]["EST_COUNT"]
+        assert 0 <= g <= 3 * eps * total
+
+    def test_merge_equals_direct_exactly(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sketches import cm_merge, cm_sketch
+        from pyspark.sql import functions as F
+
+        toks = self._toks(spark).withColumn(
+            "half", (F.crc32(F.col("TOKEN")) % 2).cast("int")
+        )
+        a = cm_sketch(toks.filter("half = 0"), "TOKEN")
+        b = cm_sketch(toks.filter("half = 1"), "TOKEN")
+        merged = sorted(map(tuple, cm_merge(a.unionByName(b)).collect()))
+        direct = sorted(map(tuple, cm_sketch(toks, "TOKEN").collect()))
+        assert merged == direct
+
+    def test_bounded_size(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sketches import CM_D, CM_W, cm_sketch
+
+        sk = cm_sketch(self._toks(spark), "TOKEN")
+        assert sk.count() <= CM_D * CM_W
