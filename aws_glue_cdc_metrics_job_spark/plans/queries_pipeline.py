@@ -1751,3 +1751,42 @@ def q_docs_cm_sketch(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens("text")).alias("TOKEN"))
     return cm_sketch(toks, "TOKEN")
+
+
+@query(
+    "docs_cm_estimates",
+    oracle=f"""
+WITH t AS (SELECT unnest({_TOKS_NE}) AS tok FROM documents),
+ex AS (SELECT tok, r.R FROM t, (SELECT UNNEST(range(0, 4)) AS R) r),
+cells AS (
+  SELECT CAST(R AS INT) AS R,
+         CAST((('0x' || SUBSTRING(MD5(tok || '|' || CAST(R AS VARCHAR) || '|cm0'), 1, 8))::UBIGINT % 1024) AS INT) AS C
+  FROM ex
+),
+sk AS (SELECT R, C, CAST(COUNT(*) AS BIGINT) AS N FROM cells GROUP BY 1, 2),
+q AS (SELECT UNNEST({_STOPLIST}) AS TOKEN),
+qc AS (
+  SELECT TOKEN, r.R,
+         CAST((('0x' || SUBSTRING(MD5(TOKEN || '|' || CAST(r.R AS VARCHAR) || '|cm0'), 1, 8))::UBIGINT % 1024) AS INT) AS C
+  FROM q, (SELECT UNNEST(range(0, 4)) AS R) r
+)
+SELECT qc.TOKEN, CAST(MIN(COALESCE(sk.N, 0)) AS BIGINT) AS EST_COUNT
+FROM qc LEFT JOIN sk ON sk.R = qc.R AND sk.C = qc.C
+GROUP BY 1
+""",
+)
+def q_docs_cm_estimates(spark: SparkSession, sf_dir: str):
+    """Count-min point estimates for the stopword set
+    (sketches.cm_estimate): recompute each query item's d cells, join the
+    broadcast sketch, take the min -- frequency answers for arbitrary
+    items without rescanning the corpus. Estimates are deterministic
+    given the sketch, so this path is fully oracle-checkable; the
+    approximation bounds are pinned in tests/test_sketches.py."""
+    from ..operators.sketches import cm_estimate, cm_sketch
+    from ..operators.text import EN_STOPWORDS
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("TOKEN"))
+    sk = cm_sketch(toks, "TOKEN")
+    items = spark.createDataFrame([(t,) for t in EN_STOPWORDS], "TOKEN string")
+    return cm_estimate(sk, items, "TOKEN")

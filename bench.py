@@ -68,6 +68,7 @@ HEADLINE = [
     "events_hopping_6h",
     "events_quantile_sketch_rollup",
     "docs_cm_sketch",
+    "docs_cm_estimates",
     "events_type_skew_report",
     "events_daily_anomalies",
     "events_daily_gapfill",
