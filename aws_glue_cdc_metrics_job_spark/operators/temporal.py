@@ -267,3 +267,42 @@ def gap_fill_daily(
         if c in fill:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill[c])))
     return out
+
+
+def session_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Within-session event-type transition counts -- the Markov-path
+    summary product analytics builds funnels and next-action models from:
+    for every consecutive in-session pair, one (FROM_TYPE, TO_TYPE) edge;
+    session entry points appear as FROM_TYPE = NULL ('start of journey').
+
+    One user-keyed window computes the previous event's type and gap in a
+    single pass (the sessionize shuffle reused, no join); the edge count
+    aggregation is map-side combinable with at most |types|^2 + |types|
+    result rows. Deterministic total order (ts, id) -- simultaneous
+    events tie-break identically in every engine.
+
+    Returns (FROM_TYPE, TO_TYPE, N_TRANSITIONS)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    same_session = (
+        prev_ts.isNotNull()
+        & (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+            <= F.lit(gap_us)
+        )
+    )
+    edges = df.select(
+        F.when(same_session, F.lag(F.col(type_col)).over(w)).alias("FROM_TYPE"),
+        F.col(type_col).alias("TO_TYPE"),
+    )
+    return edges.groupBy("FROM_TYPE", "TO_TYPE").agg(
+        F.count(F.lit(1)).alias("N_TRANSITIONS")
+    )

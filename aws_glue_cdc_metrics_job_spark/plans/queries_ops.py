@@ -1261,3 +1261,30 @@ def q_cdc_compact_changelog(spark: SparkSession, sf_dir: str):
     from ..operators.cdc import compact_changelog
 
     return compact_changelog(log, pks=["o_orderkey"], order_cols=["SEQ"])
+
+
+@query(
+    "events_session_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT event_type,
+         CASE WHEN LAG(ts) OVER w IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(LAG(ts) OVER w) <= 1800000000
+              THEN LAG(event_type) OVER w END AS FROM_TYPE
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT FROM_TYPE, event_type AS TO_TYPE, COUNT(*) AS N_TRANSITIONS
+FROM ordered GROUP BY 1, 2
+""",
+)
+def q_events_session_transitions(spark: SparkSession, sf_dir: str):
+    """Within-session event-type transition counts
+    (temporal.session_transitions, 30-minute gap): the Markov-path edge
+    table next-action analyses start from; session entries surface as
+    NULL FROM_TYPE. One sessionize-shaped window pass, |types|^2-bounded
+    output."""
+    from ..operators.temporal import session_transitions
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_transitions(ev)

@@ -35,6 +35,7 @@ HEADLINE = [
     "pricing_summary",
     "cdc_snapshot_diff",
     "events_sessionize",
+    "events_session_transitions",
     "events_tumbling_daily",
     "cdc_apply_changes",
     "orders_incremental_agg",

@@ -290,3 +290,36 @@ def test_gap_fill_daily(spark):
         for r in gap_fill_daily(df2, ["k"], "day", fill={"n": 0}).collect()
     }
     assert row[("a", "2024-01-02")] is None and row[("a", "2024-01-01")] == 1.5
+
+
+class TestSessionTransitions:
+    def test_edges_and_session_breaks(self, spark):
+        import datetime as dt
+
+        from aws_glue_cdc_metrics_job_spark.operators.temporal import session_transitions
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            # user 1, one session: view -> click -> buy
+            (1, 1, t0, "view"), (2, 1, t0 + m, "click"), (3, 1, t0 + 2 * m, "buy"),
+            # 2 hours later: new session, view -> view (no cross-session edge)
+            (4, 1, t0 + dt.timedelta(hours=2), "view"),
+            (5, 1, t0 + dt.timedelta(hours=2) + m, "view"),
+            # user 2: lone event -> entry edge only
+            (6, 2, t0, "click"),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+        got = {
+            (r["FROM_TYPE"], r["TO_TYPE"]): r["N_TRANSITIONS"]
+            for r in session_transitions(df).collect()
+        }
+        assert got == {
+            (None, "view"): 2,      # two session entries with view
+            (None, "click"): 1,     # user 2's lone session entry
+            ("view", "click"): 1,
+            ("click", "buy"): 1,
+            ("view", "view"): 1,
+        }
+        # edge conservation: every event is a TO exactly once
+        assert sum(got.values()) == len(rows)
