@@ -706,3 +706,57 @@ def segment_language_profile(
         rhu(ratio, 6).alias("EN_SEGMENT_RATIO"),
         F.when(ratio >= 0.5, "en").otherwise("unknown").alias("DOC_LANG_GUESS"),
     )
+
+
+def collocation_lift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining: for every token pair (a, b)
+    occurring consecutively at least ``min_count`` times, the observed/
+    expected ratio ``lift = N_ab * N / (N_a * N_b)`` -- the integer-
+    arithmetic monotone transform of PMI (PMI = ln(lift)), kept log-free
+    so the score is pure exact-count arithmetic and bit-identical in
+    every engine (ln is not correctly-rounded-guaranteed across libms).
+
+    Adjacent pairs only, so the stream is LINEAR in corpus tokens (never
+    a within-doc cross product): one posexplode + a doc-keyed lead()
+    window (the winnowing/repetition shuffle shape), then vocab-sized
+    count aggregations and two equi-joins of the bigram table against
+    unigram counts. The min_count filter prunes the bigram table BEFORE
+    the joins.
+
+    Returns (TOKEN_A, TOKEN_B, N_AB, N_A, N_B, LIFT) with LIFT the ratio
+    rounded half-up to 6 dp."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    pairs = ex.withColumn("__next", F.lead("__tok").over(w)).filter(
+        F.col("__next").isNotNull()
+    )
+    uni = ex.groupBy(F.col("__tok").alias("TOKEN")).agg(F.count(F.lit(1)).alias("N_TOK"))
+    total = ex.agg(F.count(F.lit(1)).cast("double").alias("__N"))
+    big = (
+        pairs.groupBy(
+            F.col("__tok").alias("TOKEN_A"), F.col("__next").alias("TOKEN_B")
+        )
+        .agg(F.count(F.lit(1)).alias("N_AB"))
+        .filter(F.col("N_AB") >= min_count)
+    )
+    ua = uni.select(F.col("TOKEN").alias("TOKEN_A"), F.col("N_TOK").alias("N_A"))
+    ub = uni.select(F.col("TOKEN").alias("TOKEN_B"), F.col("N_TOK").alias("N_B"))
+    joined = big.join(ua, "TOKEN_A").join(ub, "TOKEN_B").crossJoin(F.broadcast(total))
+    lift = (F.col("N_AB").cast("double") * F.col("__N")) / (
+        F.col("N_A").cast("double") * F.col("N_B").cast("double")
+    )
+    return joined.select(
+        "TOKEN_A",
+        "TOKEN_B",
+        "N_AB",
+        "N_A",
+        "N_B",
+        rhu(lift, 6).alias("LIFT"),
+    )

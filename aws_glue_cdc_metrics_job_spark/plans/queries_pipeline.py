@@ -1790,3 +1790,40 @@ def q_docs_cm_estimates(spark: SparkSession, sf_dir: str):
     sk = cm_sketch(toks, "TOKEN")
     items = spark.createDataFrame([(t,) for t in EN_STOPWORDS], "TOKEN string")
     return cm_estimate(sk, items, "TOKEN")
+
+
+@query(
+    "docs_collocations",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id, u.i AS pos, t.toks[u.i] AS tok
+  FROM (SELECT doc_id, {_TOKS_NE} AS toks FROM documents) t,
+       UNNEST(range(1, len(t.toks)+1)) AS u(i)
+),
+pairs AS (
+  SELECT tok AS TOKEN_A, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS TOKEN_B
+  FROM ex
+),
+big AS (
+  SELECT TOKEN_A, TOKEN_B, CAST(COUNT(*) AS BIGINT) AS N_AB
+  FROM pairs WHERE TOKEN_B IS NOT NULL
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS N_TOK FROM ex GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM ex)
+SELECT b.TOKEN_A, b.TOKEN_B, b.N_AB, ua.N_TOK AS N_A, ub.N_TOK AS N_B,
+       {sql_rhu("(CAST(b.N_AB AS DOUBLE) * tot.N) / (CAST(ua.N_TOK AS DOUBLE) * CAST(ub.N_TOK AS DOUBLE))", 6)} AS LIFT
+FROM big b
+JOIN uni ua ON ua.tok = b.TOKEN_A
+JOIN uni ub ON ub.tok = b.TOKEN_B
+CROSS JOIN tot
+""",
+)
+def q_docs_collocations(spark: SparkSession, sf_dir: str):
+    """Adjacent-bigram collocation mining (text.collocation_lift,
+    min_count=5): observed/expected lift as pure exact-count arithmetic
+    (the log-free monotone form of PMI -- ln is not correctly-rounded
+    across libms, integer ratios are). Linear in corpus tokens; the
+    min_count filter prunes before any join."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.collocation_lift(docs)

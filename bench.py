@@ -50,6 +50,7 @@ HEADLINE = [
     "docs_incremental_near_dedup",
     "docs_intra_doc_dedup",
     "docs_unigram_logprob",
+    "docs_collocations",
     "docs_token_budget_mix",
     "docs_temperature_mix",
     "docs_minhash_lsh_pairs",

@@ -48,6 +48,8 @@ BOUNDED_BROADCAST_OK = {
     "docs_negative_samples": (1, "1-row corpus-count frame (sampling.negative_samples)"),
     # per-class fractions cross the class counts with the ONE-ROW min frame
     "docs_balanced_sample": (1, "1-row min-class-count frame (sampling.balanced_hash_sample)"),
+    # lift denominators cross the bigram table with the ONE-ROW total frame
+    "docs_collocations": (1, "1-row corpus-total frame (text.collocation_lift)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")

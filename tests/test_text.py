@@ -407,3 +407,29 @@ class TestSegmentLanguageProfile:
         assert got[1]["DOC_LANG_GUESS"] == "en"
         assert got[2]["DOC_LANG_GUESS"] == "unknown" and got[2]["N_EN_SEGMENTS"] == 0
         assert got[3]["DOC_LANG_GUESS"] == "en" and got[3]["EN_SEGMENT_RATIO"] == 1.0
+
+
+class TestCollocationLift:
+    def test_lift_math_and_min_count(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import collocation_lift
+
+        # "new york" always adjacent (5x); fillers keep totals known
+        doc = "new york a b new york c d new york e f new york g h new york"
+        df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        rows = {(r["TOKEN_A"], r["TOKEN_B"]): r for r in collocation_lift(df, min_count=5).collect()}
+        assert set(rows) == {("new", "york")}
+        r = rows[("new", "york")]
+        n_total = len(doc.split())
+        assert r["N_AB"] == 5 and r["N_A"] == 5 and r["N_B"] == 5
+        assert r["LIFT"] == round(5 * n_total / (5 * 5) + 1e-12, 6) or abs(
+            r["LIFT"] - 5 * n_total / 25
+        ) < 1e-6
+
+    def test_no_cross_document_pairs(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import collocation_lift
+
+        df = spark.createDataFrame(
+            [(i, "alpha") for i in range(10)], "doc_id long, text string"
+        )
+        # each doc has ONE token: no adjacency anywhere
+        assert collocation_lift(df, min_count=1).count() == 0
