@@ -872,3 +872,60 @@ def exact_dedup_incremental(
     return batch_first.join(
         index.select("FINGERPRINT").dropDuplicates(), "FINGERPRINT", "left_anti"
     )
+
+
+def source_overlap_estimate(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    seed: str = "so0",
+) -> DataFrame:
+    """Estimated pairwise content overlap BETWEEN corpus partitions
+    (sources, crawls, dumps): a union-MinHash signature per group -- for
+    permutation p, the min over ALL the group's distinct n-gram hashes of
+    md5(h|p) -- then the estimated Jaccard between two groups is the
+    fraction of permutations whose mins agree. The corpus-level dedup
+    diagnostic ("is crawl B mostly a re-crawl of A?") answered without
+    ever joining the corpora themselves.
+
+    Scale shape: the gram stream collapses to DISTINCT (group, gram) pairs
+    first (one shuffle on the md5 key), the per-(group, permutation) min
+    is map-side combinable, and the pairwise stage joins |groups| x perm
+    rows -- diagnostics-sized however large the corpora. md5-derived
+    permutations make the whole thing engine-portable: the min over
+    lexicographic 32-hex strings is identical everywhere, so even the
+    ESTIMATES are bit-reproducible (the estimator is deterministic given
+    the data; only its relation to true Jaccard is probabilistic, bounded
+    by the standard 1/sqrt(num_perm) error).
+
+    Returns (SOURCE_A, SOURCE_B, N_MATCH, EST_JACCARD), A < B."""
+    from .decontam import ngram_hashes
+
+    grams = (
+        ngram_hashes(df, n, id_col=group_col, text_col=text_col, distinct=False)
+        .select(F.col(group_col).alias("__g"), "NGRAM_H")
+        .distinct()
+    )
+    ex = grams.select(
+        "__g",
+        "NGRAM_H",
+        F.explode(F.array(*[F.lit(p).cast("int") for p in range(num_perm)])).alias("PERM"),
+    )
+    sig = ex.withColumn(
+        "__ph",
+        F.md5(F.concat_ws("|", F.col("NGRAM_H"), F.col("PERM").cast("string"), F.lit(seed))),
+    ).groupBy("__g", "PERM").agg(F.min("__ph").alias("MINH"))
+    a = sig.select(F.col("__g").alias("SOURCE_A"), "PERM", F.col("MINH").alias("__ma"))
+    b = sig.select(F.col("__g").alias("SOURCE_B"), "PERM", F.col("MINH").alias("__mb"))
+    pairs = a.join(b, "PERM").filter(F.col("SOURCE_A") < F.col("SOURCE_B"))
+    return (
+        pairs.groupBy("SOURCE_A", "SOURCE_B")
+        .agg(
+            F.sum(F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0))
+            .cast("long")
+            .alias("N_MATCH")
+        )
+        .withColumn("EST_JACCARD", rhu(F.col("N_MATCH") / F.lit(float(num_perm)), 6))
+    )

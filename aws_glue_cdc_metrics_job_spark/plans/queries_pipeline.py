@@ -1827,3 +1827,35 @@ def q_docs_collocations(spark: SparkSession, sf_dir: str):
     min_count filter prunes before any join."""
     docs = read_table(spark, sf_dir, "documents")
     return text.collocation_lift(docs)
+
+
+@query(
+    "docs_source_overlap",
+    oracle=f"""
+WITH tok AS (SELECT source, {_TOKS_NE} AS t FROM documents),
+ng AS (
+  SELECT DISTINCT source, md5(array_to_string(t[i:i+2], ' ')) AS h
+  FROM tok, UNNEST(range(1, len(t)-1)) AS u(i)
+  WHERE len(t) >= 3
+),
+ex AS (SELECT source, h, p.PERM FROM ng, (SELECT UNNEST(range(0, 32)) AS PERM) p),
+sig AS (
+  SELECT source, CAST(PERM AS INT) AS PERM,
+         MIN(md5(h || '|' || CAST(PERM AS VARCHAR) || '|so0')) AS MINH
+  FROM ex GROUP BY 1, 2
+)
+SELECT a.source AS SOURCE_A, b.source AS SOURCE_B,
+       CAST(SUM(CASE WHEN a.MINH = b.MINH THEN 1 ELSE 0 END) AS BIGINT) AS N_MATCH,
+       {sql_rhu("SUM(CASE WHEN a.MINH = b.MINH THEN 1 ELSE 0 END) / 32.0", 6)} AS EST_JACCARD
+FROM sig a JOIN sig b ON a.PERM = b.PERM AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def q_docs_source_overlap(spark: SparkSession, sf_dir: str):
+    """Pairwise source-content overlap via union-MinHash signatures
+    (dedup.source_overlap_estimate): the corpus-level dedup diagnostic --
+    estimated Jaccard between every source pair from 32 md5 permutations,
+    bit-reproducible in both engines because the estimator is
+    deterministic given the data."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.source_overlap_estimate(docs)

@@ -58,6 +58,7 @@ HEADLINE = [
     "docs_simhash",
     "docs_regex_tokens",
     "docs_decontaminate",
+    "docs_source_overlap",
     "docs_winnow_fingerprints",
     "docs_pack_sequences",
     "docs_curation_pipeline",

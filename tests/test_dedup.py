@@ -461,3 +461,45 @@ def test_minhash_dedup_incremental_empty_index(spark):
         r["doc_id"] for r in minhash_dedup_incremental(batch, ib, ih, threshold=0.7).collect()
     )
     assert got == [1]  # cold start == plain within-batch dedup, min id kept
+
+
+class TestSourceOverlap:
+    def test_identical_sources_estimate_one(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.dedup import source_overlap_estimate
+
+        docs = [
+            (1, "A", "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "B", "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "C", "completely different content with no shared grams here at all"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        got = {
+            (r["SOURCE_A"], r["SOURCE_B"]): r["EST_JACCARD"]
+            for r in source_overlap_estimate(df).collect()
+        }
+        assert got[("A", "B")] == 1.0       # identical gram sets
+        assert got[("A", "C")] == 0.0       # disjoint gram sets
+        assert got[("B", "C")] == 0.0
+
+    def test_estimate_tracks_true_jaccard(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.dedup import source_overlap_estimate
+        from aws_glue_cdc_metrics_job_spark.operators.decontam import ngram_hashes
+        from aws_glue_cdc_metrics_job_spark.sources import read_table
+        from pyspark.sql import functions as F
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        est = {
+            (r["SOURCE_A"], r["SOURCE_B"]): r["EST_JACCARD"]
+            for r in source_overlap_estimate(docs, num_perm=64).collect()
+        }
+        grams = {
+            r["source"]: r["hs"]
+            for r in ngram_hashes(docs, 3, id_col="source", distinct=False)
+            .groupBy("source")
+            .agg(F.collect_set("NGRAM_H").alias("hs"))
+            .collect()
+        }
+        for (a, b), e in est.items():
+            sa, sb = set(grams[a]), set(grams[b])
+            true_j = len(sa & sb) / len(sa | sb)
+            assert abs(e - true_j) <= 3 / (64**0.5)  # standard MinHash error
