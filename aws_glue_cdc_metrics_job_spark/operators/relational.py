@@ -198,3 +198,53 @@ def salted_join(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
     )
     return salted_big.join(replicas, keys + ["__salt"], how).drop("__salt")
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every item pair appearing together
+    in at least ``min_support`` baskets, the pair count, each item's
+    basket count, and the observed/expected lift
+    ``N_AB * N_BASKETS / (N_A * N_B)`` -- association-rule mining's
+    support/lift core, with the same log-free exact-count discipline as
+    the text collocation miner.
+
+    Scale shape: baskets collapse to DISTINCT (basket, item) first, the
+    pair stage is a SELF-EQUI-JOIN ON THE BASKET KEY (never a global
+    cross product -- each basket expands quadratically only in its own
+    distinct-item count, the data model's bounded fan-out), and
+    min_support prunes the pair table before the item-count joins.
+    Skewed mega-baskets are the hazard: cap or salt upstream if a basket
+    can hold thousands of distinct items.
+
+    Returns (ITEM_A, ITEM_B, N_AB, N_A, N_B, LIFT), ITEM_A < ITEM_B."""
+    bi = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    # 1-row broadcast total (the skew_report pattern), not a driver action
+    n_baskets = bi.agg(F.countDistinct("__b").cast("double").alias("__NB"))
+    item_counts = bi.groupBy(F.col("__i")).agg(F.count(F.lit(1)).alias("N_ITEM"))
+    a = bi.select("__b", F.col("__i").alias("ITEM_A"))
+    b = bi.select("__b", F.col("__i").alias("ITEM_B"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("ITEM_A") < F.col("ITEM_B"))
+        .groupBy("ITEM_A", "ITEM_B")
+        .agg(F.count(F.lit(1)).alias("N_AB"))
+        .filter(F.col("N_AB") >= min_support)
+    )
+    ia = item_counts.select(F.col("__i").alias("ITEM_A"), F.col("N_ITEM").alias("N_A"))
+    ib = item_counts.select(F.col("__i").alias("ITEM_B"), F.col("N_ITEM").alias("N_B"))
+    lift = (F.col("N_AB").cast("double") * F.col("__NB")) / (
+        F.col("N_A").cast("double") * F.col("N_B").cast("double")
+    )
+    return (
+        pairs.join(ia, "ITEM_A")
+        .join(ib, "ITEM_B")
+        .crossJoin(F.broadcast(n_baskets))
+        .select("ITEM_A", "ITEM_B", "N_AB", "N_A", "N_B", rhu(lift, 6).alias("LIFT"))
+    )

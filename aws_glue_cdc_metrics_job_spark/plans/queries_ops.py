@@ -1288,3 +1288,35 @@ def q_events_session_transitions(spark: SparkSession, sf_dir: str):
 
     ev = read_table(spark, sf_dir, "events")
     return session_transitions(ev)
+
+
+@query(
+    "lineitem_basket_pairs",
+    oracle=f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM bi),
+pairs AS (
+  SELECT a.i AS ITEM_A, c.i AS ITEM_B, CAST(COUNT(*) AS BIGINT) AS N_AB
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS N_ITEM FROM bi GROUP BY 1)
+SELECT p.ITEM_A, p.ITEM_B, p.N_AB, ia.N_ITEM AS N_A, ib.N_ITEM AS N_B,
+       {sql_rhu("(CAST(p.N_AB AS DOUBLE) * nb.n) / (CAST(ia.N_ITEM AS DOUBLE) * CAST(ib.N_ITEM AS DOUBLE))", 6)} AS LIFT
+FROM pairs p
+JOIN ic ia ON ia.i = p.ITEM_A
+JOIN ic ib ON ib.i = p.ITEM_B
+CROSS JOIN nb
+""",
+)
+def q_lineitem_basket_pairs(spark: SparkSession, sf_dir: str):
+    """Market-basket affinity over order lineitems
+    (relational.basket_pairs, min_support=3): co-purchased part pairs
+    with exact-count lift -- association-rule mining's support/lift core.
+    The pair stage self-joins ON THE ORDER KEY (per-basket quadratic
+    only, bounded by the data model's lines-per-order), never a global
+    product."""
+    from ..operators.relational import basket_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return basket_pairs(li, "l_orderkey", "l_partkey", min_support=3)

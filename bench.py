@@ -43,6 +43,7 @@ HEADLINE = [
     "dq_orders_report",
     "emb_int8_quantize",
     "dedup_keep_latest",
+    "lineitem_basket_pairs",
     "docs_segment_dedup",
     "docs_pii_scrub",
     "docs_exact_dedup",

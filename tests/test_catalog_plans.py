@@ -50,6 +50,8 @@ BOUNDED_BROADCAST_OK = {
     "docs_balanced_sample": (1, "1-row min-class-count frame (sampling.balanced_hash_sample)"),
     # lift denominators cross the bigram table with the ONE-ROW total frame
     "docs_collocations": (1, "1-row corpus-total frame (text.collocation_lift)"),
+    # lift denominators cross the pair table with the ONE-ROW basket count
+    "lineitem_basket_pairs": (1, "1-row basket-count frame (relational.basket_pairs)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")

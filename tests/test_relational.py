@@ -114,3 +114,34 @@ def test_skew_report_take_ordered_plan(spark):
     df = spark.createDataFrame([(i, str(i % 7)) for i in range(50)], "id long, key string")
     plan = skew_report(df, ["key"], top=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+class TestBasketPairs:
+    def test_lift_and_support(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.relational import basket_pairs
+
+        rows = []
+        # bread+butter together in 4 of 6 baskets; milk alone elsewhere
+        for b in range(4):
+            rows += [(b, "bread"), (b, "butter")]
+        rows += [(4, "bread"), (4, "milk"), (5, "milk")]
+        df = spark.createDataFrame(rows, "order_id long, item string")
+        got = {
+            (r["ITEM_A"], r["ITEM_B"]): r
+            for r in basket_pairs(df, "order_id", "item", min_support=2).collect()
+        }
+        assert set(got) == {("bread", "butter")}
+        r = got[("bread", "butter")]
+        assert r["N_AB"] == 4 and r["N_A"] == 5 and r["N_B"] == 4
+        assert abs(r["LIFT"] - (4 * 6) / (5 * 4)) < 1e-6
+
+    def test_duplicate_lines_collapse(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.relational import basket_pairs
+
+        # the same item twice in one basket must count once
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")],
+            "order_id long, item string",
+        )
+        got = basket_pairs(df, "order_id", "item", min_support=2).collect()
+        assert len(got) == 1 and got[0]["N_AB"] == 2 and got[0]["N_A"] == 2
