@@ -495,3 +495,49 @@ def anomaly_alert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_ingest_sink(
+    doc_stream: DataFrame,
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming exact-dedup ingestion: per micro-batch, admit only
+    documents whose content fingerprint is new BOTH within the batch and
+    against the persisted index zone (the SAME batch operator,
+    dedup.exact_dedup_incremental), append admitted docs to the corpus
+    zone and their fingerprints to the index zone -- duplicates never
+    land, and a batch backfill replaying the same deliveries admits the
+    identical document set (stepwise == combined, the operator's tested
+    invariant).
+
+    State is the on-disk index zone, not streaming state: per-batch cost
+    is O(|batch| + index probe), the probe reads only the 32-char digest
+    column, and at scale the index is a FINGERPRINT-bucketed table so the
+    anti-join is co-located. Completes the dedup ladder's streaming end:
+    dropDuplicatesWithinWatermark handles event-key dups in the horizon,
+    this handles content dups across the corpus lifetime."""
+    from ..operators.dedup import exact_dedup_incremental
+    from ..sources.parquet_io import path_exists
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if path_exists(spark, index_path):
+            index = spark.read.parquet(index_path)
+        else:
+            index = spark.createDataFrame([], "FINGERPRINT string")
+        admitted = exact_dedup_incremental(batch, index, id_col=id_col, text_col=text_col)
+        admitted.drop("FINGERPRINT").write.mode("append").parquet(corpus_path)
+        admitted.select("FINGERPRINT").write.mode("append").parquet(index_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -391,3 +391,35 @@ def test_anomaly_alert_sink_matches_batch(spark, tmp_path):
     }
     assert got == exp and got  # the spike is flagged, nothing else
     assert all(ts == t0 + dt.timedelta(days=7) for _, ts in got)
+
+
+def test_dedup_ingest_sink_matches_batch(spark, tmp_path):
+    DOC_SCHEMA = "doc_id long, text string"
+    src = str(tmp_path / "dedup_in")
+    # batch 1: 1 and 2 duplicate content (min-id 1 survives)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha  beta gamma"), (3, "unique one")],
+        DOC_SCHEMA,
+    ).write.mode("append").parquet(src)
+    # batch 2: 4 duplicates batch-1 content, 5 is new
+    spark.createDataFrame(
+        [(4, "ALPHA beta gamma"), (5, "another unique")], DOC_SCHEMA
+    ).write.mode("append").parquet(src)
+
+    stream = S.read_event_stream(spark, src, DOC_SCHEMA)
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "fp_index")
+    q = S.dedup_ingest_sink(
+        stream, spark, corpus, index, checkpoint=str(tmp_path / "ckpt_dd")
+    )
+    q.awaitTermination(120)
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {1, 3, 5}
+    # index holds exactly the admitted fingerprints
+    assert spark.read.parquet(index).distinct().count() == 3
+    # batch replay over the combined input admits the same set
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import exact_dedup_incremental
+
+    empty = spark.createDataFrame([], "FINGERPRINT string")
+    combined = exact_dedup_incremental(spark.read.parquet(src), empty)
+    assert {r["doc_id"] for r in combined.collect()} == admitted
