@@ -193,7 +193,13 @@ def approx_distinct(value_col: str | Column, rsd: float = 0.05) -> Column:
 CM_D, CM_W = 4, 1024
 
 
-def _cm_col(item: Column, r: Column, w: int, seed: str) -> Column:
+def _cm_col(item: Column, r: Column, w: int, seed: str, portable: bool = True) -> Column:
+    if not portable:
+        # engine-fast path: one JVM xxhash64 per (item, row) instead of an
+        # md5 + hex parse -- same sketch semantics, NOT oracle-replayable
+        # (xxhash64 exists only Spark-side). The 100TB default; md5 is for
+        # cross-engine-verified builds.
+        return F.pmod(F.xxhash64(item.cast("string"), r, F.lit(seed)), F.lit(w))
     u = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", item.cast("string"), r.cast("string"), F.lit(seed))),
@@ -213,12 +219,15 @@ def cm_sketch(
     d: int = CM_D,
     w: int = CM_W,
     seed: str = "cm0",
+    portable: bool = True,
 ) -> DataFrame:
     """Build the sketch table (R, C, N): one pass, d-way explode of
     compact (item) rows, then a (R, C)-keyed aggregation -- at most d*w
     result rows however large the input, and the shuffle carries partial
     (R, C, count) cells (map-side combined), never items. Weighted counts
-    via ``weight_col`` (e.g. pre-aggregated token counts)."""
+    via ``weight_col`` (e.g. pre-aggregated token counts).
+    ``portable=False`` swaps the md5 cells for xxhash64 (~seconds of md5
+    CPU per 100M tokens saved; estimates must then use the same flag)."""
     wt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     ex = df.select(
         F.col(item_col).alias("__i"),
@@ -226,7 +235,7 @@ def cm_sketch(
         F.explode(F.array(*[F.lit(r).cast("int") for r in range(d)])).alias("R"),
     )
     return (
-        ex.withColumn("C", _cm_col(F.col("__i"), F.col("R"), w, seed).cast("int"))
+        ex.withColumn("C", _cm_col(F.col("__i"), F.col("R"), w, seed, portable).cast("int"))
         .groupBy("R", "C")
         .agg(F.sum("__w").alias("N"))
     )
@@ -246,6 +255,7 @@ def cm_estimate(
     d: int = CM_D,
     w: int = CM_W,
     seed: str = "cm0",
+    portable: bool = True,
 ) -> DataFrame:
     """Point-frequency estimates for ``items``: recompute each item's d
     cells, equi-join the sketch (broadcast -- it is at most d*w rows by
@@ -255,7 +265,7 @@ def cm_estimate(
     ex = items.select(
         F.col(item_col),
         F.explode(F.array(*[F.lit(r).cast("int") for r in range(d)])).alias("R"),
-    ).withColumn("C", _cm_col(F.col(item_col), F.col("R"), w, seed).cast("int"))
+    ).withColumn("C", _cm_col(F.col(item_col), F.col("R"), w, seed, portable).cast("int"))
     joined = ex.join(F.broadcast(sketch), ["R", "C"], "left").select(
         F.col(item_col), F.coalesce(F.col("N"), F.lit(0)).alias("__n")
     )

@@ -182,3 +182,27 @@ class TestCountMin:
 
         sk = cm_sketch(self._toks(spark), "TOKEN")
         assert sk.count() <= CM_D * CM_W
+
+
+def test_cm_fast_path_same_guarantees(spark):
+    """xxhash64 cells: different sketch values, same structural guarantees
+    (overestimate, merge==direct) -- the documented 100TB swap."""
+    from aws_glue_cdc_metrics_job_spark.operators.sketches import (
+        cm_estimate, cm_merge, cm_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    toks = spark.createDataFrame(
+        [(f"t{i % 37}",) for i in range(1000)], "TOKEN string"
+    )
+    sk = cm_sketch(toks, "TOKEN", portable=False)
+    exact = {r["TOKEN"]: r["n"] for r in toks.groupBy("TOKEN").agg(F.count("*").alias("n")).collect()}
+    items = spark.createDataFrame([(t,) for t in exact], "TOKEN string")
+    est = {r["TOKEN"]: r["EST_COUNT"] for r in cm_estimate(sk, items, "TOKEN", portable=False).collect()}
+    assert all(est[t] >= exact[t] for t in exact)
+    half = toks.withColumn("h", (F.crc32("TOKEN") % 2).cast("int"))
+    a = cm_sketch(half.filter("h = 0"), "TOKEN", portable=False)
+    b = cm_sketch(half.filter("h = 1"), "TOKEN", portable=False)
+    assert sorted(map(tuple, cm_merge(a.unionByName(b)).collect())) == sorted(
+        map(tuple, sk.collect())
+    )
