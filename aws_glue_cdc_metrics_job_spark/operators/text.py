@@ -760,3 +760,56 @@ def collocation_lift(
         "N_B",
         rhu(lift, 6).alias("LIFT"),
     )
+
+
+def source_datasheet(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus datasheet -- the one-pass summary a dataset card
+    reports per subset: document and token volume, length distribution
+    anchors, quality/language means, and the exact content-duplication
+    rate (1 - distinct fingerprints / docs).
+
+    ONE aggregation over per-document scan-stage expressions (quality
+    and fingerprint reuse the exact operators the pipeline filters with,
+    so the datasheet can never disagree with curation), plus the
+    fingerprint distinct inside the same groupBy via count_distinct --
+    per-source rows however large the corpus. All means on the decimal
+    convention; the duplication ratio is exact-count arithmetic.
+
+    Returns (group_col, N_DOCS, N_TOKENS, AVG_TOKENS, MAX_TOKENS,
+    AVG_QUALITY, EN_SHARE, N_DISTINCT_TEXTS, DUP_RATIO)."""
+    scored = language_guess(quality_score(df, text_col), text_col)
+    from .dedup import fingerprint
+
+    base = fingerprint(scored, text_col)
+    n = F.count(F.lit(1)).cast("long")
+    toks = F.sum("N_TOKENS").cast("long")
+    distinct_texts = F.count_distinct("FINGERPRINT").cast("long")
+    return (
+        base.groupBy(group_col)
+        .agg(
+            n.alias("N_DOCS"),
+            toks.alias("N_TOKENS"),
+            rhu(F.sum("N_TOKENS") / F.count(F.lit(1)), 6).alias("AVG_TOKENS"),
+            F.max("N_TOKENS").cast("long").alias("MAX_TOKENS"),
+            rhu(
+                F.sum(F.col("QUALITY_SCORE").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("AVG_QUALITY"),
+            rhu(
+                F.sum(F.when(F.col("LANG_GUESS") == "en", 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("EN_SHARE"),
+            distinct_texts.alias("N_DISTINCT_TEXTS"),
+        )
+        .withColumn(
+            "DUP_RATIO",
+            rhu(1 - F.col("N_DISTINCT_TEXTS") / F.col("N_DOCS").cast("double"), 6),
+        )
+    )

@@ -1859,3 +1859,41 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str):
     deterministic given the data."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.source_overlap_estimate(docs)
+
+
+@query(
+    "docs_source_datasheet",
+    oracle=f"""
+WITH t AS (
+  SELECT source, {_TOKS_NE} AS toks, md5({_NORM}) AS fp FROM documents
+),
+s AS (
+  SELECT source, fp, len(toks) AS n_tok,
+         CASE WHEN len(toks) > 0
+              THEN 0.7 * least(len(toks) / 200.0, 1.0)
+                   + 0.3 * (len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) / len(toks))
+              ELSE 0.0 END AS q,
+         CASE WHEN len(toks) > 0
+              AND len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) / len(toks) >= 0.08
+              THEN 1 ELSE 0 END AS is_en
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS N_DOCS,
+       CAST(SUM(n_tok) AS BIGINT) AS N_TOKENS,
+       {sql_rhu("SUM(n_tok) / CAST(COUNT(*) AS DOUBLE)", 6)} AS AVG_TOKENS,
+       CAST(MAX(n_tok) AS BIGINT) AS MAX_TOKENS,
+       {sql_rhu("CAST(SUM(CAST(FLOOR(q * 1000000 + 0.5) / 1000000 AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6)} AS AVG_QUALITY,
+       {sql_rhu("SUM(is_en) / CAST(COUNT(*) AS DOUBLE)", 6)} AS EN_SHARE,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS N_DISTINCT_TEXTS,
+       {sql_rhu("1 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE)", 6)} AS DUP_RATIO
+FROM s GROUP BY 1
+""",
+)
+def q_docs_source_datasheet(spark: SparkSession, sf_dir: str):
+    """Per-source corpus datasheet (text.source_datasheet): volume, length
+    anchors, quality/language means, exact duplication rate -- the data
+    card summary in ONE aggregation, reusing the exact scan-stage
+    expressions the curation filters run."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.source_datasheet(docs)

@@ -60,6 +60,7 @@ HEADLINE = [
     "docs_regex_tokens",
     "docs_decontaminate",
     "docs_source_overlap",
+    "docs_source_datasheet",
     "docs_winnow_fingerprints",
     "docs_pack_sequences",
     "docs_curation_pipeline",

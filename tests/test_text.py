@@ -433,3 +433,23 @@ class TestCollocationLift:
         )
         # each doc has ONE token: no adjacency anywhere
         assert collocation_lift(df, min_count=1).count() == 0
+
+
+class TestSourceDatasheet:
+    def test_datasheet_math(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.text import source_datasheet
+
+        docs = [
+            (1, "A", "the quick brown fox"),
+            (2, "A", "the  quick  brown  fox"),   # duplicate content of 1
+            (3, "A", "something else entirely"),
+            (4, "B", "solo document here"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        got = {r["source"]: r for r in source_datasheet(df).collect()}
+        a = got["A"]
+        assert a["N_DOCS"] == 3 and a["N_TOKENS"] == 11 and a["MAX_TOKENS"] == 4
+        assert a["N_DISTINCT_TEXTS"] == 2
+        assert abs(a["DUP_RATIO"] - (1 - 2 / 3)) < 1e-6
+        b = got["B"]
+        assert b["N_DOCS"] == 1 and b["DUP_RATIO"] == 0.0
