@@ -153,8 +153,11 @@ def skew_report(
     top-k over the aggregated frame; the broadcast 1-row total never
     moves data.
 
-    Returns (keys..., N_ROWS, SHARE_PPM, SKEW_X double) ordered by
-    N_ROWS desc."""
+    Returns (keys..., N_ROWS, SHARE_PPM, SKEW_X_CENTI bigint) ordered by
+    N_ROWS desc. SKEW_X_CENTI is the skew multiple in exact centi-units
+    (137 = 1.37x an even partition's load), computed with integer
+    half-up arithmetic -- (N*P*200 + T) div (2*T) -- so the value hashes
+    identically across engines (no double rounding in the last ulp)."""
     n_part = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -172,7 +175,9 @@ def skew_report(
         *keys,
         "N_ROWS",
         F.expr("(N_ROWS * 1000000) div __TOT").alias("SHARE_PPM"),
-        rhu(F.col("N_ROWS") * n_part / F.col("__TOT"), 2).alias("SKEW_X"),
+        F.expr(f"(N_ROWS * {int(n_part)} * 200 + __TOT) div (2 * __TOT)")
+        .cast("long")
+        .alias("SKEW_X_CENTI"),
     )
 
 

@@ -105,7 +105,7 @@ def test_skew_report(spark):
     top = got[0]
     assert top["N_ROWS"] == 80
     assert top["SHARE_PPM"] == 800000  # exact integer ppm
-    assert top["SKEW_X"] == 8.0  # 80 rows vs 10 rows/partition even load
+    assert top["SKEW_X_CENTI"] == 800  # 8.00x: 80 rows vs 10 rows/partition even load
 
 
 def test_skew_report_take_ordered_plan(spark):

@@ -1,0 +1,51 @@
+"""The local oracle gate must be at least as strict as the driver's hash.
+
+Round 3 shipped its one red row (events_type_skew_report) because
+tools/oracle_check.py rounded floats to 9 digits while the driver hashes
+exact values -- a last-ulp cross-engine difference passed locally and
+failed in CORRECTNESS_r03. These tests pin the tightened canonicalization
+(VERDICT r3 item 3): values that differ in the last ulp must canonicalize
+differently.
+"""
+
+import importlib.util
+import math
+import pathlib
+
+
+def _load_oracle_check():
+    path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "oracle_check.py"
+    spec = importlib.util.spec_from_file_location("oracle_check", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_canon_cell_detects_last_ulp_float_drift():
+    oc = _load_oracle_check()
+    # The exact r3 failure shape: two doubles equal to 9 decimal digits but
+    # differing in the last ulp (round-half-up over binary doubles can land
+    # either side across engines).
+    a = 1.37
+    b = math.nextafter(a, 2.0)
+    assert round(a, 9) == round(b, 9)  # the old 9-digit canon collapsed these
+    assert oc.canon_cell(a) != oc.canon_cell(b)  # the new one must not
+
+
+def test_canon_cell_decimal_scale_insensitive_value_sensitive():
+    import decimal
+
+    oc = _load_oracle_check()
+    # Same exact value at different scales (Spark DECIMAL(19,2) vs DuckDB
+    # minimal scale) must match; a real value difference must not.
+    assert oc.canon_cell(decimal.Decimal("2.50")) == oc.canon_cell(decimal.Decimal("2.5"))
+    assert oc.canon_cell(decimal.Decimal("2.50")) != oc.canon_cell(decimal.Decimal("2.51"))
+
+
+def test_canon_cell_basics_unchanged():
+    oc = _load_oracle_check()
+    assert oc.canon_cell(None) == "NULL"
+    assert oc.canon_cell(float("nan")) == "NaN"
+    assert oc.canon_cell(True) == "True"
+    assert oc.canon_cell(b"\x01\xff") == "01ff"
+    assert oc.canon_cell([1.5, None]) == "[1.5,NULL]"

@@ -31,12 +31,17 @@ TABLES = [
 
 
 def canon_cell(v) -> str:
+    # Full-precision canonicalization, matching the driver's hash strength:
+    # floats use exact repr (17 significant digits), so a last-ulp
+    # cross-engine difference FAILS here before it ships. The round-3
+    # events_type_skew_report red row slipped through a weaker 9-digit
+    # rounding in this function (VERDICT r3 item 2).
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):
@@ -51,7 +56,10 @@ def canon_cell(v) -> str:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return repr(round(float(v), 9))
+            # Decimals are exact; compare the exact value via full float
+            # repr so a scale difference (2.5 vs 2.50) still matches but
+            # any value difference fails.
+            return repr(float(v))
     except ImportError:
         pass
     return str(v)
