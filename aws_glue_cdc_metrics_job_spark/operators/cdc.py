@@ -198,8 +198,11 @@ def compact_changelog(
     applying the compacted set then equals replaying the full log
     (pinned in tests/test_cdc.py).
 
-    Returns pks + the last image's payload columns + ``cdc_action`` (the
-    net action)."""
+    Returns pks + the last image's payload columns INCLUDING the
+    ``order_cols`` (so a consumer replaying the net changes keeps the
+    sequence/timestamp columns, and ``apply_changes``'
+    select(*snapshot.columns) works when the snapshot schema carries
+    them) + ``cdc_action`` (the net action)."""
     payload = [c for c in log.columns if c not in pks and c != action_col]
     ordk = F.struct(*[F.col(c) for c in order_cols])
     agg = log.groupBy(*pks).agg(
@@ -213,9 +216,8 @@ def compact_changelog(
         .when(F.col("__last_action") == "delete", F.lit("delete"))
         .otherwise(F.lit("update"))
     )
-    out_payload = [c for c in payload if c not in order_cols]
     return (
         agg.withColumn(action_col, net)
         .filter(F.col(action_col).isNotNull())
-        .select(*pks, *[F.col(f"__last.{c}").alias(c) for c in out_payload], action_col)
+        .select(*pks, *[F.col(f"__last.{c}").alias(c) for c in payload], action_col)
     )

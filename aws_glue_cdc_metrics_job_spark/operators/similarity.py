@@ -431,12 +431,19 @@ def cosine_dup_pairs(
     )
 
 
+#: brute_force_topk_fast collects the query frame to the driver; this cap
+#: turns a contract violation (an unbounded "query" side that should have
+#: been the corpus) into a clear error instead of a driver OOM at scale.
+MAX_FAST_TOPK_QUERIES = 100_000
+
+
 def brute_force_topk_fast(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_FAST_TOPK_QUERIES,
 ) -> DataFrame:
     """Arrow/numpy fast path for exact cosine top-k: the query set is
     collected once (it must be broadcast-sized by contract), and each
@@ -448,10 +455,24 @@ def brute_force_topk_fast(
     ~10-50x faster than the zip_with/aggregate expression form on wide
     vectors; float summation order differs from the sequential form, so
     this variant is benchmarked, not oracle-hashed (values agree to ~1e-12;
-    ranks can differ only at exact ties)."""
+    ranks can differ only at exact ties).
+
+    The broadcast-size contract on ``queries`` is ENFORCED: a cheap
+    limit(max_queries+1).count() probe raises before the collect if the
+    query side exceeds ``max_queries`` rows (default
+    MAX_FAST_TOPK_QUERIES) -- one oversized call must fail fast, not OOM
+    the driver."""
     import numpy as np
     import pandas as pd
 
+    probe = queries.select(id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"brute_force_topk_fast collects the query frame to the driver; "
+            f"got >{max_queries} query rows. Swap the sides (the big frame "
+            f"is the corpus), raise max_queries explicitly, or use the "
+            f"distributed ivf_topk/brute_force_topk paths."
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows])
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)

@@ -336,25 +336,31 @@ def sales_trends_all_grains(revenue: DataFrame) -> DataFrame:
         "TOTAL_REVENUE",
     )
     # unique view name: repeated calls must not clobber a shared catalog
-    # entry out from under a concurrent consumer
+    # entry out from under a concurrent consumer. Analysis is eager at
+    # spark.sql() time (the resolved relation is captured in the plan),
+    # so the view can be dropped immediately after -- long-lived sessions
+    # must not accumulate a catalog entry per call.
     view = f"_trends_all_grains_{uuid.uuid4().hex}"
     g.createOrReplaceTempView(view)
-    out = g.sparkSession.sql(
-        f"""
-        SELECT CASE WHEN grouping(__D) = 0 THEN 'daily'
-                    WHEN grouping(__W) = 0 THEN 'weekly'
-                    WHEN grouping(__M) = 0 THEN 'monthly'
-                    ELSE 'hourly' END AS GRAIN,
-               coalesce(__D, __W, __M, __H) AS GRAIN_KEY,
-               RESTAURANT_ID, ITEM_CATEGORY,
-               {sql_dsum("TOTAL_REVENUE", 4)} AS REVENUE
-        FROM {view}
-        GROUP BY GROUPING SETS (
-          (__D, RESTAURANT_ID, ITEM_CATEGORY),
-          (__W, RESTAURANT_ID, ITEM_CATEGORY),
-          (__M, RESTAURANT_ID, ITEM_CATEGORY),
-          (__H, RESTAURANT_ID, ITEM_CATEGORY)
+    try:
+        out = g.sparkSession.sql(
+            f"""
+            SELECT CASE WHEN grouping(__D) = 0 THEN 'daily'
+                        WHEN grouping(__W) = 0 THEN 'weekly'
+                        WHEN grouping(__M) = 0 THEN 'monthly'
+                        ELSE 'hourly' END AS GRAIN,
+                   coalesce(__D, __W, __M, __H) AS GRAIN_KEY,
+                   RESTAURANT_ID, ITEM_CATEGORY,
+                   {sql_dsum("TOTAL_REVENUE", 4)} AS REVENUE
+            FROM {view}
+            GROUP BY GROUPING SETS (
+              (__D, RESTAURANT_ID, ITEM_CATEGORY),
+              (__W, RESTAURANT_ID, ITEM_CATEGORY),
+              (__M, RESTAURANT_ID, ITEM_CATEGORY),
+              (__H, RESTAURANT_ID, ITEM_CATEGORY)
+            )
+            """
         )
-        """
-    )
+    finally:
+        g.sparkSession.catalog.dropTempView(view)
     return out

@@ -1218,10 +1218,11 @@ agg AS (
   SELECT o_orderkey,
          min_by(cdc_action, SEQ) AS first_action,
          max_by(cdc_action, SEQ) AS last_action,
-         max_by(o_totalprice, SEQ) AS o_totalprice
+         max_by(o_totalprice, SEQ) AS o_totalprice,
+         CAST(max(SEQ) AS INT) AS SEQ
   FROM log GROUP BY 1
 )
-SELECT o_orderkey, o_totalprice,
+SELECT o_orderkey, o_totalprice, SEQ,
        CASE WHEN first_action = 'insert' THEN 'insert'
             WHEN last_action = 'delete' THEN 'delete'
             ELSE 'update' END AS cdc_action

@@ -446,25 +446,66 @@ def anomaly_alert_sink(
     zone -- a batch backfill over the final series and the streamed run
     flag identical anomalies.
 
-    Efficiency shape: the series zone is PARTITIONED by the key columns
-    and the read is filtered with the batch's literal key list (metric
-    keys per batch are bounded -- one collect of a tiny distinct set), so
-    partition pruning opens only the touched keys' files; without the
-    literal filter a semi-join would prune rows but still read the whole
-    ever-growing zone every trigger. The alerts table stores flagged
-    points only. Late/duplicate points follow the series zone's append
-    semantics -- upstream dedup (C4) runs before this sink, as in the
-    pipeline composition."""
+    Efficiency shape: the series zone is PARTITIONED by batch_id and the
+    key columns and the read is filtered with the batch's literal key
+    list (metric keys per batch are bounded -- one collect of a tiny
+    distinct set), so partition pruning opens only the touched keys'
+    files; without the literal filter a semi-join would prune rows but
+    still read the whole ever-growing zone every trigger. The alerts
+    table stores flagged points only.
+
+    Retry semantics: each micro-batch writes its series delta and its
+    alerts delta to a ``batch_id=N`` partition directory with OVERWRITE,
+    so a replayed batch rewrites the same directories in place instead of
+    appending duplicate metric points (which would permanently skew every
+    future trailing-n baseline) or duplicate alerts. Partition-column
+    type inference is disabled for the series read-back and key columns
+    are filtered on their raw directory strings then cast to the batch
+    schema, so keys that look numeric ('01') round-trip exactly."""
+    _apply = _anomaly_alert_apply(
+        spark, series_path, alerts_path, key_cols, ts_col, value_col, n, z_threshold
+    )
+    return (
+        metric_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint or series_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _anomaly_alert_apply(
+    spark: SparkSession,
+    series_path: str,
+    alerts_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    n: int,
+    z_threshold: float,
+):
+    """anomaly_alert_sink's per-batch body, factored out so tests can
+    replay a micro-batch with the same batch_id and assert idempotence."""
     from ..operators.monitoring import rolling_zscore
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch.write.mode("append").partitionBy(*key_cols).parquet(series_path)
+        batch.write.mode("overwrite").partitionBy(*key_cols).parquet(
+            f"{series_path}/batch_id={batch_id}"
+        )
         keys = [tuple(r) for r in batch.select(*key_cols).distinct().collect()]
-        series = spark.read.parquet(series_path)
+        # read partition columns as their raw directory strings (no type
+        # inference), prune on those strings, then cast back to the batch
+        # schema -- inference would corrupt keys like '01' -> 1.
+        inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(inf_key, "true")
+        spark.conf.set(inf_key, "false")
+        try:
+            series = spark.read.parquet(series_path)
+        finally:
+            spark.conf.set(inf_key, prev)
         if len(key_cols) == 1:
-            pred = F.col(key_cols[0]).isin([k[0] for k in keys])
+            pred = F.col(key_cols[0]).isin([str(k[0]) for k in keys])
         else:
             from functools import reduce
 
@@ -473,12 +514,18 @@ def anomaly_alert_sink(
                 [
                     reduce(
                         lambda x, y: x & y,
-                        [F.col(c) == F.lit(v) for c, v in zip(key_cols, k)],
+                        [F.col(c) == F.lit(str(v)) for c, v in zip(key_cols, k)],
                     )
                     for k in keys
                 ],
             )
-        affected = series.filter(pred)
+        btypes = {f.name: f.dataType for f in batch.schema.fields}
+        affected = series.filter(pred).select(
+            *[
+                F.col(c).cast(btypes[c]).alias(c) if c in key_cols else F.col(c)
+                for c in batch.columns
+            ]
+        )
         scored = rolling_zscore(
             affected, key_cols, ts_col, value_col, n=n, z_threshold=z_threshold,
             min_periods=2,
@@ -487,14 +534,9 @@ def anomaly_alert_sink(
         alerts = scored.filter(F.col("IS_ANOMALY") == 1).join(
             F.broadcast(new_keys), [*key_cols, ts_col], "left_semi"
         )
-        alerts.write.mode("append").parquet(alerts_path)
+        alerts.write.mode("overwrite").parquet(f"{alerts_path}/batch_id={batch_id}")
 
-    return (
-        metric_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint or series_path + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _apply
 
 
 def dedup_ingest_sink(
@@ -520,7 +562,36 @@ def dedup_ingest_sink(
     column, and at scale the index is a FINGERPRINT-bucketed table so the
     anti-join is co-located. Completes the dedup ladder's streaming end:
     dropDuplicatesWithinWatermark handles event-key dups in the horizon,
-    this handles content dups across the corpus lifetime."""
+    this handles content dups across the corpus lifetime.
+
+    Retry semantics: each micro-batch writes its corpus delta and index
+    delta to ``batch_id=N`` partition directories with OVERWRITE. A
+    replay after a failure between the two writes recomputes the same
+    admitted set (the index zone was not yet extended, so the
+    incremental dedup sees identical state) and rewrites both deltas in
+    place -- duplicates never land, even across retries. The admitted
+    plan is evaluated ONCE: the corpus delta (which keeps the
+    FINGERPRINT column as content lineage) is written first, then the
+    index delta is projected from the just-written files instead of
+    re-running the dedup."""
+    _apply = _dedup_ingest_apply(spark, corpus_path, index_path, id_col, text_col)
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _dedup_ingest_apply(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """dedup_ingest_sink's per-batch body, factored out so tests can
+    replay a micro-batch with the same batch_id and assert idempotence."""
     from ..operators.dedup import exact_dedup_incremental
     from ..sources.parquet_io import path_exists
 
@@ -528,16 +599,23 @@ def dedup_ingest_sink(
         if batch.isEmpty():
             return
         if path_exists(spark, index_path):
-            index = spark.read.parquet(index_path)
+            # exclude THIS batch's own index delta: on a replay after a
+            # fully-successful first attempt the zone already holds this
+            # batch's fingerprints, and probing them would compute an
+            # empty admitted set and overwrite the corpus delta with
+            # nothing (partition pruning makes the exclusion free).
+            index = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("FINGERPRINT")
+            )
         else:
             index = spark.createDataFrame([], "FINGERPRINT string")
         admitted = exact_dedup_incremental(batch, index, id_col=id_col, text_col=text_col)
-        admitted.drop("FINGERPRINT").write.mode("append").parquet(corpus_path)
-        admitted.select("FINGERPRINT").write.mode("append").parquet(index_path)
+        corpus_delta = f"{corpus_path}/batch_id={batch_id}"
+        admitted.write.mode("overwrite").parquet(corpus_delta)
+        spark.read.parquet(corpus_delta).select("FINGERPRINT").write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/batch_id={batch_id}")
 
-    return (
-        doc_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _apply

@@ -157,16 +157,17 @@ class TestCompactChangelog:
     def test_net_semantics(self, spark):
         from aws_glue_cdc_metrics_job_spark.operators.cdc import compact_changelog
 
-        got = {
-            r["pk"]: (r["cdc_action"], r["val"])
-            for r in compact_changelog(self._log(spark), ["pk"], ["SEQ"]).collect()
-        }
+        rows = compact_changelog(self._log(spark), ["pk"], ["SEQ"]).collect()
+        got = {r["pk"]: (r["cdc_action"], r["val"]) for r in rows}
         assert got == {
             1: ("insert", "a2"),
             3: ("delete", "c2"),
             4: ("update", "d2"),
             5: ("update", "e1"),
         }
+        # order_cols carry through from the last image (r3 ADVICE): a
+        # consumer replaying net changes keeps the sequence column
+        assert {r["pk"]: r["SEQ"] for r in rows} == {1: 2, 3: 2, 4: 2, 5: 1}
 
     def test_replay_equivalence(self, spark):
         """Applying the compacted set == replaying the log change by change."""

@@ -207,3 +207,18 @@ class TestAllGrainsTrends:
         import re
 
         assert len(re.findall(r"Exchange hashpartitioning\(__", plan)) == 1
+
+    def test_no_temp_view_leak(self, spark, sf_dir):
+        """Repeated calls must not accumulate catalog entries (r3 ADVICE):
+        the uuid-named view is dropped once the plan is analyzed."""
+        from aws_glue_cdc_metrics_job_spark.plans import adapters, marts
+
+        rev = adapters.order_revenue(spark, sf_dir)
+        before = {v.name for v in spark.catalog.listTables()}
+        out = marts.sales_trends_all_grains(rev)
+        marts.sales_trends_all_grains(rev)
+        after = {v.name for v in spark.catalog.listTables()}
+        assert after == before
+        # the plan stays executable after the view is dropped
+        assert out.limit(1).count() >= 0
+

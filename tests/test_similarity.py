@@ -83,6 +83,21 @@ def test_fast_topk_matches_expression_form(vectors):
         assert abs(v - f[k_]) < 1e-6
 
 
+def test_fast_topk_query_size_guard(vectors):
+    """The driver-collect contract is enforced: an oversized query frame
+    raises before the collect instead of OOMing the driver (r3 VERDICT
+    item 6)."""
+    import pytest
+
+    _, df = vectors
+    queries = df.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="query rows"):
+        similarity.brute_force_topk_fast(df, queries, k=3, max_queries=2)
+    # at exactly the cap it still runs
+    got = similarity.brute_force_topk_fast(df, queries, k=3, max_queries=5)
+    assert got.count() > 0
+
+
 def test_cosine_dup_pairs_blocked(vectors):
     rows, df = vectors
     centroids = df.filter(F.col("vec_id") < 3).select(

@@ -423,3 +423,90 @@ def test_dedup_ingest_sink_matches_batch(spark, tmp_path):
     empty = spark.createDataFrame([], "FINGERPRINT string")
     combined = exact_dedup_incremental(spark.read.parquet(src), empty)
     assert {r["doc_id"] for r in combined.collect()} == admitted
+
+
+def test_dedup_ingest_replay_idempotent(spark, tmp_path):
+    """A micro-batch replayed with the same batch_id (foreachBatch retry)
+    must not re-admit documents or duplicate index fingerprints."""
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import _dedup_ingest_apply
+
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "fp_index")
+    apply_fn = _dedup_ingest_apply(spark, corpus, index)
+    DOC_SCHEMA = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "alpha beta"), (2, "alpha  beta")], DOC_SCHEMA)
+    b1 = spark.createDataFrame([(3, "ALPHA beta"), (4, "new content")], DOC_SCHEMA)
+
+    apply_fn(b0, 0)
+    apply_fn(b0, 0)  # retry of batch 0 after a simulated failure
+    apply_fn(b1, 1)
+    apply_fn(b1, 1)  # retry of batch 1
+
+    admitted = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert admitted == [1, 4]  # each doc exactly once despite replays
+    fps = [r["FINGERPRINT"] for r in spark.read.parquet(index).collect()]
+    assert len(fps) == len(set(fps)) == 2
+
+
+def test_dedup_ingest_replay_after_partial_failure(spark, tmp_path):
+    """Failure between the corpus write and the index write: the replay
+    must converge to the same corpus/index state (the r3 ADVICE hazard --
+    the old append-mode sink re-admitted the batch's docs)."""
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import exact_dedup_incremental
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import _dedup_ingest_apply
+
+    corpus, index = str(tmp_path / "corpus2"), str(tmp_path / "fp_index2")
+    apply_fn = _dedup_ingest_apply(spark, corpus, index)
+    DOC_SCHEMA = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")], DOC_SCHEMA)
+
+    # simulate the partial failure: corpus delta lands, index delta doesn't
+    empty = spark.createDataFrame([], "FINGERPRINT string")
+    staged = exact_dedup_incremental(b0, empty)
+    staged.write.mode("overwrite").parquet(f"{corpus}/batch_id=0")
+
+    apply_fn(b0, 0)  # the retry
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 2]
+    assert spark.read.parquet(index).count() == 2
+
+
+def test_anomaly_alert_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch must not duplicate series points (which
+    would skew every later trailing-n baseline) nor duplicate alerts."""
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import _anomaly_alert_apply
+
+    series, alerts = str(tmp_path / "series_r"), str(tmp_path / "alerts_r")
+    apply_fn = _anomaly_alert_apply(spark, series, alerts, ["metric"], "ts", "value", 5, 2.0)
+    SCHEMA = "metric string, ts timestamp, value double"
+    t0 = D(2024, 1, 1)
+    calm = [("m1", t0 + dt.timedelta(days=i), 10.0 + (i % 2) * 0.2) for i in range(6)]
+    spike = [("m1", t0 + dt.timedelta(days=6), 99.0)]
+
+    b0 = spark.createDataFrame(calm, SCHEMA)
+    b1 = spark.createDataFrame(spike, SCHEMA)
+    apply_fn(b0, 0)
+    apply_fn(b0, 0)  # retry: series must not double the baseline points
+    apply_fn(b1, 1)
+    apply_fn(b1, 1)  # retry: the alert must appear exactly once
+
+    assert spark.read.parquet(series).count() == 7
+    flagged = spark.read.parquet(alerts).collect()
+    assert len(flagged) == 1 and flagged[0]["ts"] == t0 + dt.timedelta(days=6)
+
+
+def test_anomaly_alert_numeric_looking_string_keys(spark, tmp_path):
+    """String keys that look numeric ('01') must round-trip through the
+    partitioned series zone exactly (partition-dir inference would read
+    them back as 1 and break the key predicate)."""
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import _anomaly_alert_apply
+
+    series, alerts = str(tmp_path / "series_k"), str(tmp_path / "alerts_k")
+    apply_fn = _anomaly_alert_apply(spark, series, alerts, ["metric"], "ts", "value", 5, 2.0)
+    SCHEMA = "metric string, ts timestamp, value double"
+    t0 = D(2024, 1, 1)
+    pts = [("01", t0 + dt.timedelta(days=i), 10.0 + (i % 2) * 0.2) for i in range(6)]
+    apply_fn(spark.createDataFrame(pts, SCHEMA), 0)
+    apply_fn(spark.createDataFrame([("01", t0 + dt.timedelta(days=6), 99.0)], SCHEMA), 1)
+
+    flagged = spark.read.parquet(alerts).collect()
+    assert len(flagged) == 1
+    assert flagged[0]["metric"] == "01"  # exact string, not inferred int
