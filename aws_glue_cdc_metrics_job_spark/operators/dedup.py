@@ -107,7 +107,7 @@ def ngram_jaccard_pairs(
         )
     blocking_cols = blocking_cols or []
     hset = (
-        shingle_hashes(ensure_min_parallelism(df), id_col, text_col, n)
+        shingle_hashes(ensure_min_parallelism(df), id_col, text_col, n, distinct=False)
         .groupBy(id_col)
         .agg(F.collect_set("h").alias("hset"))
         .join(df.select(F.col(id_col), *[F.col(c) for c in blocking_cols]), id_col)
@@ -140,29 +140,43 @@ def shingle_hashes(
     text_col: str = "text",
     n: int = 3,
     seed: int = 42,
+    distinct: bool = True,
 ) -> DataFrame:
-    """One row per (document, word-n-gram hash): posexplode the token array,
-    then form each n-gram's 64-bit hash from the token and its n-1
-    successors via ``lead`` over a per-document window.
+    """One row per (document, word-n-gram hash): zip the token array with
+    its n-1 shifted copies (arrays_zip of slice()s), explode the zipped
+    structs, and hash each n-gram's tokens with one seeded xxhash64.
 
-    This is the codegen-friendly shingling shape: the array-lambda
-    formulation (transform + slice + concat_ws per shingle) runs in
-    Catalyst's *interpreted* higher-order-function path and is ~50x slower
-    at corpus scale. Cost here is one narrow explode + one window sort per
-    document partition, everything else whole-stage codegen."""
-    toks = F.split(normalized_text(text_col), " ")
-    ex = (
-        df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
-        .filter(F.col("__tok") != "")
+    This shape is SHUFFLE-FREE up to the caller's aggregation: the former
+    posexplode + per-document window-lead formulation paid a full
+    hash-exchange AND sort of the token stream before the first gram
+    existed -- at corpus scale that shuffle is pure overhead, since gram
+    adjacency is already explicit in the array. slice/arrays_zip/explode
+    all stay in the codegen'd path (they are collection expressions, not
+    interpreted higher-order lambdas -- the transform+concat_ws HOF
+    formulation measured ~50x slower), and the emitted hash values are
+    bit-identical to the window form.
+
+    ``distinct=False`` skips the set-semantics shuffle for consumers whose
+    aggregation is already duplicate-insensitive (min(), collect_set()) --
+    MinHash/Jaccard pipelines save one full pass over the token stream."""
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+    shifted = [F.col("__t")] + [
+        F.slice(F.col("__t"), i + 1, F.greatest(F.size("__t") - i, F.lit(0)))
+        for i in range(1, n)
+    ]
+    z = F.arrays_zip(*[s.alias(f"g{i}") for i, s in enumerate(shifted)])
+    out = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), F.explode(z).alias("__g"))
+        # arrays_zip pads the shifted (shorter) slices with NULL: rows where
+        # the last gram token is NULL are the <n-token tail, not shingles
+        .filter(F.col(f"__g.g{n - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.xxhash64(*[F.col(f"__g.g{i}") for i in range(n)], F.lit(seed)).alias("h"),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    grams = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, n)]
-    return (
-        ex.select(F.col(id_col), F.xxhash64(*grams, F.lit(seed)).alias("h"), grams[-1].alias("__last"))
-        .filter(F.col("__last").isNotNull())
-        .select(id_col, "h")
-        .distinct()
-    )
+    return out.distinct() if distinct else out
 
 
 _PERSIST_SCOPE: "deque[DataFrame]" = None  # type: ignore[assignment]
@@ -239,7 +253,9 @@ def _minhash_sighset_bands(
     r = num_perm // bands
     # the shingle explode + 128 permutation-min aggregates are the heavy
     # narrow stage -- don't let a compact input pin them to 1-2 cores
-    hs = shingle_hashes(ensure_min_parallelism(df), id_col, text_col, n, seed)
+    # distinct=False: the min() permutation aggregates and collect_set are
+    # duplicate-insensitive, so the set-semantics shuffle would be waste
+    hs = shingle_hashes(ensure_min_parallelism(df), id_col, text_col, n, seed, distinct=False)
     sighset = hs.groupBy(id_col).agg(
         F.collect_set("h").alias("hset"),
         *[F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh_{k}") for k in range(num_perm)],

@@ -617,6 +617,27 @@ def q_events_approx_distinct(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "events_exact_distinct_users",
+    oracle="""
+SELECT event_type AS EVENT_TYPE,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS N_USERS,
+       CAST(COUNT(*) AS BIGINT) AS N_EVENTS
+FROM events GROUP BY 1
+""",
+)
+def q_events_exact_distinct(spark: SparkSession, sf_dir: str):
+    """Exact countDistinct twin of events_approx_distinct_users: the same
+    grouping answered exactly, giving the approx query's rows-only driver
+    row an oracle-checked anchor next to it (the HLL error contract vs
+    THIS query is pinned in tests/test_catalog_parity.py)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("EVENT_TYPE")).agg(
+        F.countDistinct("user_id").alias("N_USERS"),
+        F.count(F.lit(1)).alias("N_EVENTS"),
+    )
+
+
 # --- temporal: backward as-of join (operator the reference lacks; union +
 # running-last fill, ONE shuffle, no range-join blow-up -- operators/temporal.py)
 
