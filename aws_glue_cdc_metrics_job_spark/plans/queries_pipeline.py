@@ -1792,6 +1792,27 @@ def q_docs_cm_estimates(spark: SparkSession, sf_dir: str):
     return cm_estimate(sk, items, "TOKEN")
 
 
+@query("docs_cm_estimates_fast")  # rows-only: xxhash64 cells exist only Spark-side
+def q_docs_cm_estimates_fast(spark: SparkSession, sf_dir: str):
+    """The count-min 100TB default: same d=4 x w=1024 sketch + stopword
+    point estimates as docs_cm_estimates but with xxhash64 cells
+    (portable=False) -- one JVM hash per (item, row) instead of an md5 +
+    hex parse, the dominant per-token cost in the portable build (its
+    honest ~7x-per-char 10x ratio in BENCH_r03). Estimates still satisfy
+    the CM overcount contract vs exact counts (pinned in
+    tests/test_sketches.py and test_catalog_parity.py); cell addresses
+    are engine-specific, so this row is rows-only by design next to its
+    md5 oracle-checked twin."""
+    from ..operators.sketches import cm_estimate, cm_sketch
+    from ..operators.text import EN_STOPWORDS
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("TOKEN"))
+    sk = cm_sketch(toks, "TOKEN", portable=False)
+    items = spark.createDataFrame([(t,) for t in EN_STOPWORDS], "TOKEN string")
+    return cm_estimate(sk, items, "TOKEN", portable=False)
+
+
 @query(
     "docs_collocations",
     oracle=f"""

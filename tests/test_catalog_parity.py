@@ -115,3 +115,33 @@ def test_curation_pipeline_is_subset_of_stages(spark, sf_dir):
     assert curated <= quality, "curated docs must pass the quality filter"
     assert curated <= mixed, "curated docs must pass the mix filter"
     assert not (curated & contaminated), "curated docs must be uncontaminated"
+
+
+def test_cm_estimates_fast_satisfies_cm_contract(spark, sf_dir):
+    """The xxhash64 fast-path estimates obey count-min semantics vs the
+    md5 oracle-checked twin's EXACT token counts on the driver testdata:
+    never an undercount, overcount bounded by ~2e/w * N."""
+    import pyspark.sql.functions as F
+
+    from aws_glue_cdc_metrics_job_spark.operators import text
+    from aws_glue_cdc_metrics_job_spark.sources import read_table
+
+    fast = {
+        r["TOKEN"]: r["EST_COUNT"]
+        for r in Q["docs_cm_estimates_fast"](spark, sf_dir).collect()
+    }
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.explode(text.tokens("text")).alias("TOKEN")
+    )
+    total = toks.count()
+    exact = {
+        r["TOKEN"]: r["n"]
+        for r in toks.groupBy("TOKEN").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from aws_glue_cdc_metrics_job_spark.operators.sketches import CM_W
+
+    bound = (2.0 * 2.718281828 / CM_W) * total + 1
+    for tok, est in fast.items():
+        true = exact.get(tok, 0)
+        assert est >= true, (tok, est, true)
+        assert est - true <= bound, (tok, est, true, bound)

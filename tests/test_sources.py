@@ -232,3 +232,55 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert l_files == 16
     # z-order: files are tight in BOTH dims -> the y-narrow box skips most
     assert z_files <= 4, (z_files, l_files)
+
+
+def test_bucketed_lineitem_orders_recipe(spark, sf_dir, tmp_path):
+    """The demonstrated 100 TB bucketing recipe on the REAL workload join
+    (r3 VERDICT item 8): lineitem and orders co-bucketed on the order key
+    make the revenue join + per-order aggregation fully exchange-free,
+    with values identical to the shuffled plan over the raw parquet."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.sources import read_table
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import write_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    write_bucketed(
+        li, "bkt_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "li"),
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bkt_orders", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "ord"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        bucketed = (
+            spark.table("bkt_lineitem")
+            .join(spark.table("bkt_orders"), "l_orderkey")
+            .groupBy("l_orderkey", "o_orderstatus")
+            .agg(F.sum(net).alias("REV"))
+        )
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        # join AND the per-order-key aggregation are bucket-local
+        assert "Exchange" not in plan, plan
+        shuffled = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_orderkey", "o_orderstatus")
+            .agg(F.sum(net).alias("REV"))
+        )
+        got = {(r["l_orderkey"], r["o_orderstatus"]): r["REV"] for r in bucketed.collect()}
+        exp = {(r["l_orderkey"], r["o_orderstatus"]): r["REV"] for r in shuffled.collect()}
+        assert got == exp and len(got) > 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
