@@ -423,6 +423,19 @@ def segment_dedup(
     SEG_HASH whose partitions are duplicate groups (tiny by definition).
     The document body never joins anything; survivorship decisions ride a
     32-char digest. Returns (id_col, SEG_IDX, SEG_HASH, KEEP)."""
+    w = Window.partitionBy("SEG_HASH").orderBy(id_col, "SEG_IDX")
+    return (
+        _segment_hashes(df, k, id_col, text_col)
+        .withColumn("KEEP", (F.row_number().over(w) == 1).cast("int"))
+        .select(id_col, "SEG_IDX", "SEG_HASH", "KEEP")
+    )
+
+
+def _segment_hashes(
+    df: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, SEG_IDX, SEG_HASH) for fixed ``k``-token segments -- the shared
+    builder behind segment_dedup and repeated_segment_share."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
@@ -440,11 +453,125 @@ def segment_dedup(
             ).alias("__seg_text")
         )
     )
-    w = Window.partitionBy("SEG_HASH").orderBy(id_col, "SEG_IDX")
+    return seg.withColumn("SEG_HASH", F.md5("__seg_text")).drop("__seg_text")
+
+
+def repeated_segment_share(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction (exact ppm) of a
+    document's ``k``-token segments whose content also appears in at least
+    one OTHER document -- the per-doc diagnostic view of the corpus-wide
+    :func:`segment_dedup` (which marks survivors; this scores victims).
+    High shares flag templated/mirrored pages a curation pass should
+    drop or trim.
+
+    Shape: the shared segment-hash builder, one hash-keyed aggregation
+    counting distinct source docs per segment content (map-combinable),
+    one doc-keyed rollup. The document body never joins anything --
+    decisions ride 32-char digests.
+
+    Returns (id_col, N_SEGMENTS, N_SHARED_SEGMENTS, SHARED_PPM)."""
+    seg = _segment_hashes(df, k, id_col, text_col)
+    docs_per_hash = seg.groupBy("SEG_HASH").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
     return (
-        seg.withColumn("SEG_HASH", F.md5("__seg_text"))
-        .withColumn("KEEP", (F.row_number().over(w) == 1).cast("int"))
-        .select(id_col, "SEG_IDX", "SEG_HASH", "KEEP")
+        seg.join(docs_per_hash, "SEG_HASH")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("N_SEGMENTS"),
+            F.sum((F.col("__ndocs") >= 2).cast("long")).alias("N_SHARED_SEGMENTS"),
+        )
+        .withColumn(
+            "SHARED_PPM",
+            F.expr("(N_SHARED_SEGMENTS * 1000000) div N_SEGMENTS").cast("long"),
+        )
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    k: int = 10,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact cross-source content-sharing matrix: for every source pair,
+    how many DISTINCT ``k``-token segment contents appear in both -- which
+    feeds mirror or quote each other, exactly; the complement to the
+    MinHash-estimated ``source_overlap`` (estimates whole-doc Jaccard)
+    and to :func:`repeated_segment_share` (per-doc victim view). Segment
+    granularity, because whole-document exact duplication is the rare
+    case across real feeds while fragment reuse is pervasive.
+
+    The join operand is one row per (source, segment-hash) -- already
+    deduplicated, so repetition inside a source never fans out, and a
+    segment in S sources yields S*(S-1)/2 matrix increments (bounded by
+    the source count, not the corpus).
+
+    Returns (SOURCE_A, SOURCE_B, N_SHARED_SEGMENTS), A < B."""
+    seg = (
+        df.select(F.col(group_col).alias("__src"), F.col(id_col), F.col(text_col))
+        .transform(lambda d: _segment_hashes(d, k, id_col, text_col).join(
+            d.select(id_col, "__src"), id_col
+        ))
+        .select("__src", "SEG_HASH")
+        .distinct()
+    )
+    a = seg.select(F.col("__src").alias("SOURCE_A"), "SEG_HASH")
+    b = seg.select(F.col("__src").alias("SOURCE_B"), "SEG_HASH")
+    return (
+        a.join(b, "SEG_HASH")
+        .filter(F.col("SOURCE_A") < F.col("SOURCE_B"))
+        .groupBy("SOURCE_A", "SOURCE_B")
+        .agg(F.count(F.lit(1)).alias("N_SHARED_SEGMENTS"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+    max_doc_freq: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style partial-overlap detection: document pairs sharing at
+    least ``min_shared`` winnowing fingerprints -- i.e. pairs with
+    multiple common substrings of length >= k+w-1, the plagiarism /
+    quote-chain / mirrored-fragment signal whole-document and segment
+    dedup both miss.
+
+    ``max_doc_freq`` drops fingerprints present in more than that many
+    documents before the pair join (MOSS's standard common-substring
+    stoplist): a boilerplate gram shared by D docs would otherwise emit
+    D^2/2 candidate rows, so the cap bounds the join fanout at
+    max_doc_freq^2 per fingerprint regardless of corpus size. One
+    fingerprint-keyed frequency agg + one equi-join on the fingerprint +
+    one pair-keyed count; texts never move.
+
+    Returns (ID_A, ID_B, N_SHARED), A < B."""
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    rare = fps.join(
+        fps.groupBy("FP_HASH")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("FP_HASH"),
+        "FP_HASH",
+    )
+    a = rare.select(F.col(id_col).alias("ID_A"), "FP_HASH")
+    b = rare.select(F.col(id_col).alias("ID_B"), "FP_HASH")
+    return (
+        a.join(b, "FP_HASH")
+        .filter(F.col("ID_A") < F.col("ID_B"))
+        .groupBy("ID_A", "ID_B")
+        .agg(F.count(F.lit(1)).alias("N_SHARED"))
+        .filter(F.col("N_SHARED") >= min_shared)
     )
 
 

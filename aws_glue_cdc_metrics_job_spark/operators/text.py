@@ -813,3 +813,88 @@ def source_datasheet(
             rhu(1 - F.col("N_DISTINCT_TEXTS") / F.col("N_DOCS").cast("double"), 6),
         )
     )
+
+
+def df_table(
+    df: DataFrame,
+    top: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus document-frequency table: for each token, the number of
+    documents containing it and its exact ppm document rate -- the IDF
+    side of TF-IDF as reusable state (BM25 here recomputes it inline;
+    this materializes it for ad-hoc term weighting and stoplist mining).
+    Rates are exact integers (ppm), so the table is engine-portable with
+    no log() in sight; consumers apply their own idf transform.
+
+    Shape: per-doc array_distinct BEFORE the explode (each doc emits each
+    token once, bounding the stream at sum of per-doc vocabularies), one
+    token-keyed count, one broadcast scalar for N, TakeOrdered top-k.
+
+    Returns (TOKEN, DOC_FREQ, DF_PPM) for the ``top`` most common tokens
+    (DOC_FREQ desc, TOKEN asc -- deterministic)."""
+    n_docs = df.count()
+    ex = df.select(F.explode(F.array_distinct(tokens(text_col))).alias("TOKEN"))
+    return (
+        ex.groupBy("TOKEN")
+        .agg(F.count(F.lit(1)).alias("DOC_FREQ"))
+        .withColumn("DF_PPM", F.expr(f"(DOC_FREQ * 1000000) div {int(n_docs)}").cast("long"))
+        .orderBy(F.col("DOC_FREQ").desc(), "TOKEN")
+        .limit(top)
+    )
+
+
+#: (rule name, violation predicate builder) for gopher_rules_report --
+#: Gopher/C4-style repetition-free quality gates that are exact integer
+#: arithmetic (no ratios, so no cross-engine float rounding): mean token
+#: length bounds compare sum_len against bound*count.
+GOPHER_RULES = (
+    "too_few_tokens",
+    "too_many_tokens",
+    "mean_token_len_lt3",
+    "mean_token_len_gt10",
+    "no_stopword",
+)
+
+
+def gopher_rules_report(
+    df: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 2500,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style corpus quality report: how many documents violate each
+    hard filter rule (Rae et al. 2021 'Scaling Language Models', app. A:
+    word-count bounds, mean-word-length bounds, stopword presence), as
+    counts and exact ppm shares -- the pre-filter audit a curation run
+    prints before dropping anything. One scan computes every rule's
+    per-doc flag (conditional sums over the same token array), one
+    1-row aggregate, unpivoted to long form driver-side constants (no
+    second scan).
+
+    Returns (RULE, N_VIOLATIONS, SHARE_PPM) ordered by RULE."""
+    t = tokens(text_col)
+    n = F.size(t)
+    sum_len = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    flags = df.select(
+        (n < min_tokens).cast("long").alias("too_few_tokens"),
+        (n > max_tokens).cast("long").alias("too_many_tokens"),
+        ((n > 0) & (sum_len < 3 * n)).cast("long").alias("mean_token_len_lt3"),
+        ((n > 0) & (sum_len > 10 * n)).cast("long").alias("mean_token_len_gt10"),
+        (n_stop == 0).cast("long").alias("no_stopword"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(r).alias(r) for r in GOPHER_RULES],
+    )
+    long = agg.unpivot(["__n"], list(GOPHER_RULES), "RULE", "N_VIOLATIONS")
+    return (
+        long.select(
+            "RULE",
+            F.col("N_VIOLATIONS").cast("long").alias("N_VIOLATIONS"),
+            F.expr("(N_VIOLATIONS * 1000000) div __n").cast("long").alias("SHARE_PPM"),
+        )
+        .orderBy("RULE")
+    )

@@ -25,85 +25,84 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver grades catalog entries in dict order with a bounded budget
-# (exactly the first 50 in rounds 1-2). Rounds 1-2 covered one
-# oracle-equipped representative of every distinct mechanism; 48 of those
-# 50 rows are green in CORRECTNESS_r02.json (the 2 red rows were grading
-# -harness representation issues, both fixed this round). Round 3 rotates
-# the grading window (VERDICT r2 item 4) so that r2 ∪ r3 gives EVERY
-# oracle-equipped catalog entry a green row of its own: GRADE_FIRST is
-# exactly
-# - the 46 oracle-equipped entries with no CORRECTNESS_r02 row (the r2
-#   deferred tail plus everything added in round 3), then
-# - a re-grade of the 2 red r2 rows (encode-ids now grades a string-joined
-#   hashable representation; json-props oracle SUM cast to BIGINT), then
-# - a re-grade of the 2 queries whose VALUES changed in round 3
-#   (cdc_apply_changes: single-pass full-outer diff, the r2 superlinear
-#   item; docs_winnow_fingerprints: mod-2^31 gram hash for non-ASCII
-#   safety changes the fingerprint values in BOTH engines).
-# The 46 r2-green entries whose semantics did not change keep their r2
-# rows as evidence and follow in definition order; rows-only-by-design
-# ops (minhash pairs, packing, HLL/DDSketch zones, IVF top-k, fast
-# cosine, stubbed multimodal features, incremental near-dedup) are pinned
-# by exactness/invariant unit tests instead (see COVERAGE.md).
+# The driver grades the FIRST 50 catalog entries (served in this order)
+# each round. Window history: r2 graded one representative per mechanism;
+# r3 rotated onto the then-ungraded tail, leaving r2 ∪ r3 green for every
+# oracle-equipped entry that existed when the r3 window was fixed. Round 4
+# rotates onto everything still without a driver row (VERDICT r3 items 2
+# and 4):
+# - the 22 oracle-equipped entries added after the r3 window was fixed
+#   (locally verified then; now due their driver rows),
+# - the 2 rows without a clean row in any round: events_type_skew_report
+#   (red r3; SKEW_X re-emitted on an exact integer lattice this round) and
+#   events_approx_distinct_users (errored r1, never re-entered a window),
+# - the 16 queries NEW in round 4 (sessionization, cohorts, pareto,
+#   TPC-H Q7/Q10 shapes, inactivity gaps, discount bands, cross-source
+#   matrix, DF table, winnow overlap, gopher audit, segment share,
+#   length quantiles, norm buckets, the exact-distinct twin, the
+#   count-min fast path),
+# - the 9 rows-only-by-design entries that never had even a driver
+#   rows-only row (their exactness/invariant bounds are pinned in
+#   tests/test_catalog_parity.py and unit tests),
+# - 1 insurance re-grade: docs_winnow_fingerprints, whose oracle SQL was
+#   refactored into a shared CTE this round (values unchanged).
+# Everything else keeps its r2/r3 green row as evidence and follows in
+# definition order (see COVERAGE.md).
 GRADE_FIRST: list[str] = [
-    # -- relational / analytics tail, never graded before round 3
-    "scan_filter_project",
-    "set_union",
-    "orders_intersect_custkeys",
-    "customers_anti_urgent",
-    "pricing_rollup",
-    "orders_status_cube",
-    "orders_priority_pivot",
-    "orders_price_percentiles",
-    "events_value_ntile",
-    "events_value_winsorized",
-    "events_value_bootstrap_ci",
-    "users_event_type_profile",
-    "events_variant_props",
+    # -- oracle-equipped, added after the r3 window was fixed (22)
+    "orders_shipping_priority",
+    "region_nation_volume",
+    "events_value_trend",
+    "mart_sales_trends_all_grains",
+    "cdc_evolved_diff",
+    "cdc_compact_changelog",
+    "events_session_transitions",
+    "lineitem_basket_pairs",
+    "emb_pq_encode",
+    "emb_pq_adc_topk",
+    "emb_pq_train_update",
+    "docs_chunk_windows",
+    "emb_cross_contamination",
+    "docs_balanced_sample",
+    "docs_segment_lang_profile",
+    "docs_negative_samples",
+    "docs_weighted_topk_sample",
+    "docs_cm_sketch",
+    "docs_cm_estimates",
+    "docs_collocations",
+    "docs_source_overlap",
+    "docs_source_datasheet",
+    # -- never a clean driver row in any round (2)
     "events_type_skew_report",
-    "events_daily_anomalies",
-    # -- marts / temporal tail
-    "mart_sales_trends_weekly",
-    "mart_sales_trends_monthly",
-    "mart_sales_trends_hourly",
-    "events_tumbling_hourly",
-    "events_daily_gapfill",
-    "events_hopping_6h",
-    # -- CDC / warehouse-ops, new in round 3
-    "orders_incremental_agg",
-    "scd2_user_dim",
-    "scd2_active_at",
-    "dq_orders_report",
-    # -- documents / text tail
-    "docs_fingerprint",
-    "docs_quality_score",
-    "docs_simhash",
-    "docs_fuzzy_key_pairs",
-    "docs_vocab_topk",
-    "docs_heavy_hitters",
-    "docs_unigram_logprob",
-    "docs_bpe_pair_counts",
-    "docs_segment_dedup",
-    "docs_intra_doc_dedup",
-    "docs_incremental_dedup",
-    "docs_pii_scrub",
-    # -- sampling / mixing tail
-    "docs_train_split",
-    "docs_stratified_sample",
-    "docs_per_source_sample",
-    "docs_temperature_mix",
-    "docs_token_budget_mix",
-    # -- embeddings tail
-    "emb_rp_lsh_signature",
-    "emb_ivf_assign",
-    "emb_semantic_dedup",
-    "emb_int8_quantize",
-    # -- red in r2: representation fixed, re-grade
-    "docs_encode_ids",
-    "events_json_props",
-    # -- values changed in round 3: re-grade
-    "cdc_apply_changes",
+    "events_approx_distinct_users",
+    # -- new in round 4 (16)
+    "events_sessionize_stats",
+    "events_retention_cohorts",
+    "orders_pareto_deciles",
+    "customer_returns_report",
+    "nation_trade_volume",
+    "events_inactivity_gaps",
+    "lineitem_discount_bands",
+    "docs_cross_source_dups",
+    "docs_df_table",
+    "docs_winnow_overlap_pairs",
+    "docs_gopher_report",
+    "docs_repeated_segment_share",
+    "docs_token_quantiles_by_lang",
+    "emb_norm_buckets",
+    "events_exact_distinct_users",
+    "docs_cm_estimates_fast",
+    # -- rows-only-by-design, never in a window before (9)
+    "events_hll_weekly_rollup",
+    "events_quantile_sketch_rollup",
+    "docs_minhash_lsh_pairs",
+    "emb_ivf_topk",
+    "multimodal_features",
+    "emb_cosine_topk_fast",
+    "docs_pack_sequences",
+    "docs_incremental_near_dedup",
+    "emb_ivf_pq_topk",
+    # -- insurance re-grade: oracle refactored to a shared CTE this round
     "docs_winnow_fingerprints",
 ]
 

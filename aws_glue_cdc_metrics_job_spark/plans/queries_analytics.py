@@ -605,3 +605,333 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str):
         .withColumn("__x", F.datediff(F.col("__d"), F.lit("2024-01-01").cast("date")))
     )
     return grouped_trend(daily, "__x", "__y", ["EVENT_TYPE"])
+
+
+# --- round 4: sessionization, cohorts, concentration, deep-join analytics.
+# Integer/decimal lattices throughout (micros, cents, ppm) per the repo's
+# cross-engine parity convention -- no rounded-double output columns.
+
+
+@query(
+    "events_sessionize_stats",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+),
+per AS (
+  SELECT user_id, sess, COUNT(*) AS n_ev, MAX(us) - MIN(us) AS dur_us
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id AS USER_ID,
+       CAST(COUNT(*) AS BIGINT) AS N_SESSIONS,
+       CAST(SUM(n_ev) AS BIGINT) AS N_EVENTS,
+       CAST(MAX(n_ev) AS BIGINT) AS MAX_SESSION_EVENTS,
+       CAST(SUM(dur_us) // 1000000 AS BIGINT) AS ACTIVE_SECONDS
+FROM per GROUP BY 1
+""",
+)
+def q_events_sessionize_stats(spark: SparkSession, sf_dir: str):
+    """Gap-based sessionization (30-min timeout) reduced to per-user
+    session stats: the lag-vs-threshold new-session flag and its running
+    sum assign session ids in ONE per-user window pass (no self-join), two
+    keyed aggregations roll up -- the standard scalable shape (user-keyed
+    shuffle, skew bounded by the busiest user). Durations are exact
+    integer microseconds, floor-divided to seconds."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("__new", new_s)
+        .withColumn(
+            "__sess",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "__sess")
+        .agg(F.count(F.lit(1)).alias("__n"), (F.max(us) - F.min(us)).alias("__dur"))
+    )
+    return sess.groupBy(F.col("user_id").alias("USER_ID")).agg(
+        F.count(F.lit(1)).alias("N_SESSIONS"),
+        F.sum("__n").cast("long").alias("N_EVENTS"),
+        F.max("__n").cast("long").alias("MAX_SESSION_EVENTS"),
+        F.expr("sum(__dur) div 1000000").cast("long").alias("ACTIVE_SECONDS"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         date_diff('day', f.cohort, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS offs
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort AS COHORT_WEEK, CAST(offs AS INT) AS WEEK_OFFSET,
+       CAST(COUNT(*) AS BIGINT) AS N_USERS
+FROM a GROUP BY 1, 2
+""",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted once per (cohort, week-offset) they return in -- the
+    triangular retention matrix in long form. One keyed aggregation for
+    cohorts, one broadcast-joinable map-back (cohort frame is
+    users-sized but two columns), one distinct + count. date_trunc week
+    is Monday-start in both engines; the offset is exact integer-day
+    arithmetic."""
+    ev = read_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    first = ev.groupBy("user_id").agg(F.min(week).alias("COHORT_WEEK"))
+    active = (
+        ev.select("user_id", week.alias("__w"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "COHORT_WEEK",
+            (F.datediff(F.col("__w"), F.col("COHORT_WEEK")) / 7)
+            .cast("int")
+            .alias("WEEK_OFFSET"),
+        )
+        .distinct()
+    )
+    return active.groupBy("COHORT_WEEK", "WEEK_OFFSET").agg(
+        F.count(F.lit(1)).alias("N_USERS")
+    )
+
+
+@query(
+    "orders_pareto_deciles",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT o_custkey, cents,
+         ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS DECILE
+  FROM rev
+),
+g AS (
+  SELECT DECILE, CAST(COUNT(*) AS BIGINT) AS N_CUSTOMERS,
+         CAST(SUM(cents) AS BIGINT) AS REV_CENTS
+  FROM d GROUP BY 1
+)
+SELECT CAST(DECILE AS INT) AS DECILE, N_CUSTOMERS, REV_CENTS,
+       CAST((REV_CENTS * 1000000) // SUM(REV_CENTS) OVER () AS BIGINT) AS SHARE_PPM
+FROM g
+""",
+)
+def q_orders_pareto_deciles(spark: SparkSession, sf_dir: str):
+    """Revenue concentration (Pareto) report: customers ranked into
+    deciles by lifetime spend, each decile's exact cent total and ppm
+    share of all revenue. The global ntile window runs on the
+    one-row-per-customer AGGREGATE (bounded, like W4), never raw orders;
+    the share divides exact BIGINT cents. The top decile's SHARE_PPM is
+    the 80/20 health number warehouses watch."""
+    from ..functions.numeric import money
+
+    o = read_table(spark, sf_dir, "orders")
+    # stay in the decimal domain end to end: dsum's double image * 100
+    # truncates a last-ulp .9999 under the long cast
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(money("o_totalprice", 2)) * 100).cast("long").alias("cents")
+    )
+    d = rev.withColumn(
+        "DECILE",
+        F.ntile(10).over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))),
+    )
+    g = d.groupBy("DECILE").agg(
+        F.count(F.lit(1)).alias("N_CUSTOMERS"),
+        F.sum("cents").cast("long").alias("REV_CENTS"),
+    )
+    return g.select(
+        F.col("DECILE").cast("int").alias("DECILE"),
+        "N_CUSTOMERS",
+        "REV_CENTS",
+        F.expr("(REV_CENTS * 1000000) div sum(REV_CENTS) over ()")
+        .cast("long")
+        .alias("SHARE_PPM"),
+    )
+
+
+@query(
+    "customer_returns_report",
+    oracle=f"""
+SELECT c.c_custkey AS CUST_ID, c.c_name AS CUST_NAME,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS LOST_REV_CENTS,
+       CAST(COUNT(*) AS BIGINT) AS N_RETURNED_ITEMS
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY LOST_REV_CENTS DESC, CUST_ID
+LIMIT 20
+""",
+)
+def q_customer_returns_report(spark: SparkSession, sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: customers ranked by exact
+    lost revenue on returned lineitems. The returnflag filter pushes to
+    the lineitem scan; customer is the broadcast side; the top-20
+    compiles to TakeOrderedAndProject (per-partition top-k, no global
+    sort)."""
+    from ..functions.numeric import money
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_custkey").alias("CUST_ID"), F.col("c_name").alias("CUST_NAME"))
+        .agg(
+            F.sum(F.floor(net * 100 + 0.5)).cast("long").alias("LOST_REV_CENTS"),
+            F.count(F.lit(1)).alias("N_RETURNED_ITEMS"),
+        )
+        .orderBy(F.col("LOST_REV_CENTS").desc(), "CUST_ID")
+        .limit(20)
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+SELECT sn.n_name AS SUPP_NATION, cn.n_name AS CUST_NATION,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS SHIP_YEAR,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS VOLUME_CENTS
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str):
+    """TPC-H Q7-shaped trade-volume cube: exact yearly revenue between
+    every supplier nation and customer nation -- the 5-way star join.
+    Every dimension side (customer->nation, supplier->nation) broadcasts;
+    lineitem->orders is the only fact-fact shuffle (the pair the bucketed
+    recipe in test_sources removes at 100 TB). One aggregation, grouped
+    on three low-cardinality columns."""
+    from ..functions.numeric import money
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("CUST_NATION"))),
+            F.col("c_nationkey") == F.col("__cnk"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("SUPP_NATION"))),
+            F.col("s_nationkey") == F.col("__snk"),
+        )
+        .groupBy(
+            "SUPP_NATION",
+            "CUST_NATION",
+            F.year("l_shipdate").cast("int").alias("SHIP_YEAR"),
+        )
+        .agg(F.sum(F.floor(net * 100 + 0.5)).cast("long").alias("VOLUME_CENTS"))
+    )
+
+
+@query(
+    "events_inactivity_gaps",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS GAP_START,
+         ts AS GAP_END,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS us
+  FROM events
+)
+SELECT user_id AS USER_ID, GAP_START, GAP_END,
+       CAST(us // 1000000 AS BIGINT) AS GAP_SECONDS
+FROM g WHERE us IS NOT NULL
+ORDER BY us DESC, user_id, GAP_END LIMIT 50
+""",
+)
+def q_events_inactivity_gaps(spark: SparkSession, sf_dir: str):
+    """Top-50 longest per-user inactivity gaps (churn-risk surfacing): one
+    per-user window pass computes consecutive-event deltas in exact
+    integer microseconds; the global top-k is TakeOrderedAndProject over
+    the gap rows (per-partition heads only, no full sort)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        F.col("user_id").alias("USER_ID"),
+        F.lag("ts").over(w).alias("GAP_START"),
+        F.col("ts").alias("GAP_END"),
+        (us - F.lag(us).over(w)).alias("__us"),
+    ).filter(F.col("__us").isNotNull())
+    return (
+        g.orderBy(F.col("__us").desc(), "USER_ID", "GAP_END")
+        .limit(50)
+        .select(
+            "USER_ID",
+            "GAP_START",
+            "GAP_END",
+            F.expr("__us div 1000000").cast("long").alias("GAP_SECONDS"),
+        )
+    )
+
+
+@query(
+    "lineitem_discount_bands",
+    oracle="""
+SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS DISC_PCT,
+       CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS QTY_BAND,
+       CAST(COUNT(*) AS BIGINT) AS N_ITEMS,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS REV_CENTS
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def q_lineitem_discount_bands(spark: SparkSession, sf_dir: str):
+    """2-D banded histogram of revenue by discount percent x quantity
+    band -- the binned-aggregation pattern for pricing curves. Bands are
+    computed with the identical IEEE double expression in both engines
+    (floor(x*100+0.5)), so bucket edges are bit-stable; revenue is exact
+    cents. Pure scan-stage projection + one low-cardinality hash agg."""
+    from ..functions.numeric import money
+
+    li = read_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("int").alias("DISC_PCT"),
+        F.floor((F.col("l_quantity") - 1) / 10).cast("int").alias("QTY_BAND"),
+    ).agg(
+        F.count(F.lit(1)).alias("N_ITEMS"),
+        F.sum(F.floor(net * 100 + 0.5)).cast("long").alias("REV_CENTS"),
+    )

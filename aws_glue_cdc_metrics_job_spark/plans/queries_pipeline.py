@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import sql_rhu
+from ..functions.numeric import rhu, sql_rhu
 from ..operators import dedup, similarity, text
 from ..operators.multimodal import as_binary_column
 from ..sources import read_table
@@ -657,10 +657,9 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str):
     return pack_sequences(sized, budget=512, num_shards=8)
 
 
-@query(
-    "docs_winnow_fingerprints",
-    oracle=f"""
-WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+# winnowing fingerprint CTE chain (k=5, w=4), shared by the fingerprint
+# dump and the overlap-pair query
+_WINNOW_FP_SQL = f"""norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
 pos AS (
   SELECT doc_id, i,
          ((((CAST(ascii(s[i+0:i+0]) AS BIGINT) * 923521) % 2147483648 + (CAST(ascii(s[i+1:i+1]) AS BIGINT) * 29791) % 2147483648 + (CAST(ascii(s[i+2:i+2]) AS BIGINT) * 961) % 2147483648 + (CAST(ascii(s[i+3:i+3]) AS BIGINT) * 31) % 2147483648 + (CAST(ascii(s[i+4:i+4]) AS BIGINT) * 1) % 2147483648) % 2147483648) * 2654435761) % 4294967296 AS h
@@ -672,8 +671,15 @@ win AS (
          MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
          COUNT(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
   FROM pos
-)
-SELECT DISTINCT doc_id AS DOC_ID, mh AS FP_HASH FROM win WHERE c = 4
+),
+wfp AS (SELECT DISTINCT doc_id AS DOC_ID, mh AS FP_HASH FROM win WHERE c = 4)"""
+
+
+@query(
+    "docs_winnow_fingerprints",
+    oracle=f"""
+WITH {_WINNOW_FP_SQL}
+SELECT DOC_ID, FP_HASH FROM wfp
 """,
 )
 def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str):
@@ -687,10 +693,9 @@ def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     return out.select(F.col("doc_id").alias("DOC_ID"), "FP_HASH")
 
 
-@query(
-    "docs_segment_dedup",
-    oracle=f"""
-WITH tok AS (
+# k=10 token-segment hash CTE chain, shared by segment_dedup and
+# repeated_segment_share
+_SEG_HASH_SQL = f"""tok AS (
   SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
   FROM (SELECT doc_id, {_TOKS_NE} AS t FROM documents), UNNEST(range(1, len(t)+1)) AS u(i)
 ),
@@ -699,7 +704,13 @@ seg AS (
          string_agg(tok, ' ' ORDER BY pos) AS seg_text
   FROM tok GROUP BY 1, 2
 ),
-h AS (SELECT doc_id, SEG_IDX, md5(seg_text) AS SEG_HASH FROM seg)
+h AS (SELECT doc_id, SEG_IDX, md5(seg_text) AS SEG_HASH FROM seg)"""
+
+
+@query(
+    "docs_segment_dedup",
+    oracle=f"""
+WITH {_SEG_HASH_SQL}
 SELECT doc_id, SEG_IDX, SEG_HASH,
        CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY SEG_HASH ORDER BY doc_id, SEG_IDX) = 1
                  THEN 1 ELSE 0 END AS INT) AS KEEP
@@ -1918,3 +1929,220 @@ def q_docs_source_datasheet(spark: SparkSession, sf_dir: str):
     expressions the curation filters run."""
     docs = read_table(spark, sf_dir, "documents")
     return text.source_datasheet(docs)
+
+
+# --- round 4: cross-source exact dup matrix, DF table, MOSS overlap pairs,
+# Gopher rule audit, boilerplate share, grouped length quantiles, norm
+# histogram. All exact integer/ppm lattices.
+
+
+@query(
+    "docs_cross_source_dups",
+    oracle=f"""
+WITH {_SEG_HASH_SQL},
+p AS (
+  SELECT DISTINCT d.source, h.SEG_HASH
+  FROM h JOIN documents d ON h.doc_id = d.doc_id
+)
+SELECT a.source AS SOURCE_A, b.source AS SOURCE_B,
+       CAST(COUNT(*) AS BIGINT) AS N_SHARED_SEGMENTS
+FROM p a JOIN p b ON a.SEG_HASH = b.SEG_HASH AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def q_docs_cross_source_dups(spark: SparkSession, sf_dir: str):
+    """Exact cross-source content-sharing matrix
+    (dedup.cross_source_dup_matrix): distinct 10-token segment contents
+    shared per source pair -- which feeds mirror or quote each other,
+    exactly; the complement to the MinHash-ESTIMATED docs_source_overlap.
+    Join operands are deduplicated (source, segment-hash) rows, so
+    intra-source repetition never fans out."""
+    from ..operators.dedup import cross_source_dup_matrix
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cross_source_dup_matrix(docs, k=10)
+
+
+@query(
+    "docs_df_table",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_NE})) AS TOKEN FROM documents
+)
+SELECT TOKEN, CAST(COUNT(*) AS BIGINT) AS DOC_FREQ,
+       CAST((COUNT(*) * 1000000) // (SELECT COUNT(*) FROM documents) AS BIGINT) AS DF_PPM
+FROM ex GROUP BY 1
+ORDER BY DOC_FREQ DESC, TOKEN LIMIT 100
+""",
+)
+def q_docs_df_table(spark: SparkSession, sf_dir: str):
+    """Document-frequency table (text.df_table): the materialized IDF
+    side of TF-IDF as exact integer ppm rates -- reusable term-weighting
+    state and the stoplist-mining input. Per-doc array_distinct bounds
+    the exploded stream at per-doc vocabulary size; top-100 compiles to
+    TakeOrderedAndProject."""
+    from ..operators.text import df_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return df_table(docs, top=100)
+
+
+@query(
+    "docs_winnow_overlap_pairs",
+    oracle=f"""
+WITH {_WINNOW_FP_SQL},
+rare AS (
+  SELECT FP_HASH FROM wfp GROUP BY 1 HAVING COUNT(*) <= 20
+),
+r AS (SELECT wfp.DOC_ID, wfp.FP_HASH FROM wfp JOIN rare USING (FP_HASH))
+SELECT a.DOC_ID AS ID_A, b.DOC_ID AS ID_B, CAST(COUNT(*) AS BIGINT) AS N_SHARED
+FROM r a JOIN r b ON a.FP_HASH = b.FP_HASH AND a.DOC_ID < b.DOC_ID
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+""",
+)
+def q_docs_winnow_overlap_pairs(spark: SparkSession, sf_dir: str):
+    """MOSS-style partial-overlap pairs (dedup.winnow_overlap_pairs):
+    documents sharing >= 3 winnowing fingerprints after dropping
+    fingerprints common to > 20 docs (the boilerplate stoplist that
+    bounds the pair-join fanout at 20^2 per fingerprint at ANY corpus
+    size). Catches mirrored fragments and quote chains that whole-doc
+    and fixed-segment dedup both miss."""
+    from ..operators.dedup import winnow_overlap_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, k=5, w=4, min_shared=3, max_doc_freq=20)
+
+
+@query(
+    "docs_gopher_report",
+    oracle=f"""
+WITH t AS (SELECT {_TOKS_NE} AS toks FROM documents),
+f AS (
+  SELECT len(toks) AS n,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sl,
+         len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS ns
+  FROM t
+),
+a AS (
+  SELECT COUNT(*) AS nd,
+         SUM(CASE WHEN n < 50 THEN 1 ELSE 0 END) AS r1,
+         SUM(CASE WHEN n > 2500 THEN 1 ELSE 0 END) AS r2,
+         SUM(CASE WHEN n > 0 AND sl < 3 * n THEN 1 ELSE 0 END) AS r3,
+         SUM(CASE WHEN n > 0 AND sl > 10 * n THEN 1 ELSE 0 END) AS r4,
+         SUM(CASE WHEN ns = 0 THEN 1 ELSE 0 END) AS r5
+  FROM f
+),
+long AS (
+  SELECT 'too_few_tokens' AS RULE, r1 AS v, nd FROM a
+  UNION ALL SELECT 'too_many_tokens', r2, nd FROM a
+  UNION ALL SELECT 'mean_token_len_lt3', r3, nd FROM a
+  UNION ALL SELECT 'mean_token_len_gt10', r4, nd FROM a
+  UNION ALL SELECT 'no_stopword', r5, nd FROM a
+)
+SELECT RULE, CAST(v AS BIGINT) AS N_VIOLATIONS,
+       CAST((v * 1000000) // nd AS BIGINT) AS SHARE_PPM
+FROM long ORDER BY RULE
+""",
+)
+def q_docs_gopher_report(spark: SparkSession, sf_dir: str):
+    """Gopher-rule pre-filter audit (text.gopher_rules_report): per-rule
+    violation counts and exact ppm shares for the hard quality gates
+    (token-count bounds, mean-token-length bounds, stopword presence) --
+    ONE scan computes every rule's flag as conditional sums over the
+    same token array; mean-length bounds compare sum_len to bound*count
+    in exact integers (no division anywhere)."""
+    from ..operators.text import gopher_rules_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_rules_report(docs, min_tokens=50, max_tokens=2500)
+
+
+@query(
+    "docs_repeated_segment_share",
+    oracle=f"""
+WITH {_SEG_HASH_SQL},
+d AS (SELECT SEG_HASH, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY 1)
+SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS N_SEGMENTS,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS N_SHARED_SEGMENTS,
+       CAST((SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+         AS SHARED_PPM
+FROM h JOIN d USING (SEG_HASH) GROUP BY 1
+""",
+)
+def q_docs_repeated_segment_share(spark: SparkSession, sf_dir: str):
+    """Per-document boilerplate share (dedup.repeated_segment_share): the
+    exact ppm of each doc's 10-token segments whose content appears in
+    at least one other document -- the per-doc victim-side view of
+    segment_dedup, flagging templated/mirrored pages. Digest-keyed
+    aggregations only; the text never joins."""
+    from ..operators.dedup import repeated_segment_share
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repeated_segment_share(docs, k=10)
+
+
+@query(
+    "docs_token_quantiles_by_lang",
+    oracle=f"""
+SELECT lang AS LANG, CAST(COUNT(*) AS BIGINT) AS N_DOCS,
+       {sql_rhu("quantile_cont(len(toks), 0.25)", 4)} AS P25_TOKENS,
+       {sql_rhu("quantile_cont(len(toks), 0.5)", 4)} AS P50_TOKENS,
+       {sql_rhu("quantile_cont(len(toks), 0.75)", 4)} AS P75_TOKENS,
+       {sql_rhu("quantile_cont(len(toks), 0.95)", 4)} AS P95_TOKENS
+FROM (SELECT lang, {_TOKS_NE} AS toks FROM documents) GROUP BY 1
+""",
+)
+def q_docs_token_quantiles_by_lang(spark: SparkSession, sf_dir: str):
+    """Per-language document-length quantile profile: the length
+    distribution anchor every context-window and packing decision reads.
+    Exact per-group percentiles (sort-based aggregate, fine at any group
+    count); quantile_cont interpolation matches Spark's percentile()."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.size(text.tokens("text"))
+    return docs.groupBy(F.col("lang").alias("LANG")).agg(
+        F.count(F.lit(1)).alias("N_DOCS"),
+        rhu(F.percentile(n, F.lit(0.25)), 4).alias("P25_TOKENS"),
+        rhu(F.percentile(n, F.lit(0.5)), 4).alias("P50_TOKENS"),
+        rhu(F.percentile(n, F.lit(0.75)), 4).alias("P75_TOKENS"),
+        rhu(F.percentile(n, F.lit(0.95)), 4).alias("P95_TOKENS"),
+    )
+
+
+@query(
+    "emb_norm_buckets",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         list_sum(list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS ss
+  FROM embeddings
+)
+SELECT CAST(label AS INT) AS LABEL, CAST(ss // 1000000 AS BIGINT) AS NORM2_BUCKET,
+       CAST(COUNT(*) AS BIGINT) AS N_VECS
+FROM q GROUP BY 1, 2
+""",
+)
+def q_emb_norm_buckets(spark: SparkSession, sf_dir: str):
+    """Embedding-norm histogram per label: squared-L2 bucketed on an
+    exact integer lattice (per-element quantize to 1e-3 THEN sum, so the
+    sum is order-free integer arithmetic -- float accumulation order
+    can't flip a bucket edge). The drift monitor for an embedding
+    pipeline: a model/version change shifts this histogram before
+    anything downstream notices. Pure scan-stage map + one
+    low-cardinality agg, no shuffle of vectors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    ss = F.aggregate(e, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    return (
+        emb.select(
+            F.col("label").cast("int").alias("LABEL"),
+            ss.alias("__ss"),
+        )
+        .select("LABEL", F.expr("__ss div 1000000").cast("long").alias("NORM2_BUCKET"))
+        .groupBy("LABEL", "NORM2_BUCKET")
+        .agg(F.count(F.lit(1)).alias("N_VECS"))
+    )

@@ -102,6 +102,22 @@ HEADLINE = [
     "docs_fuzzy_key_pairs",
     "docs_per_source_sample",
     "docs_heavy_hitters",
+    # round 4 additions
+    "events_sessionize_stats",
+    "events_inactivity_gaps",
+    "events_exact_distinct_users",
+    "orders_pareto_deciles",
+    "customer_returns_report",
+    "nation_trade_volume",
+    "lineitem_discount_bands",
+    "docs_cross_source_dups",
+    "docs_df_table",
+    "docs_winnow_overlap_pairs",
+    "docs_gopher_report",
+    "docs_repeated_segment_share",
+    "docs_token_quantiles_by_lang",
+    "docs_cm_estimates_fast",
+    "emb_norm_buckets",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -503,3 +503,65 @@ class TestSourceOverlap:
             sa, sb = set(grams[a]), set(grams[b])
             true_j = len(sa & sb) / len(sa | sb)
             assert abs(e - true_j) <= 3 / (64**0.5)  # standard MinHash error
+
+
+def test_repeated_segment_share(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import repeated_segment_share
+
+    shared = "a b c d e"  # one 5-token segment shared by docs 1 and 2
+    rows = [
+        (1, shared + " unique one two xx yy"),   # seg0 shared, seg1 unique
+        (2, shared + " other words here zz qq"),
+        (3, "totally different text block five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repeated_segment_share(df, k=5).collect()}
+    assert got[1]["N_SEGMENTS"] == 2 and got[1]["N_SHARED_SEGMENTS"] == 1
+    assert got[1]["SHARED_PPM"] == 500000
+    assert got[2]["N_SHARED_SEGMENTS"] == 1
+    assert got[3]["N_SHARED_SEGMENTS"] == 0 and got[3]["SHARED_PPM"] == 0
+
+
+def test_cross_source_dup_matrix(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import cross_source_dup_matrix
+
+    seg = "one two three four five"
+    rows = [
+        (1, "sa", seg + " aa bb cc dd ee"),
+        (2, "sb", seg + " ff gg hh ii jj"),   # shares seg with sa
+        (3, "sb", seg + " kk ll mm nn oo"),   # same shared seg: counted ONCE per source
+        (4, "sc", "pp qq rr ss tt uu vv ww xx yy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["SOURCE_A"], r["SOURCE_B"]): r["N_SHARED_SEGMENTS"]
+        for r in cross_source_dup_matrix(df, k=5).collect()
+    }
+    assert got == {("sa", "sb"): 1}
+
+
+def test_winnow_overlap_pairs(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import winnow_overlap_pairs
+
+    core = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, core + " tail one"),
+        (2, core + " tail two"),          # long shared substring with 1
+        (3, "completely unrelated words xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["ID_A"], r["ID_B"]): r["N_SHARED"] for r in
+           winnow_overlap_pairs(df, min_shared=3, max_doc_freq=10).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert all(3 not in pair for pair in got)
+
+
+def test_winnow_overlap_stoplist_bounds_fanout(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import winnow_overlap_pairs
+
+    # a gram shared by ALL docs is dropped by max_doc_freq, so no pair
+    # survives on boilerplate alone
+    rows = [(i, f"common boiler plate text here unique{i} word{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_overlap_pairs(df, min_shared=1, max_doc_freq=3).collect()
+    assert got == []

@@ -453,3 +453,49 @@ class TestSourceDatasheet:
         assert abs(a["DUP_RATIO"] - (1 - 2 / 3)) < 1e-6
         b = got["B"]
         assert b["N_DOCS"] == 1 and b["DUP_RATIO"] == 0.0
+
+
+def test_df_table(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.text import df_table
+
+    rows = [
+        (1, "apple banana apple"),      # apple counted once for this doc
+        (2, "apple cherry"),
+        (3, "banana cherry date"),
+        (4, "apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["TOKEN"]: (r["DOC_FREQ"], r["DF_PPM"]) for r in df_table(df, top=10).collect()}
+    assert got["apple"] == (3, 750000)
+    assert got["banana"] == (2, 500000)
+    assert got["date"] == (1, 250000)
+
+
+def test_df_table_top_cut_deterministic(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.text import df_table
+
+    rows = [(i, "aa bb cc dd") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # all four tokens tie at DOC_FREQ 3: the top-2 cut picks by TOKEN asc
+    got = [r["TOKEN"] for r in df_table(df, top=2).collect()]
+    assert got == ["aa", "bb"]
+
+
+def test_gopher_rules_report(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.text import gopher_rules_report
+
+    rows = [
+        (1, "short text only"),                       # too few tokens
+        (2, " ".join(["word"] * 60)),                 # clean
+        (3, " ".join(["supercalifragilistic"] * 60)), # mean len > 10
+        (4, " ".join(["a"] * 60)),                    # mean len < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["RULE"]: (r["N_VIOLATIONS"], r["SHARE_PPM"]) for r in
+           gopher_rules_report(df, min_tokens=50, max_tokens=2500).collect()}
+    assert got["too_few_tokens"] == (1, 250000)
+    assert got["mean_token_len_gt10"] == (1, 250000)
+    assert got["mean_token_len_lt3"] == (1, 250000)
+    assert got["too_many_tokens"] == (0, 0)
+    # doc 4 is all 'a' (an EN stopword); docs 1-3 carry none -> 3 violate
+    assert got["no_stopword"] == (3, 750000)
