@@ -15,6 +15,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -179,30 +181,44 @@ def shingle_hashes(
     return out.distinct() if distinct else out
 
 
-_PERSIST_SCOPE: "deque[DataFrame]" = None  # type: ignore[assignment]
+_PERSIST_SCOPE: "OrderedDict[int, DataFrame]" = None  # type: ignore[assignment]
 _PERSIST_CAP = 2
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
     """persist(MEMORY_AND_DISK) with a bounded process-wide scope: the
-    oldest persisted frame is unpersisted once more than _PERSIST_CAP are
-    alive, so repeated calls over different inputs cannot accumulate cache
-    entries for the process lifetime (the round-1 leak) while the current
-    call keeps the fully-lazy persist plan (the round-2 fix's regression).
-    Spark's CacheManager dedups identical canonicalized plans, so eviction
-    of a twin handle at worst drops a reusable cache, never correctness."""
+    least-recently-used persisted plan is unpersisted once more than
+    _PERSIST_CAP distinct plans are alive, so repeated calls over
+    different inputs cannot accumulate cache entries for the process
+    lifetime (the round-1 leak) while the current call keeps the
+    fully-lazy persist plan (the round-2 fix's regression).
+
+    The scope is keyed by semanticHash(): Spark's CacheManager dedups
+    identical canonicalized plans into ONE cache entry shared by every
+    handle, so appending a fresh handle per call would let eviction of an
+    old twin unpersist the entry the CURRENT call just registered --
+    measured as alternating ~1.9s cached / ~4s recompute passes on
+    repeated minhash_lsh_pairs invocations. Re-persisting an already
+    -scoped plan now just refreshes its LRU position; eviction only ever
+    targets genuinely different plans."""
     global _PERSIST_SCOPE
     if _PERSIST_SCOPE is None:
-        from collections import deque
-
-        _PERSIST_SCOPE = deque()
+        _PERSIST_SCOPE = OrderedDict()
     from pyspark import StorageLevel
 
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover - connect/edge sessions
+        key = id(df)
+    if key in _PERSIST_SCOPE and df.sameSemantics(_PERSIST_SCOPE[key]):
+        _PERSIST_SCOPE.move_to_end(key)
+        return _PERSIST_SCOPE[key]
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSIST_SCOPE.append(df)
+    _PERSIST_SCOPE[key] = df
     while len(_PERSIST_SCOPE) > _PERSIST_CAP:
+        _, old = _PERSIST_SCOPE.popitem(last=False)
         try:
-            _PERSIST_SCOPE.popleft().unpersist(blocking=False)
+            old.unpersist(blocking=False)
         except Exception:  # session already stopped: nothing to release
             pass
     return df
