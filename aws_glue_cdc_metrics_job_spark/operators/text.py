@@ -898,3 +898,141 @@ def gopher_rules_report(
         )
         .orderBy("RULE")
     )
+
+
+# --- corpus-level language modeling & data selection -----------------------
+
+
+def word_bigrams(text_col: str = "text") -> F.Column:
+    """Adjacent-token bigram structs (w1, w2) of the normalized token
+    stream, built shuffle-free from the token array itself: zip the array
+    with its 1-shifted slice (zip_with pads the shorter side with NULL;
+    the padded tail row is dropped by the w2 filter). Pure collection
+    expressions -- codegen'd, no explode until the caller asks."""
+    t = tokens(text_col)
+    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    pairs = F.zip_with(t, shifted, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return F.filter(pairs, lambda p: p["w2"].isNotNull())
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    seed: str = "dsir0",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023) log
+    importance weights over hashed word-bigram features: docs whose hashed
+    n-gram profile looks like the ``target`` subcorpus (e.g. a trusted
+    high-quality slice) get high LOG_WEIGHT; out-of-distribution docs go
+    negative. The standard cheap data-selection signal for pretraining
+    mixes -- resample the corpus with probability proportional to
+    exp(LOG_WEIGHT) (or keep the top fraction).
+
+    log w(doc) = sum over bigram occurrences b of
+                 ln p_target(bucket(b)) - ln p_raw(bucket(b))
+    with Laplace-smoothed bucket unigram models (alpha=1).
+
+    Shape: ONE bigram explode feeds both models via conditional
+    aggregation (raw count + target count in the same hash-agg pass); the
+    ``buckets``-row ratio table broadcasts back onto the occurrence
+    stream, so the whole operator is explode -> 2 broadcast joins -> one
+    per-doc aggregation, no vocabulary-sized shuffle. Determinism: md5
+    bucket hashing (engine-portable), per-occurrence log-ratio rounded
+    half-up to 9 places and summed as DECIMAL(28,9) -- partition-order
+    independent (functions/numeric.py rationale); LOG_WEIGHT reported at
+    6 places.
+
+    Returns (id_col, N_FEATURES, LOG_WEIGHT); docs with no bigram (< 2
+    tokens) are dropped -- they carry no evidence either way."""
+    occ = df.select(
+        F.col(id_col),
+        target.cast("boolean").alias("__is_t"),
+        F.explode(word_bigrams(text_col)).alias("__p"),
+    ).select(
+        id_col,
+        "__is_t",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("__p.w1"), F.col("__p.w2"), F.lit(seed))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(buckets),
+        ).alias("__b"),
+    )
+    counts = occ.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+    )
+    tot = counts.agg(F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt"))
+    lr = rhu(
+        F.log((F.col("__ct") + 1) / (F.col("__tt") + buckets))
+        - F.log((F.col("__cr") + 1) / (F.col("__tr") + buckets)),
+        9,
+    )
+    ratio = counts.join(F.broadcast(tot)).select("__b", lr.cast("decimal(28,9)").alias("__lr"))
+    return (
+        occ.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("N_FEATURES"),
+            rhu(F.sum("__lr").cast("double"), 6).alias("LOG_WEIGHT"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram language-model surprisal per document -- the
+    next step up from :func:`unigram_logprob` as a perplexity-style
+    quality filter (KenLM-shaped, order 2): repeated formulaic word
+    SEQUENCES score low even when each word is individually common.
+
+    score(doc) = mean over bigram occurrences (w1, w2) of
+                 -ln( lam * c(w1 w2)/c(w1 .)  +  (1-lam) * c(w2)/N )
+
+    where c(w1 .) is the bigram-start count of w1, c(w2) the corpus
+    occurrence count, N total tokens -- Jelinek-Mercer interpolation, so
+    unseen-in-context words back off to the unigram model instead of -inf.
+
+    Shape: one bigram explode + one token explode; the pair, start and
+    unigram count tables are all vocabulary-bounded hash-aggs joined back
+    onto the occurrence stream on their natural keys (at 100 TB these are
+    shuffle hash joins on word keys; the occurrence stream never moves
+    twice). Same decimal-lattice determinism as unigram_logprob.
+
+    Returns (id_col, N_BIGRAMS, AVG_NEG_LOGPROB); docs with < 2 tokens
+    are dropped."""
+    occ = df.select(F.col(id_col), F.explode(word_bigrams(text_col)).alias("__p")).select(
+        id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
+    )
+    pair = occ.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    starts = pair.groupBy("__w1").agg(F.sum("__c12").alias("__c1s"))
+    toks = df.select(F.explode(tokens(text_col)).alias("__w2"))
+    uni = toks.groupBy("__w2").agg(F.count(F.lit(1)).alias("__c2"))
+    n_tot = toks.agg(F.count(F.lit(1)).alias("__n"))
+    p = F.lit(lam) * (F.col("__c12") / F.col("__c1s")) + F.lit(1.0 - lam) * (
+        F.col("__c2") / F.col("__n")
+    )
+    scored = (
+        occ.join(pair, ["__w1", "__w2"])
+        .join(starts, "__w1")
+        .join(uni, "__w2")
+        .join(F.broadcast(n_tot))
+        .withColumn("__srp", rhu(-F.log(p), 9).cast("decimal(28,9)"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("N_BIGRAMS"),
+        rhu(F.sum("__srp").cast("double") / F.count(F.lit(1)), 6).alias("AVG_NEG_LOGPROB"),
+    )

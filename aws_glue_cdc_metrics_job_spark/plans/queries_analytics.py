@@ -935,3 +935,104 @@ def q_lineitem_discount_bands(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("N_ITEMS"),
         F.sum(F.floor(net * 100 + 0.5)).cast("long").alias("REV_CENTS"),
     )
+
+
+# --- TPC-H Q17 shape: decorrelated scalar subquery (per-group avg threshold)
+
+
+@query(
+    "parts_small_qty_revenue",
+    oracle=f"""
+WITH t AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#4'
+),
+a AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_q
+  FROM t GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS N_SMALL,
+       {sql_rhu(f"COALESCE({sql_dsum('l_extendedprice')}, 0.0) / 7.0", 2)} AS AVG_YEARLY
+FROM t JOIN a USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_q
+""",
+)
+def q_parts_small_qty_revenue(spark: SparkSession, sf_dir: str):
+    """TPC-H Q17 shape -- yearly revenue lost to small-quantity orders of
+    one brand: the correlated scalar subquery (per-part average quantity)
+    decorrelated into a grouped aggregate joined back to the fact rows.
+    The brand filter pushes into BOTH the part scan and (through the
+    join) the lineitem side before any aggregation; the per-part
+    threshold table is brand-bounded, so Catalyst broadcasts it and the
+    fact stream is scanned once. Decimal average (exact sum / count) so
+    the threshold comparison is engine-identical."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    t = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#4").select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    a = t.groupBy("l_partkey").agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("__avg_q")
+    )
+    return (
+        t.join(a, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("N_SMALL"),
+            rhu(F.coalesce(dsum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias("AVG_YEARLY"),
+        )
+    )
+
+
+# --- TPC-H Q18 shape: large-basket customers (HAVING over a fact rollup)
+
+
+@query(
+    "orders_bulk_quantity",
+    oracle="""
+WITH bq AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS TOTAL_QTY
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0
+)
+SELECT c.c_custkey AS C_CUSTKEY, o.o_orderkey AS O_ORDERKEY,
+       o.o_orderdate AS O_ORDERDATE, o.o_totalprice AS O_TOTALPRICE,
+       bq.TOTAL_QTY
+FROM bq
+JOIN orders o ON o.o_orderkey = bq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q_orders_bulk_quantity(spark: SparkSession, sf_dir: str):
+    """TPC-H Q18 shape -- orders whose total line quantity exceeds a bulk
+    threshold, enriched with their customer: the HAVING prunes the fact
+    rollup to a tiny key set BEFORE any join, so the orders/customer
+    joins run against ~1% of orders (AQE sees the post-filter size and
+    broadcasts). Exact decimal quantity sums make the threshold cut
+    engine-identical."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    bq = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("TOTAL_QTY"))
+        .filter(F.col("TOTAL_QTY") > 250.0)
+    )
+    return (
+        bq.join(o, bq["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("C_CUSTKEY"),
+            F.col("o_orderkey").alias("O_ORDERKEY"),
+            F.col("o_orderdate").alias("O_ORDERDATE"),
+            F.col("o_totalprice").alias("O_TOTALPRICE"),
+            "TOTAL_QTY",
+        )
+    )

@@ -6,7 +6,7 @@ driver's rows-only check + unit tests against exact Jaccard."""
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import rhu, sql_rhu
@@ -2146,3 +2146,219 @@ def q_emb_norm_buckets(spark: SparkSession, sf_dir: str):
         .groupBy("LABEL", "NORM2_BUCKET")
         .agg(F.count(F.lit(1)).alias("N_VECS"))
     )
+
+
+# --- round 4b: corpus LM scoring, data selection, hybrid retrieval,
+# embedding post-processing, distributed classifier training ----------------
+
+_BIGRAM_OCC_SQL = f"""t4 AS (SELECT doc_id, lang, {_TOKS_NE} AS toks FROM documents),
+bocc AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                     ELSE list_transform(range(0, len(toks) - 1),
+                                         i -> toks[i + 1] || '|' || toks[i + 2])
+                END) AS bg
+  FROM t4
+)"""
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=f"""
+WITH {_BIGRAM_OCC_SQL},
+b AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         CAST(('0x' || substr(md5(bg || '|dsir0'), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bk
+  FROM bocc
+),
+c AS (
+  SELECT bk, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS ct
+  FROM b GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM c),
+r AS (
+  SELECT bk,
+         CAST({sql_rhu("ln((ct + 1) / (tt + 1024)) - ln((cr + 1) / (tr + 1024))", 9)}
+              AS DECIMAL(28,9)) AS lr
+  FROM c, tot
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS N_FEATURES,
+       {sql_rhu("CAST(SUM(lr) AS DOUBLE)", 6)} AS LOG_WEIGHT
+FROM b JOIN r USING (bk) GROUP BY 1
+""",
+)
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str):
+    """DSIR log importance weights (text.dsir_weights): hashed-bigram
+    bucket LMs for the target slice (lang='en') vs the raw corpus, one
+    explode + conditional agg + broadcast ratio join. The pretraining
+    data-selection signal: resample proportional to exp(LOG_WEIGHT)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.dsir_weights(docs, target=F.col("lang") == "en", buckets=1024, seed="dsir0")
+
+
+@query(
+    "docs_bigram_logprob",
+    oracle=f"""
+WITH t4 AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < 2 THEN []::STRUCT(w1 VARCHAR, w2 VARCHAR)[]
+                     ELSE list_transform(range(0, len(toks) - 1),
+                                         i -> {{'w1': toks[i + 1], 'w2': toks[i + 2]}})
+                END, recursive := true) AS _
+  FROM t4
+),
+pair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM occ GROUP BY 1, 2),
+starts AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1s FROM pair GROUP BY 1),
+tok AS (SELECT unnest(toks) AS w2 FROM t4),
+uni AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tok GROUP BY 1),
+ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+s AS (
+  SELECT occ.doc_id,
+         CAST({sql_rhu("-ln(0.75 * (c12 / c1s) + 0.25 * (c2 / n))", 9)}
+              AS DECIMAL(28,9)) AS srp
+  FROM occ JOIN pair USING (w1, w2) JOIN starts USING (w1) JOIN uni USING (w2), ntot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS N_BIGRAMS,
+       {sql_rhu("CAST(SUM(srp) AS DOUBLE) / COUNT(*)", 6)} AS AVG_NEG_LOGPROB
+FROM s GROUP BY 1
+""",
+)
+def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str):
+    """Interpolated bigram-LM surprisal (text.bigram_logprob): the
+    order-2 perplexity quality filter with Jelinek-Mercer backoff to the
+    unigram model -- formulaic word SEQUENCES score low even when each
+    word is common. Same decimal-lattice determinism as the unigram
+    score."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs, lam=0.75)
+
+
+@query(
+    "docs_hybrid_rrf",
+    oracle=f"""
+WITH b2 AS (SELECT doc_id, CAST(len({_TOKS_NE}) AS DOUBLE) AS dl, {_TOKS_NE} AS toks FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM b2),
+hits AS (
+  SELECT doc_id, dl, TERM, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS TERM FROM b2)
+  WHERE TERM IN ('table', 'scan', 'fast')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT TERM, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfx FROM hits GROUP BY 1),
+per AS (
+  SELECT h.doc_id, h.TERM,
+         ln(1.0 + (s.n - d.dfx + 0.5) / (d.dfx + 0.5))
+           * (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl)) AS sc
+  FROM hits h JOIN dfreq d USING (TERM), stats s
+),
+agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN TERM = 'table' THEN sc END) AS s0,
+         SUM(CASE WHEN TERM = 'scan' THEN sc END) AS s1,
+         SUM(CASE WHEN TERM = 'fast' THEN sc END) AS s2
+  FROM per GROUP BY doc_id
+),
+bmr AS (
+  SELECT doc_id AS id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY FLOOR((COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)) * 1000000 + 0.5) / 1000000 DESC,
+                    doc_id) AS BIGINT) AS r
+  FROM agg
+  QUALIFY r <= 50
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+cr AS (
+  SELECT c.vec_id AS id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY FLOOR((list_dot_product(qv.v, c.v)
+                          / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(c.v, c.v))))
+                        * 1000000 + 0.5) / 1000000 DESC,
+                    c.vec_id) AS BIGINT) AS r
+  FROM e c, qv WHERE c.vec_id <> 0
+  QUALIFY r <= 50
+),
+u AS (
+  SELECT id, 1000000000 // (60 + r) AS s FROM bmr
+  UNION ALL
+  SELECT id, 1000000000 // (60 + r) FROM cr
+)
+SELECT id AS DOC_ID, CAST(COUNT(*) AS BIGINT) AS N_LISTS, CAST(SUM(s) AS BIGINT) AS RRF_PPB
+FROM u GROUP BY 1
+ORDER BY RRF_PPB DESC, DOC_ID
+LIMIT 20
+""",
+)
+def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str):
+    """Hybrid retrieval by reciprocal-rank fusion (similarity.rrf_fuse):
+    BM25 keyword candidates fused with dense cosine candidates (query =
+    embedding 0, joined on vec_id == doc_id) via exact integer 1e9 div
+    (60 + rank) scores -- the zero-tuning RAG retrieval combiner, fully
+    engine-replayable because no float ever enters the fusion."""
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    bm = text.bm25_topk(docs, ["table", "scan", "fast"], k=50)
+    w = Window.orderBy(F.col("SCORE").desc(), F.col("doc_id"))
+    bm_r = bm.select(F.col("doc_id").alias("DOC_ID"), F.row_number().over(w).cast("long").alias("RANK"))
+    cos = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+    cos_r = cos.select(F.col("NEIGHBOR_ID").alias("DOC_ID"), F.col("RANK").cast("long").alias("RANK"))
+    return similarity.rrf_fuse([bm_r, cos_r], id_col="DOC_ID", rank_col="RANK", k=60, top=20)
+
+
+@query(
+    "emb_matryoshka",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v[1:16], v[1:16])) AS nrm FROM e),
+ex AS (
+  SELECT vec_id, u.i - 1 AS DIM, v[u.i] AS x, nrm
+  FROM n, UNNEST(range(1, 17)) AS u(i)
+)
+SELECT vec_id, CAST(DIM AS INT) AS DIM,
+       {sql_rhu("CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END", 6)} AS VAL
+FROM ex
+""",
+)
+def q_emb_matryoshka(spark: SparkSession, sf_dir: str):
+    """Matryoshka truncation (similarity.matryoshka_truncate): first-16-
+    dim prefix re-normalized to unit length, the MRL coarse representation
+    for cheap first-stage ANN. Long-form output on the 6-place lattice;
+    strict index-order norm accumulation matches list_dot_product."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_truncate(emb, m=16)
+
+
+_PC_W = similarity.rp_constants(1, 64, seed="pc0")[0]
+_PC_W_SQL = "[" + ", ".join(repr(w) for w in _PC_W) + "]"
+
+
+@query(
+    "emb_perceptron_step",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT CASE WHEN label = 0 THEN 1.0 ELSE -1.0 END AS y,
+         list_dot_product(v, {_PC_W_SQL}) AS margin, v
+  FROM e
+),
+ex AS (
+  SELECT u.i - 1 AS DIM, m.y, m.v[u.i] AS x
+  FROM m, UNNEST(range(1, len(m.v) + 1)) AS u(i)
+  WHERE m.y * m.margin <= 0
+)
+SELECT CAST(DIM AS INT) AS DIM, CAST(COUNT(*) AS BIGINT) AS N_MISCLASSIFIED,
+       {sql_rhu("CAST(SUM(CAST(y * x AS DECIMAL(27,15))) AS DOUBLE)", 6)} AS GRAD_VAL,
+       {sql_rhu(f"({_PC_W_SQL})[DIM + 1] + 0.01 * CAST(SUM(CAST(y * x AS DECIMAL(27,15))) AS DOUBLE)", 6)} AS W_NEW
+FROM ex GROUP BY DIM
+""",
+)
+def q_emb_perceptron_step(spark: SparkSession, sf_dir: str):
+    """One batch perceptron step (similarity.perceptron_step) for a
+    one-vs-rest linear classifier on embeddings (positive = label 0):
+    literal md5-derived weights, unrolled strict-order margins, decimal
+    gradient sums -- a reproducible distributed training step with no
+    exp()/sigmoid so every op replays exactly cross-engine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.perceptron_step(emb, _PC_W, positive_label=0, lr=0.01)

@@ -118,6 +118,14 @@ HEADLINE = [
     "docs_token_quantiles_by_lang",
     "docs_cm_estimates_fast",
     "emb_norm_buckets",
+    # round 4b additions (post-window; graded r5)
+    "docs_dsir_weights",
+    "docs_bigram_logprob",
+    "docs_hybrid_rrf",
+    "emb_matryoshka",
+    "emb_perceptron_step",
+    "parts_small_qty_revenue",
+    "orders_bulk_quantity",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

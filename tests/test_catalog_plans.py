@@ -52,6 +52,12 @@ BOUNDED_BROADCAST_OK = {
     "docs_collocations": (1, "1-row corpus-total frame (text.collocation_lift)"),
     # lift denominators cross the pair table with the ONE-ROW basket count
     "lineitem_basket_pairs": (1, "1-row basket-count frame (relational.basket_pairs)"),
+    # bucket-model ratios cross the bucket table with the ONE-ROW totals
+    "docs_dsir_weights": (1, "1-row corpus/target-total frame (text.dsir_weights)"),
+    # interpolation denominator crosses occurrences with the ONE-ROW N frame
+    "docs_bigram_logprob": (1, "1-row token-total frame (text.bigram_logprob)"),
+    # fused candidate lists are rank-bounded; BM25 carries its 1-row stats
+    "docs_hybrid_rrf": (1, "1-row corpus-stats frame (text.bm25_topk)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -319,3 +319,54 @@ class TestSemanticCrossDecontamination:
                 if c >= 0.3:
                     exp[(ci, bi)] = c
         assert got == exp
+
+
+# --- matryoshka / perceptron / RRF -----------------------------------------
+
+
+def test_matryoshka_unit_norm(spark):
+    import math
+
+    from aws_glue_cdc_metrics_job_spark.operators import similarity
+
+    rows = [(1, [3.0, 4.0] + [9.9] * 62), (2, [0.0] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.matryoshka_truncate(df, m=2).collect()
+    got = {(r["vec_id"], r["DIM"]): r["VAL"] for r in out}
+    assert got[(1, 0)] == 0.6 and got[(1, 1)] == 0.8
+    # zero-norm prefix -> zeros, not NaN
+    assert got[(2, 0)] == 0.0 and got[(2, 1)] == 0.0
+    # renormalized prefix has unit length
+    assert math.isclose(got[(1, 0)] ** 2 + got[(1, 1)] ** 2, 1.0, abs_tol=1e-5)
+
+
+def test_perceptron_step_hand_case(spark):
+    from aws_glue_cdc_metrics_job_spark.operators import similarity
+
+    # w = [1, 0]; positives along +x are correct, negative at +x misclassified
+    rows = [
+        (1, [2.0, 0.0], 0),   # y=+1, margin 2 > 0 -> correct
+        (2, [1.0, 1.0], 5),   # y=-1, margin 1 -> miscl, contributes (-1, -1)
+        (3, [-1.0, 2.0], 0),  # y=+1, margin -1 -> miscl, contributes (-1, 2)
+        (4, [-3.0, 1.0], 7),  # y=-1, margin -3 -> correct
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["DIM"]: r for r in similarity.perceptron_step(df, [1.0, 0.0], lr=0.1).collect()}
+    assert out[0]["N_MISCLASSIFIED"] == 2 and out[1]["N_MISCLASSIFIED"] == 2
+    assert out[0]["GRAD_VAL"] == -2.0 and out[1]["GRAD_VAL"] == 1.0
+    assert out[0]["W_NEW"] == 1.0 + 0.1 * -2.0
+    assert out[1]["W_NEW"] == 0.0 + 0.1 * 1.0
+
+
+def test_rrf_fuse_orders_and_bounds(spark):
+    from aws_glue_cdc_metrics_job_spark.operators import similarity
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "DOC_ID long, RANK long")
+    b = spark.createDataFrame([(11, 1), (12, 2), (13, 3)], "DOC_ID long, RANK long")
+    out = similarity.rrf_fuse([a, b], top=3).collect()
+    got = {r["DOC_ID"]: (r["N_LISTS"], r["RRF_PPB"]) for r in out}
+    # 11 appears rank2+rank1 -> top id
+    assert out[0]["DOC_ID"] == 11 and got[11][0] == 2
+    assert got[11][1] == 1000000000 // 62 + 1000000000 // 61
+    # top=3 bound respected
+    assert len(out) == 3

@@ -499,3 +499,67 @@ def test_gopher_rules_report(spark):
     assert got["too_many_tokens"] == (0, 0)
     # doc 4 is all 'a' (an EN stopword); docs 1-3 carry none -> 3 violate
     assert got["no_stopword"] == (3, 750000)
+
+
+# --- word bigrams / bigram LM / DSIR ---------------------------------------
+
+
+def test_word_bigrams_shape(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(1, "a b c"), (2, "solo"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bg"]
+        for r in df.select("doc_id", F.col("text"), text.word_bigrams().alias("bg")).collect()
+    }
+    assert [(p["w1"], p["w2"]) for p in got[1]] == [("a", "b"), ("b", "c")]
+    assert got[2] == [] and got[3] == []
+
+
+def test_bigram_logprob_known_corpus(spark):
+    # corpus: doc1 "a b a b", doc2 "a c". bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    # tokens: a:3 b:2 c:1, N=6. starts: a->3, b->1.
+    import math
+
+    rows = [(1, "a b a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.bigram_logprob(df, lam=0.75).collect()}
+    assert got[1]["N_BIGRAMS"] == 3 and got[2]["N_BIGRAMS"] == 1
+
+    def srp(c12, c1s, c2, n=6):
+        p = 0.75 * (c12 / c1s) + 0.25 * (c2 / n)
+        x = -math.log(p)
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    exp1 = (srp(2, 3, 2) + srp(1, 1, 3) + srp(2, 3, 2)) / 3
+    assert got[1]["AVG_NEG_LOGPROB"] == pytest.approx(
+        math.floor(exp1 * 1e6 + 0.5) / 1e6, abs=1e-9
+    )
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    import pyspark.sql.functions as F
+
+    # target slice repeats "good data"; raw noise repeats "bad junk".
+    rows = [(i, "good data " * 10, "t") for i in range(10)]
+    rows += [(100 + i, "bad junk " * 10, "r") for i in range(10)]
+    rows += [(200, "good data good data", "?"), (201, "bad junk bad junk", "?")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = {
+        r["doc_id"]: r["LOG_WEIGHT"]
+        for r in text.dsir_weights(df, target=F.col("grp") == "t").collect()
+    }
+    # a target-looking doc must outscore a raw-looking doc
+    assert out[200] > out[201]
+    # docs with no bigrams are absent
+    assert all(r is not None for r in out.values())
+
+
+def test_dsir_short_docs_dropped(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(1, "one"), (2, ""), (3, "two words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.dsir_weights(df, target=F.lit(True)).collect()
+    assert {r["doc_id"] for r in out} == {3}
