@@ -967,9 +967,18 @@ def dsir_weights(
             F.lit(buckets),
         ).alias("__b"),
     )
-    counts = occ.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__cr"),
-        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+    # collapse the occurrence stream to (doc, bucket, multiplicity) BEFORE
+    # any join: the log-ratio is constant per bucket, so sum(cnt * lr) ==
+    # sum-over-occurrences(lr) exactly (decimal arithmetic), and the join
+    # input shrinks from occurrence count to <= min(occurrences, buckets)
+    # rows per doc.
+    docbk = occ.groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__nt"),
+    )
+    counts = docbk.groupBy("__b").agg(
+        F.sum("__n").alias("__cr"),
+        F.sum("__nt").alias("__ct"),
     )
     tot = counts.agg(F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt"))
     lr = rhu(
@@ -979,11 +988,16 @@ def dsir_weights(
     )
     ratio = counts.join(F.broadcast(tot)).select("__b", lr.cast("decimal(28,9)").alias("__lr"))
     return (
-        occ.join(F.broadcast(ratio), "__b")
+        docbk.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("N_FEATURES"),
-            rhu(F.sum("__lr").cast("double"), 6).alias("LOG_WEIGHT"),
+            F.sum("__n").cast("long").alias("N_FEATURES"),
+            # decimal(9,0) multiplicity keeps the product inside
+            # DECIMAL(38,9) -- a bigint operand would trigger Spark's
+            # precision-loss scale reduction and drift off the lattice
+            rhu(
+                F.sum(F.col("__n").cast("decimal(9,0)") * F.col("__lr")).cast("double"), 6
+            ).alias("LOG_WEIGHT"),
         )
     )
 
@@ -1017,7 +1031,13 @@ def bigram_logprob(
     occ = df.select(F.col(id_col), F.explode(word_bigrams(text_col)).alias("__p")).select(
         id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
     )
-    pair = occ.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    # collapse to per-doc distinct bigrams with multiplicities before the
+    # three model-table joins: the surprisal is constant per (w1, w2), so
+    # sum(cnt * srp) over distinct triples equals the per-occurrence sum
+    # exactly (decimal arithmetic) while the join input shrinks from
+    # occurrence count to per-doc distinct-bigram count.
+    docpair = occ.groupBy(id_col, "__w1", "__w2").agg(F.count(F.lit(1)).alias("__k"))
+    pair = docpair.groupBy("__w1", "__w2").agg(F.sum("__k").alias("__c12"))
     starts = pair.groupBy("__w1").agg(F.sum("__c12").alias("__c1s"))
     toks = df.select(F.explode(tokens(text_col)).alias("__w2"))
     uni = toks.groupBy("__w2").agg(F.count(F.lit(1)).alias("__c2"))
@@ -1026,13 +1046,18 @@ def bigram_logprob(
         F.col("__c2") / F.col("__n")
     )
     scored = (
-        occ.join(pair, ["__w1", "__w2"])
+        docpair.join(pair, ["__w1", "__w2"])
         .join(starts, "__w1")
         .join(uni, "__w2")
         .join(F.broadcast(n_tot))
         .withColumn("__srp", rhu(-F.log(p), 9).cast("decimal(28,9)"))
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("N_BIGRAMS"),
-        rhu(F.sum("__srp").cast("double") / F.count(F.lit(1)), 6).alias("AVG_NEG_LOGPROB"),
+        F.sum("__k").cast("long").alias("N_BIGRAMS"),
+        # decimal(9,0) multiplicity: see dsir_weights precision note
+        rhu(
+            F.sum(F.col("__k").cast("decimal(9,0)") * F.col("__srp")).cast("double")
+            / F.sum("__k"),
+            6,
+        ).alias("AVG_NEG_LOGPROB"),
     )
