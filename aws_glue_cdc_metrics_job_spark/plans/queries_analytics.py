@@ -981,7 +981,7 @@ def q_parts_small_qty_revenue(spark: SparkSession, sf_dir: str):
         (dsum("l_quantity") / F.count(F.lit(1))).alias("__avg_q")
     )
     return (
-        t.join(a, "l_partkey")
+        t.join(F.broadcast(a), "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("__avg_q"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("N_SMALL"),

@@ -565,3 +565,25 @@ def test_winnow_overlap_stoplist_bounds_fanout(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = winnow_overlap_pairs(df, min_shared=1, max_doc_freq=3).collect()
     assert got == []
+
+
+def test_scoped_persist_bounded_and_plan_keyed(spark):
+    """The persist scope must (a) stay bounded across many DIFFERENT plans
+    (the round-1 leak) and (b) NOT evict the shared CacheManager entry when
+    the SAME plan is re-persisted (the round-4 self-eviction fix: repeated
+    identical calls must stay cached)."""
+    from aws_glue_cdc_metrics_job_spark.operators import dedup as D
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = spark.range(100).selectExpr("id", "id * 2 AS v")
+
+    # same plan thrice: one scope entry, handle reused, stays cached
+    h1 = D._scoped_persist(base.groupBy("v").count())
+    h2 = D._scoped_persist(base.groupBy("v").count())
+    assert h2 is h1
+    assert h1.storageLevel.useMemory
+
+    # many different plans: scope stays bounded at the cap
+    for i in range(5):
+        D._scoped_persist(base.filter(f"id > {i}").groupBy("v").count())
+    assert len(D._PERSIST_SCOPE) <= D._PERSIST_CAP
