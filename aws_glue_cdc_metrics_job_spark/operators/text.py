@@ -922,6 +922,7 @@ def dsir_weights(
     text_col: str = "text",
     buckets: int = 1024,
     seed: str = "dsir0",
+    portable: bool = True,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (Xie et al. 2023) log
     importance weights over hashed word-bigram features: docs whose hashed
@@ -947,14 +948,10 @@ def dsir_weights(
 
     Returns (id_col, N_FEATURES, LOG_WEIGHT); docs with no bigram (< 2
     tokens) are dropped -- they carry no evidence either way."""
-    occ = df.select(
-        F.col(id_col),
-        target.cast("boolean").alias("__is_t"),
-        F.explode(word_bigrams(text_col)).alias("__p"),
-    ).select(
-        id_col,
-        "__is_t",
-        F.pmod(
+    if portable:
+        # md5 + hex parse: cross-engine-replayable bucketing (the oracle
+        # recomputes identical buckets in DuckDB)
+        bk = F.pmod(
             F.conv(
                 F.substring(
                     F.md5(F.concat_ws("|", F.col("__p.w1"), F.col("__p.w2"), F.lit(seed))),
@@ -965,8 +962,18 @@ def dsir_weights(
                 10,
             ).cast("long"),
             F.lit(buckets),
-        ).alias("__b"),
-    )
+        )
+    else:
+        # engine-fast path: one JVM xxhash64 per bigram instead of md5 +
+        # hex parse -- same model semantics under a different (still
+        # deterministic) feature hash, NOT oracle-replayable. The 100TB
+        # default, same convention as sketches._cm_col.
+        bk = F.pmod(F.xxhash64("__p.w1", "__p.w2", F.lit(seed)), F.lit(buckets))
+    occ = df.select(
+        F.col(id_col),
+        target.cast("boolean").alias("__is_t"),
+        F.explode(word_bigrams(text_col)).alias("__p"),
+    ).select(id_col, "__is_t", bk.alias("__b"))
     # collapse the occurrence stream to (doc, bucket, multiplicity) BEFORE
     # any join: the log-ratio is constant per bucket, so sum(cnt * lr) ==
     # sum-over-occurrences(lr) exactly (decimal arithmetic), and the join

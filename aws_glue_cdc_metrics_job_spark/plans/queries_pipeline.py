@@ -2362,3 +2362,16 @@ def q_emb_perceptron_step(spark: SparkSession, sf_dir: str):
     exp()/sigmoid so every op replays exactly cross-engine."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.perceptron_step(emb, _PC_W, positive_label=0, lr=0.01)
+
+
+@query("docs_dsir_weights_fast")  # no oracle: xxhash64 buckets exist only Spark-side
+def q_docs_dsir_weights_fast(spark: SparkSession, sf_dir: str):
+    """The 100TB-default DSIR path: identical model/plan to
+    docs_dsir_weights but one JVM xxhash64 per bigram instead of md5 +
+    hex parse (the sketches portable=False convention). Rows-only driver
+    check; the md5 twin is the oracle-verified anchor and
+    tests/test_text.py pins the fast path's selection invariants."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.dsir_weights(
+        docs, target=F.col("lang") == "en", buckets=1024, seed="dsir0", portable=False
+    )

@@ -120,6 +120,7 @@ HEADLINE = [
     "emb_norm_buckets",
     # round 4b additions (post-window; graded r5)
     "docs_dsir_weights",
+    "docs_dsir_weights_fast",
     "docs_bigram_logprob",
     "docs_hybrid_rrf",
     "emb_matryoshka",

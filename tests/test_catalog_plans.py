@@ -54,6 +54,7 @@ BOUNDED_BROADCAST_OK = {
     "lineitem_basket_pairs": (1, "1-row basket-count frame (relational.basket_pairs)"),
     # bucket-model ratios cross the bucket table with the ONE-ROW totals
     "docs_dsir_weights": (1, "1-row corpus/target-total frame (text.dsir_weights)"),
+    "docs_dsir_weights_fast": (1, "1-row corpus/target-total frame (text.dsir_weights)"),
     # interpolation denominator crosses occurrences with the ONE-ROW N frame
     "docs_bigram_logprob": (1, "1-row token-total frame (text.bigram_logprob)"),
     # fused candidate lists are rank-bounded; BM25 carries its 1-row stats

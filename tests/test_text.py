@@ -563,3 +563,19 @@ def test_dsir_short_docs_dropped(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = text.dsir_weights(df, target=F.lit(True)).collect()
     assert {r["doc_id"] for r in out} == {3}
+
+
+def test_dsir_fast_path_same_invariants(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(i, "good data " * 10, "t") for i in range(10)]
+    rows += [(100 + i, "bad junk " * 10, "r") for i in range(10)]
+    rows += [(200, "good data good data", "?"), (201, "bad junk bad junk", "?")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = {
+        r["doc_id"]: r
+        for r in text.dsir_weights(df, target=F.col("grp") == "t", portable=False).collect()
+    }
+    # same direction as the md5 path; feature counts are hash-independent
+    assert out[200]["LOG_WEIGHT"] > out[201]["LOG_WEIGHT"]
+    assert out[200]["N_FEATURES"] == 3 and out[201]["N_FEATURES"] == 3
