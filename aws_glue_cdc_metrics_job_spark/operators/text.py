@@ -1068,3 +1068,67 @@ def bigram_logprob(
             6,
         ).alias("AVG_NEG_LOGPROB"),
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with trained BPE merges (the apply side of
+    :func:`bpe_train`): each word becomes its merged symbol sequence,
+    applying the merge list in training order, each merge left-to-right
+    non-overlapping -- exactly the loop bpe_train itself uses, so
+    encode(train(corpus)) round-trips.
+
+    Distribution: the Arrow kernel encodes each DISTINCT word once (the
+    same vocabulary-bounded working set the trainer uses -- per-word cost
+    is O(len * n_merges) however large the corpus), and the word ->
+    pieces map joins back onto the token stream on the word key. The
+    per-doc reassembly keeps token order via posexplode + array_sort
+    (collect_list order is not deterministic under retries; sorted
+    structs are).
+
+    Returns (id_col, N_WORDS, N_PIECES, ENCODED): ENCODED joins pieces
+    with spaces and words with ' | '. Not SQL-replayable (the iterative
+    merge loop) -> rows-only driver check; exactness is pinned against a
+    pure-Python reference in tests/test_text.py."""
+    import pandas as pd
+
+    def encode_words(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["WORD"]:
+                syms = list(w)
+                for left, right in merges:
+                    i, n, merged = 0, len(syms), []
+                    while i < n:
+                        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                out.append(" ".join(syms))
+            yield pd.DataFrame({"WORD": pdf["WORD"], "PIECES": out})
+
+    vocab = df.select(F.explode(tokens(text_col)).alias("WORD")).distinct()
+    pieces = vocab.mapInPandas(encode_words, schema="WORD string, PIECES string")
+    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "WORD"))
+    return (
+        toks.join(pieces, "WORD")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("N_WORDS"),
+            F.sum(F.size(F.split(F.col("PIECES"), " "))).cast("long").alias("N_PIECES"),
+            F.concat_ws(
+                " | ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "PIECES"))),
+                    lambda s: s["PIECES"],
+                ),
+            ).alias("ENCODED"),
+        )
+    )

@@ -2375,3 +2375,16 @@ def q_docs_dsir_weights_fast(spark: SparkSession, sf_dir: str):
     return text.dsir_weights(
         docs, target=F.col("lang") == "en", buckets=1024, seed="dsir0", portable=False
     )
+
+
+@query("docs_bpe_encode")  # no oracle: iterative merge application is not SQL-replayable
+def q_docs_bpe_encode(spark: SparkSession, sf_dir: str):
+    """Train-then-apply BPE round trip (text.bpe_train + text.bpe_encode):
+    8 merges trained on the corpus (one scalar argmax collect per round),
+    then every document encoded via the vocabulary-bounded Arrow kernel +
+    token-stream join. Rows-only driver check; encode exactness vs a
+    pure-Python reference and the lossless-reconstruction property are
+    pinned in tests/test_text.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=8, min_pair_count=2)
+    return text.bpe_encode(docs, merges)

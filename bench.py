@@ -127,6 +127,7 @@ HEADLINE = [
     "emb_perceptron_step",
     "parts_small_qty_revenue",
     "orders_bulk_quantity",
+    "docs_bpe_encode",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

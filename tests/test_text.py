@@ -579,3 +579,37 @@ def test_dsir_fast_path_same_invariants(spark):
     # same direction as the md5 path; feature counts are hash-independent
     assert out[200]["LOG_WEIGHT"] > out[201]["LOG_WEIGHT"]
     assert out[200]["N_FEATURES"] == 3 and out[201]["N_FEATURES"] == 3
+
+
+def test_bpe_encode_round_trip_and_reference(spark):
+    rows = [(1, "low lower lowest"), (2, "low low newer")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = text.bpe_train(df, n_merges=3, min_pair_count=2)
+    assert merges  # corpus has repeated pairs
+
+    # pure-Python reference: same merge loop over each word
+    def ref_encode(word):
+        syms = list(word)
+        for l, r in merges:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r for r in text.bpe_encode(df, merges).collect()}
+    for doc_id, txt in rows:
+        words = txt.split()
+        exp_pieces = [ref_encode(w) for w in words]
+        assert got[doc_id]["N_WORDS"] == len(words)
+        assert got[doc_id]["N_PIECES"] == sum(len(p) for p in exp_pieces)
+        assert got[doc_id]["ENCODED"] == " | ".join(" ".join(p) for p in exp_pieces)
+
+    # concatenating a word's pieces reconstructs the word (lossless)
+    for seg in got[1]["ENCODED"].split(" | "):
+        assert seg.replace(" ", "") in {"low", "lower", "lowest"}
