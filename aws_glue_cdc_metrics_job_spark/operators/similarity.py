@@ -1352,3 +1352,42 @@ def rrf_fuse(
         .orderBy(F.col("RRF_PPB").desc(), F.col(id_col))
         .limit(top)
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    init_weights: list[float],
+    iters: int = 5,
+    positive_label: int = 0,
+    lr: float = 0.01,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> list[float]:
+    """Train the one-vs-rest linear classifier with bounded batch
+    perceptron rounds (the kmeans_train pattern): each round is one
+    :func:`perceptron_step`; only the dim-bounded updated weight vector
+    crosses to the driver (64 scalars -- the same k-bounded driver
+    traffic contract as the centroid loop), where it becomes the next
+    round's literal weights. Stops early when a round misclassifies
+    nothing (no gradient rows) or leaves every weight unchanged at 6 dp.
+
+    Because each round's weights land on the 6-dp lattice before
+    re-entering the expression as literals, the whole trajectory is
+    bit-reproducible at any partitioning -- restartable distributed
+    training. Returns the final weight list."""
+    w = [float(x) for x in init_weights]
+    for _ in range(iters):
+        upd = perceptron_step(
+            df, w, positive_label=positive_label, lr=lr,
+            id_col=id_col, vec_col=vec_col, label_col=label_col,
+        ).collect()
+        if not upd:
+            break
+        new_w = list(w)
+        for r in upd:
+            new_w[r["DIM"]] = r["W_NEW"]
+        if new_w == w:
+            break
+        w = new_w
+    return w

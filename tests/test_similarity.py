@@ -370,3 +370,18 @@ def test_rrf_fuse_orders_and_bounds(spark):
     assert got[11][1] == 1000000000 // 62 + 1000000000 // 61
     # top=3 bound respected
     assert len(out) == 3
+
+
+def test_perceptron_train_converges_on_separable_data(spark):
+    from aws_glue_cdc_metrics_job_spark.operators import similarity
+
+    # linearly separable: label 0 lives at x>0, others at x<0
+    rows = [(i, [1.0 + 0.1 * i, 0.5], 0) for i in range(5)]
+    rows += [(10 + i, [-1.0 - 0.1 * i, 0.4], 3) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    w = similarity.perceptron_train(df, [0.0, 0.0], iters=20, lr=0.5)
+    # trained weights classify every row correctly -> step yields no rows
+    left = similarity.perceptron_step(df, w, lr=0.5).collect()
+    assert left == []
+    # determinism: retraining gives the identical trajectory
+    assert similarity.perceptron_train(df, [0.0, 0.0], iters=20, lr=0.5) == w
