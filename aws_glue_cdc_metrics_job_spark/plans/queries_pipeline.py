@@ -2388,3 +2388,16 @@ def q_docs_bpe_encode(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=8, min_pair_count=2)
     return text.bpe_encode(docs, merges)
+
+
+@query("emb_perceptron_train")  # no oracle: weights re-enter as literals per round (iterative)
+def q_emb_perceptron_train(spark: SparkSession, sf_dir: str):
+    """Bounded perceptron training (similarity.perceptron_train): 3
+    rounds from the md5-seeded init, final weights as long form
+    (DIM, W). Each round's graded-step mechanics are oracle-verified via
+    emb_perceptron_step; the loop's convergence/determinism invariants
+    are pinned in tests/test_similarity.py. Rows-only driver check."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    w = similarity.perceptron_train(emb, _PC_W, iters=3, positive_label=0, lr=0.01)
+    rows = [(int(d), float(x)) for d, x in enumerate(w)]
+    return spark.createDataFrame(rows, "DIM int, W double")

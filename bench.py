@@ -128,6 +128,7 @@ HEADLINE = [
     "parts_small_qty_revenue",
     "orders_bulk_quantity",
     "docs_bpe_encode",
+    "emb_perceptron_train",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes
