@@ -63,3 +63,65 @@ def incremental_query(table: str, ts_col: str, watermark: str) -> str:
         if not _IDENT.match(ident):
             raise ValueError(f"invalid SQL identifier: {ident!r}")
     return f"SELECT * FROM {table} WHERE {ts_col} >= '{watermark}'"
+
+
+def sqlserver_url(
+    host: str,
+    port: int = 1433,
+    database: str | None = None,
+    encrypt: bool = True,
+    trust_server_certificate: bool = False,
+) -> str:
+    """The open-Spark image of the reference's Glue
+    ``connection_type="sqlserver"`` connection (scripts/cdc_metrics_job.py
+    :59-76): a standard ``jdbc:sqlserver://`` URL for Spark's built-in
+    JDBC source with the Microsoft driver. The Glue ``connectionName`` /
+    ``useConnectionProperties`` indirection becomes explicit host/port/
+    database arguments (credentials belong in reader options, never the
+    URL, so they can't leak into plan strings or logs)."""
+    for part in (host, str(database or "")):
+        if ";" in part or "=" in part:
+            raise ValueError(f"invalid sqlserver URL component: {part!r}")
+    url = f"jdbc:sqlserver://{host}:{int(port)}"
+    props = []
+    if database is not None:
+        props.append(f"databaseName={database}")
+    props.append(f"encrypt={'true' if encrypt else 'false'}")
+    if trust_server_certificate:
+        props.append("trustServerCertificate=true")
+    return url + ";" + ";".join(props)
+
+
+def sqlserver_read(
+    spark: SparkSession,
+    host: str,
+    table: str | None = None,
+    query: str | None = None,
+    port: int = 1433,
+    database: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """SQL Server read through the generic :func:`jdbc_read` builder --
+    the full-scan (``dbtable``) and watermark-pushdown (``customSql`` ->
+    ``query``, built via :func:`incremental_query`) paths of the
+    reference's three-table ingest. Driver class is pinned so the read
+    fails fast with a clear error when the jar is absent rather than
+    falling through to URL guessing. Same parallel-read contract as
+    jdbc_read: pass partition_column/bounds for anything big."""
+    opts = {"driver": "com.microsoft.sqlserver.jdbc.SQLServerDriver"}
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    opts.update({k: v for k, v in kwargs.items() if isinstance(v, str)})
+    passthrough = {k: v for k, v in kwargs.items() if not isinstance(v, str)}
+    return jdbc_read(
+        spark,
+        sqlserver_url(host, port=port, database=database),
+        table=table,
+        query=query,
+        **passthrough,
+        **opts,
+    )

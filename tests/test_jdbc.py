@@ -39,3 +39,28 @@ def test_jdbc_read_fails_cleanly_without_driver(spark):
             num_partitions=4,
         )
     assert "driver" in str(ei.value).lower() or "No suitable" in str(ei.value)
+
+
+def test_sqlserver_url_shape():
+    from aws_glue_cdc_metrics_job_spark.sources.jdbc import sqlserver_url
+
+    url = sqlserver_url("db.internal", 1433, database="sales")
+    assert url == "jdbc:sqlserver://db.internal:1433;databaseName=sales;encrypt=true"
+    url2 = sqlserver_url("h", database="d", encrypt=False, trust_server_certificate=True)
+    assert url2.endswith("encrypt=false;trustServerCertificate=true")
+    with pytest.raises(ValueError):
+        sqlserver_url("h;databaseName=evil")
+
+
+def test_sqlserver_read_fails_on_driver_not_plumbing(spark):
+    from aws_glue_cdc_metrics_job_spark.sources.jdbc import incremental_query, sqlserver_read
+
+    # the reference's order_items watermark path: customSql -> query
+    q = incremental_query("order_items", "CREATION_TIME_UTC", "2024-01-01 00:00:00")
+    with pytest.raises(Exception) as ei:
+        sqlserver_read(spark, "localhost", query=q, database="x", user="u", password="p")
+    msg = str(ei.value)
+    assert "SQLServerDriver" in msg or "driver" in msg.lower() or "No suitable" in msg
+    # credentials stay out of the URL
+    from aws_glue_cdc_metrics_job_spark.sources.jdbc import sqlserver_url
+    assert "password" not in sqlserver_url("localhost", database="x")
