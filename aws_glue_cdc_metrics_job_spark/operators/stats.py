@@ -46,6 +46,17 @@ def _poisson_weight(u_hex: F.Column) -> F.Column:
     return w.otherwise(_POISSON_MAX)
 
 
+def _poisson_weight_int(u32: F.Column) -> F.Column:
+    """Fast-path twin of :func:`_poisson_weight`: the same cumulative
+    thresholds compared as integers on the 2^32 lattice (for xxhash64
+    draws, which exist only Spark-side)."""
+    w = None
+    for k, thr in enumerate(poisson1_hex_thresholds()):
+        cond = u32 < F.lit(int(thr, 16))
+        w = F.when(cond, k) if w is None else w.when(cond, k)
+    return w.otherwise(_POISSON_MAX)
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     value_col: str,
@@ -55,6 +66,7 @@ def bootstrap_mean_ci(
     level: float = 0.95,
     seed: str = "bs",
     scale: int = 2,
+    portable: bool = True,
 ) -> DataFrame:
     """Per-group mean with a percentile-bootstrap confidence interval:
     ``b`` Poisson(1) replicates, each replicate's mean an exact-decimal
@@ -71,20 +83,33 @@ def bootstrap_mean_ci(
     group_cols = group_cols or []
     lo_q, hi_q = (1 - level) / 2, 1 - (1 - level) / 2
     rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__rep")
-    u = F.substring(
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[F.col(c).cast("string") for c in key_cols],
-                F.col("__rep").cast("string"),
-                F.lit(seed),
-            )
-        ),
-        1,
-        _HEX_DIGITS,
-    )
+    if portable:
+        u = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(c).cast("string") for c in key_cols],
+                    F.col("__rep").cast("string"),
+                    F.lit(seed),
+                )
+            ),
+            1,
+            _HEX_DIGITS,
+        )
+        weight = _poisson_weight(u)
+    else:
+        # engine-fast path: one JVM xxhash64 per (row, replicate) instead
+        # of an md5 + substring -- a DIFFERENT (still deterministic,
+        # still uniform) draw stream, so the interval differs within
+        # bootstrap noise; NOT oracle-replayable (sketches._cm_col
+        # convention). The 100TB default when cross-engine replay of the
+        # draws themselves isn't required.
+        u32 = F.pmod(
+            F.xxhash64(*key_cols, F.col("__rep"), F.lit(seed)), F.lit(1 << 32)
+        )
+        weight = _poisson_weight_int(u32)
     reps = df.select(*group_cols, *key_cols, F.col(value_col), rep).withColumn(
-        "__w", _poisson_weight(u)
+        "__w", weight
     )
     means = (
         reps.groupBy(*group_cols, "__rep")

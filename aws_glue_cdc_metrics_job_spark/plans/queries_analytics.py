@@ -1036,3 +1036,23 @@ def q_orders_bulk_quantity(spark: SparkSession, sf_dir: str):
             "TOTAL_QTY",
         )
     )
+
+
+@query("events_value_bootstrap_ci_fast")  # no oracle: xxhash64 draws exist only Spark-side
+def q_events_value_bootstrap_ci_fast(spark: SparkSession, sf_dir: str):
+    """The 100TB-default bootstrap path: identical replicate/percentile
+    machinery to events_value_bootstrap_ci but one JVM xxhash64 per
+    (row, replicate) instead of md5 + substring (stats.bootstrap_mean_ci
+    portable=False). A different deterministic draw stream, so the
+    interval differs within bootstrap noise; the md5 twin is the
+    oracle-verified anchor and tests/test_stats.py pins MEAN equality
+    and interval sanity between the two paths."""
+    from ..operators.stats import bootstrap_mean_ci
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("EVENT_TYPE"), "value"
+    )
+    return bootstrap_mean_ci(
+        ev, "value", ["event_id"], group_cols=["EVENT_TYPE"], b=100, seed="bs1",
+        portable=False,
+    )

@@ -129,6 +129,7 @@ HEADLINE = [
     "orders_bulk_quantity",
     "docs_bpe_encode",
     "emb_perceptron_train",
+    "events_value_bootstrap_ci_fast",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -116,3 +116,22 @@ class TestGroupedTrend:
         a = grouped_trend(df1, "x", "y", ["g"]).collect()[0]
         b = grouped_trend(df8, "x", "y", ["g"]).collect()[0]
         assert tuple(a) == tuple(b)
+
+
+def test_bootstrap_fast_path_same_point_estimates(spark):
+    rows = [(i, "a", float(i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, g string, value double")
+    slow = bootstrap_mean_ci(df, "value", ["k"], group_cols=["g"], b=50, seed="s").collect()[0]
+    fast = bootstrap_mean_ci(
+        df, "value", ["k"], group_cols=["g"], b=50, seed="s", portable=False
+    ).collect()[0]
+    # point estimates are draw-independent and must agree exactly
+    assert fast["N_ROWS"] == slow["N_ROWS"] and fast["MEAN"] == slow["MEAN"]
+    # both intervals bracket the mean and are sane
+    for r in (slow, fast):
+        assert r["CI_LO"] <= r["MEAN"] <= r["CI_HI"]
+    # deterministic: re-running the fast path reproduces the interval
+    fast2 = bootstrap_mean_ci(
+        df, "value", ["k"], group_cols=["g"], b=50, seed="s", portable=False
+    ).collect()[0]
+    assert (fast["CI_LO"], fast["CI_HI"]) == (fast2["CI_LO"], fast2["CI_HI"])
