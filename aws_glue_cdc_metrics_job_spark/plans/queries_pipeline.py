@@ -2401,3 +2401,113 @@ def q_emb_perceptron_train(spark: SparkSession, sf_dir: str):
     w = similarity.perceptron_train(emb, _PC_W, iters=3, positive_label=0, lr=0.01)
     rows = [(int(d), float(x)) for d, x in enumerate(w)]
     return spark.createDataFrame(rows, "DIM int, W double")
+
+
+@query(
+    "docs_selection_pipeline",
+    oracle=f"""
+WITH fil AS (
+  SELECT doc_id, lang, toks FROM (SELECT doc_id, lang, {_TOKS_NE} AS toks FROM documents)
+  WHERE len(toks) BETWEEN 3 AND 500
+    AND list_sum(list_transform(toks, x -> len(x))) BETWEEN 2 * len(toks) AND 12 * len(toks)
+),
+socc AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) - 1),
+                               i -> {{'w1': toks[i + 1], 'w2': toks[i + 2]}}),
+                recursive := true) AS _
+  FROM fil
+),
+spair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM socc GROUP BY 1, 2),
+sstarts AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1s FROM spair GROUP BY 1),
+stok AS (SELECT unnest(toks) AS w2 FROM fil),
+suni AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM stok GROUP BY 1),
+sntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM stok),
+ssrp AS (
+  SELECT socc.doc_id,
+         CAST({sql_rhu("-ln(0.75 * (c12 / c1s) + 0.25 * (c2 / n))", 9)}
+              AS DECIMAL(28,9)) AS srp
+  FROM socc JOIN spair USING (w1, w2) JOIN sstarts USING (w1) JOIN suni USING (w2), sntot
+),
+lm AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+         {sql_rhu("CAST(SUM(srp) AS DOUBLE) / COUNT(*)", 6)} AS anlp
+  FROM ssrp GROUP BY 1
+),
+docc AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         unnest(list_transform(range(0, len(toks) - 1),
+                               i -> toks[i + 1] || '|' || toks[i + 2])) AS bg
+  FROM fil
+),
+db AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(bg || '|dsir0'), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bk
+  FROM docc
+),
+dc AS (
+  SELECT bk, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS ct
+  FROM db GROUP BY 1
+),
+dtot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM dc),
+dr AS (
+  SELECT bk,
+         CAST({sql_rhu("ln((ct + 1) / (tt + 1024)) - ln((cr + 1) / (tr + 1024))", 9)}
+              AS DECIMAL(28,9)) AS lr
+  FROM dc, dtot
+),
+wt AS (
+  SELECT db.doc_id, {sql_rhu("CAST(SUM(lr) AS DOUBLE)", 6)} AS lw
+  FROM db JOIN dr USING (bk) GROUP BY 1
+),
+sel AS (
+  SELECT f.doc_id, f.lang, lm.nb, lm.anlp, wt.lw,
+         ROW_NUMBER() OVER (PARTITION BY f.lang ORDER BY lm.anlp ASC, f.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY f.lang) AS cnt
+  FROM fil f JOIN lm USING (doc_id) JOIN wt USING (doc_id)
+)
+SELECT doc_id AS DOC_ID, lang AS LANG, nb AS N_BIGRAMS,
+       anlp AS AVG_NEG_LOGPROB, lw AS LOG_WEIGHT
+FROM sel WHERE rn <= CEIL(cnt * 0.5) AND lw > 0
+""",
+)
+def q_docs_selection_pipeline(spark: SparkSession, sf_dir: str):
+    """Flagship data-selection composite (the round-4 operators chained
+    the way a pretraining mix build chains them): Gopher-style structural
+    pre-filter (token count 3..500, mean word length 2..12 as integer
+    bounds) -> bigram-LM surprisal scored on the SURVIVING corpus ->
+    DSIR importance weights against the lang='en' target slice ->
+    keep the low-perplexity half per language, target-like docs only
+    (LOG_WEIGHT > 0). One declarative plan: both model joins are
+    doc-keyed, the selection windows run per language, and Catalyst
+    shares the filtered scan across the two models."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    fil = docs.filter(
+        n.between(3, 500) & (sum_len >= 2 * n) & (sum_len <= 12 * n)
+    )
+    lm = text.bigram_logprob(fil, lam=0.75)
+    wt = text.dsir_weights(fil, target=F.col("lang") == "en", buckets=1024, seed="dsir0")
+    joined = (
+        fil.select("doc_id", "lang")
+        .join(lm, "doc_id")
+        .join(wt.select("doc_id", "LOG_WEIGHT"), "doc_id")
+    )
+    wlang = Window.partitionBy("lang")
+    sel = joined.select(
+        F.col("doc_id").alias("DOC_ID"),
+        F.col("lang").alias("LANG"),
+        "N_BIGRAMS",
+        "AVG_NEG_LOGPROB",
+        "LOG_WEIGHT",
+        F.row_number()
+        .over(wlang.orderBy(F.col("AVG_NEG_LOGPROB").asc(), F.col("doc_id")))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(wlang).alias("__cnt"),
+    )
+    return sel.filter(
+        (F.col("__rn") <= F.ceil(F.col("__cnt") * 0.5)) & (F.col("LOG_WEIGHT") > 0)
+    ).drop("__rn", "__cnt")

@@ -130,6 +130,7 @@ HEADLINE = [
     "docs_bpe_encode",
     "emb_perceptron_train",
     "events_value_bootstrap_ci_fast",
+    "docs_selection_pipeline",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -59,6 +59,8 @@ BOUNDED_BROADCAST_OK = {
     "docs_bigram_logprob": (1, "1-row token-total frame (text.bigram_logprob)"),
     # fused candidate lists are rank-bounded; BM25 carries its 1-row stats
     "docs_hybrid_rrf": (1, "1-row corpus-stats frame (text.bm25_topk)"),
+    # the selection composite inherits BOTH models' 1-row total frames
+    "docs_selection_pipeline": (2, "1-row totals: bigram_logprob N + dsir_weights corpus/target"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")
