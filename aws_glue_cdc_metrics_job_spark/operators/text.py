@@ -948,27 +948,12 @@ def dsir_weights(
 
     Returns (id_col, N_FEATURES, LOG_WEIGHT); docs with no bigram (< 2
     tokens) are dropped -- they carry no evidence either way."""
-    if portable:
-        # md5 + hex parse: cross-engine-replayable bucketing (the oracle
-        # recomputes identical buckets in DuckDB)
-        bk = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", F.col("__p.w1"), F.col("__p.w2"), F.lit(seed))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(buckets),
-        )
-    else:
-        # engine-fast path: one JVM xxhash64 per bigram instead of md5 +
-        # hex parse -- same model semantics under a different (still
-        # deterministic) feature hash, NOT oracle-replayable. The 100TB
-        # default, same convention as sketches._cm_col.
-        bk = F.pmod(F.xxhash64("__p.w1", "__p.w2", F.lit(seed)), F.lit(buckets))
+    # portable=True: md5 + hex parse, cross-engine-replayable bucketing
+    # (the oracle recomputes identical buckets in DuckDB). portable=False:
+    # one JVM xxhash64 per bigram -- same model semantics under a
+    # different (still deterministic) feature hash, NOT oracle-replayable;
+    # the 100TB default, same convention as sketches._cm_col.
+    bk = _dsir_bucket(seed, buckets, portable)
     occ = df.select(
         F.col(id_col),
         target.cast("boolean").alias("__is_t"),
@@ -1130,5 +1115,98 @@ def bpe_encode(
                     lambda s: s["PIECES"],
                 ),
             ).alias("ENCODED"),
+        )
+    )
+
+
+def _dsir_bucket(seed: str, buckets: int, portable: bool) -> F.Column:
+    """Bucket expression over an exploded bigram struct column ``__p``
+    (shared by the fused scorer, the model builder and the online
+    scorer, so all three land bigrams in identical buckets)."""
+    if portable:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("__p.w1"), F.col("__p.w2"), F.lit(seed))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(buckets),
+        )
+    return F.pmod(F.xxhash64("__p.w1", "__p.w2", F.lit(seed)), F.lit(buckets))
+
+
+def dsir_model(
+    df: DataFrame,
+    target: F.Column,
+    text_col: str = "text",
+    buckets: int = 1024,
+    seed: str = "dsir0",
+    portable: bool = True,
+) -> DataFrame:
+    """The persistable DSIR state: the ``buckets``-row log-ratio table
+    (BUCKET, LOG_RATIO) trained offline on a reference corpus -- the
+    production split where the model is built once and every future
+    delivery is scored against it (:func:`dsir_score`), e.g. inside a
+    streaming foreachBatch. Same bucketing/smoothing/lattice as the
+    fused :func:`dsir_weights`, so score-against-model reproduces the
+    fused weights exactly on the training corpus (pinned in tests)."""
+    occ = df.select(
+        target.cast("boolean").alias("__is_t"),
+        F.explode(word_bigrams(text_col)).alias("__p"),
+    ).select("__is_t", _dsir_bucket(seed, buckets, portable).alias("__b"))
+    counts = occ.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+    )
+    tot = counts.agg(F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt"))
+    lr = rhu(
+        F.log((F.col("__ct") + 1) / (F.col("__tt") + buckets))
+        - F.log((F.col("__cr") + 1) / (F.col("__tr") + buckets)),
+        9,
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            F.col("__b").alias("BUCKET"), lr.cast("decimal(28,9)").alias("LOG_RATIO")
+        )
+    )
+
+
+def dsir_score(
+    batch: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    seed: str = "dsir0",
+    portable: bool = True,
+) -> DataFrame:
+    """Score a delivery against a trained :func:`dsir_model`: bucket the
+    batch's bigrams (same seed/buckets/hash as training -- caller
+    contract), broadcast-join the bucket-bounded model, sum per doc on
+    the decimal lattice. O(batch) with no model rebuild; buckets absent
+    from the model (possible when scoring unseen data against a stored
+    table) contribute nothing rather than failing."""
+    occ = batch.select(
+        F.col(id_col), F.explode(word_bigrams(text_col)).alias("__p")
+    ).select(id_col, _dsir_bucket(seed, buckets, portable).alias("__b"))
+    docbk = occ.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        docbk.join(
+            F.broadcast(model.select(F.col("BUCKET").alias("__b"), "LOG_RATIO")), "__b"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("long").alias("N_FEATURES"),
+            rhu(
+                F.sum(F.col("__n").cast("decimal(9,0)") * F.col("LOG_RATIO")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("LOG_WEIGHT"),
         )
     )

@@ -619,3 +619,49 @@ def _dedup_ingest_apply(
         ).parquet(f"{index_path}/batch_id={batch_id}")
 
     return _apply
+
+
+def dsir_selection_sink(
+    doc_stream: DataFrame,
+    spark: SparkSession,
+    model_path: str,
+    selected_path: str,
+    checkpoint: str,
+    min_log_weight: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    seed: str = "dsir0",
+    portable: bool = True,
+):
+    """Ingestion-time DSIR selection: score each micro-batch against the
+    OFFLINE-trained importance model (text.dsir_model written to
+    ``model_path``) and append only target-like documents (LOG_WEIGHT >=
+    ``min_log_weight``) with their scores. The production split: the
+    model is buckets-row and broadcast per batch, the corpus never
+    re-trains online, and -- because text.dsir_score IS the batch
+    operator -- a batch backfill and the streaming path cannot disagree.
+
+    Replay discipline: appends carry the batch's ids deterministically,
+    so at-least-once replay can duplicate only whole batches; downstream
+    exact dedup on (id_col) is the documented consumer contract (the
+    same contract as the corpus zone, which is dedup-keyed anyway)."""
+    from ..operators.text import dsir_score
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        model = spark.read.parquet(model_path)
+        scores = dsir_score(
+            batch, model, id_col=id_col, text_col=text_col,
+            buckets=buckets, seed=seed, portable=portable,
+        )
+        keep = scores.filter(F.col("LOG_WEIGHT") >= min_log_weight)
+        batch.join(keep, id_col).write.mode("append").parquet(selected_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

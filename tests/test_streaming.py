@@ -510,3 +510,42 @@ def test_anomaly_alert_numeric_looking_string_keys(spark, tmp_path):
     flagged = spark.read.parquet(alerts).collect()
     assert len(flagged) == 1
     assert flagged[0]["metric"] == "01"  # exact string, not inferred int
+
+
+def test_dsir_selection_sink_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from aws_glue_cdc_metrics_job_spark.operators.text import dsir_model, dsir_score
+
+    DOC_SCHEMA = "doc_id long, text string"
+    # reference corpus: target slice repeats "good data", raw repeats "bad junk"
+    ref_rows = [(i, "good data " * 8) for i in range(8)]
+    ref_rows += [(100 + i, "bad junk " * 8) for i in range(8)]
+    ref = spark.createDataFrame(ref_rows, DOC_SCHEMA)
+    model_path = str(tmp_path / "dsir_model")
+    dsir_model(ref, target=F.col("doc_id") < 100).write.parquet(model_path)
+
+    src = str(tmp_path / "docs_in")
+    batch1 = [(200, "good data good data"), (201, "bad junk bad junk")]
+    batch2 = [(202, "good data bad junk good data")]
+    spark.createDataFrame(batch1, DOC_SCHEMA).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, DOC_SCHEMA).write.mode("append").parquet(src)
+
+    stream = S.read_event_stream(spark, src, DOC_SCHEMA)
+    selected_path = str(tmp_path / "selected")
+    q = S.dsir_selection_sink(
+        stream, spark, model_path, selected_path,
+        checkpoint=str(tmp_path / "ckpt_dsir"), min_log_weight=0.0,
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["LOG_WEIGHT"] for r in spark.read.parquet(selected_path).collect()}
+    # batch/stream agreement: the batch scorer on the full input keeps the same set
+    full = spark.read.parquet(src)
+    model = spark.read.parquet(model_path)
+    exp = {
+        r["doc_id"]: r["LOG_WEIGHT"]
+        for r in dsir_score(full, model).filter(F.col("LOG_WEIGHT") >= 0.0).collect()
+    }
+    assert got == exp
+    assert 200 in got and 201 not in got  # target-like kept, junk-like blocked

@@ -613,3 +613,25 @@ def test_bpe_encode_round_trip_and_reference(spark):
     # concatenating a word's pieces reconstructs the word (lossless)
     for seg in got[1]["ENCODED"].split(" | "):
         assert seg.replace(" ", "") in {"low", "lower", "lowest"}
+
+
+def test_dsir_model_score_split_matches_fused(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(i, f"alpha beta gamma delta w{i % 5} x{i % 3}", "t" if i % 2 == 0 else "r")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    fused = {
+        (r["doc_id"]): (r["N_FEATURES"], r["LOG_WEIGHT"])
+        for r in text.dsir_weights(df, target=F.col("grp") == "t").collect()
+    }
+    model = text.dsir_model(df, target=F.col("grp") == "t")
+    split = {
+        (r["doc_id"]): (r["N_FEATURES"], r["LOG_WEIGHT"])
+        for r in text.dsir_score(df, model).collect()
+    }
+    assert split == fused
+    # scoring a batch with unseen-bucket bigrams neither fails nor counts them
+    new = spark.createDataFrame([(99, "zzzz qqqq pppp")], "doc_id long, text string")
+    out = text.dsir_score(new, model.filter(F.lit(False))).collect()
+    assert out == []
