@@ -1210,3 +1210,76 @@ def dsir_score(
             ).alias("LOG_WEIGHT"),
         )
     )
+
+
+def bigram_lm_model(
+    df: DataFrame,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable interpolated-bigram-LM state (the CCNet setup:
+    train on a TRUSTED reference corpus once, score every delivery):
+    ``(pairs, unigrams)`` -- (W1, W2, C12, C1S) pair counts with their
+    start totals denormalized in, and (W, C, N) unigram counts with the
+    corpus token total denormalized in. Both vocabulary-bounded, both
+    plain parquet-writable."""
+    occ = df.select(F.explode(word_bigrams(text_col)).alias("__p")).select(
+        F.col("__p.w1").alias("W1"), F.col("__p.w2").alias("W2")
+    )
+    pair = occ.groupBy("W1", "W2").agg(F.count(F.lit(1)).alias("C12"))
+    starts = pair.groupBy("W1").agg(F.sum("C12").alias("C1S"))
+    pairs = pair.join(starts, "W1").select("W1", "W2", "C12", "C1S")
+    toks = df.select(F.explode(tokens(text_col)).alias("W"))
+    uni = toks.groupBy("W").agg(F.count(F.lit(1)).alias("C"))
+    n_tot = uni.agg(F.sum("C").alias("N"))
+    unigrams = uni.join(F.broadcast(n_tot)).select("W", "C", "N")
+    return pairs, unigrams
+
+
+def bigram_lm_score(
+    batch: DataFrame,
+    pairs: DataFrame,
+    unigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Score a delivery against a trained :func:`bigram_lm_model` with
+    out-of-vocabulary backoff: unseen (w1, w2) pairs contribute only the
+    interpolated unigram term, and unseen w2 falls back to a half-count
+    (0.5/N, the add-half unseen convention), so every surprisal is
+    finite --
+
+        p = lam * (C12/C1S | 0)  +  (1-lam) * ((C2 | 0.5) / N)
+
+    Same per-occurrence 9-place lattice + decimal sums as
+    :func:`bigram_logprob`; on the training corpus itself (no OOV hits)
+    score-against-model reproduces the fused operator exactly (pinned in
+    tests). O(batch) joins against the vocabulary-bounded model tables;
+    the corpus never re-trains online."""
+    occ = batch.select(F.col(id_col), F.explode(word_bigrams(text_col)).alias("__p")).select(
+        id_col, F.col("__p.w1").alias("W1"), F.col("__p.w2").alias("W2")
+    )
+    docpair = occ.groupBy(id_col, "W1", "W2").agg(F.count(F.lit(1)).alias("__k"))
+    # 1-row broadcast attach (counted in the plan-guard whitelist; a
+    # literal-keyed equi-join folds back to the same nested-loop shape)
+    n_row = F.broadcast(unigrams.select("N").limit(1))
+    scored = (
+        docpair.join(pairs, ["W1", "W2"], "left")
+        .join(unigrams.select(F.col("W").alias("W2"), "C"), "W2", "left")
+        .join(n_row)
+        .withColumn(
+            "__p_hat",
+            F.lit(lam)
+            * F.when(F.col("C1S").isNotNull(), F.coalesce(F.col("C12"), F.lit(0)) / F.col("C1S")).otherwise(F.lit(0.0))
+            + F.lit(1.0 - lam) * (F.coalesce(F.col("C"), F.lit(0.5)) / F.col("N")),
+        )
+        .withColumn("__srp", rhu(-F.log("__p_hat"), 9).cast("decimal(28,9)"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__k").cast("long").alias("N_BIGRAMS"),
+        rhu(
+            F.sum(F.col("__k").cast("decimal(9,0)") * F.col("__srp")).cast("double")
+            / F.sum("__k"),
+            6,
+        ).alias("AVG_NEG_LOGPROB"),
+    )

@@ -2511,3 +2511,55 @@ def q_docs_selection_pipeline(spark: SparkSession, sf_dir: str):
     return sel.filter(
         (F.col("__rn") <= F.ceil(F.col("__cnt") * 0.5)) & (F.col("LOG_WEIGHT") > 0)
     ).drop("__rn", "__cnt")
+
+
+@query(
+    "docs_bigram_ppx_scored",
+    oracle=f"""
+WITH tr AS (SELECT {_TOKS_NE} AS toks FROM documents WHERE lang = 'en'),
+tocc AS (
+  SELECT unnest(CASE WHEN len(toks) < 2 THEN []::STRUCT(w1 VARCHAR, w2 VARCHAR)[]
+                     ELSE list_transform(range(0, len(toks) - 1),
+                                         i -> {{'w1': toks[i + 1], 'w2': toks[i + 2]}})
+                END, recursive := true) AS _
+  FROM tr
+),
+tpair0 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tocc GROUP BY 1, 2),
+tstart AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1s FROM tpair0 GROUP BY 1),
+tpairs AS (SELECT w1, w2, c12, c1s FROM tpair0 JOIN tstart USING (w1)),
+ttok AS (SELECT unnest(toks) AS w FROM tr),
+tuni AS (SELECT w AS w2, CAST(COUNT(*) AS BIGINT) AS c FROM ttok GROUP BY 1),
+tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ttok),
+bocc4 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < 2 THEN []::STRUCT(w1 VARCHAR, w2 VARCHAR)[]
+                     ELSE list_transform(range(0, len(toks) - 1),
+                                         i -> {{'w1': toks[i + 1], 'w2': toks[i + 2]}})
+                END, recursive := true) AS _
+  FROM (SELECT doc_id, {_TOKS_NE} AS toks FROM documents)
+),
+bdp AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM bocc4 GROUP BY 1, 2, 3),
+s AS (
+  SELECT bdp.doc_id, bdp.k,
+         CAST({sql_rhu(
+             "-ln(0.75 * (CASE WHEN c1s IS NOT NULL THEN COALESCE(c12, 0) / c1s ELSE 0.0 END)"
+             " + 0.25 * (COALESCE(c, 0.5) / n))", 9)} AS DECIMAL(28,9)) AS srp
+  FROM bdp
+  LEFT JOIN tpairs USING (w1, w2)
+  LEFT JOIN tuni USING (w2), tn
+)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS N_BIGRAMS,
+       {sql_rhu("CAST(SUM(CAST(k AS DECIMAL(9,0)) * srp) AS DOUBLE) / SUM(k)", 6)} AS AVG_NEG_LOGPROB
+FROM s GROUP BY 1
+""",
+)
+def q_docs_bigram_ppx_scored(spark: SparkSession, sf_dir: str):
+    """CCNet-setup perplexity scoring (text.bigram_lm_model + _score):
+    the interpolated bigram LM trains on the TRUSTED slice (lang='en')
+    and every document -- including out-of-domain ones -- is scored with
+    finite OOV backoff (unseen pair -> unigram term only; unseen word ->
+    half-count). The production split of docs_bigram_logprob: model
+    tables persist, deliveries score O(batch)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs, unigrams = text.bigram_lm_model(docs.filter(F.col("lang") == "en"))
+    return text.bigram_lm_score(docs, pairs, unigrams, lam=0.75)

@@ -131,6 +131,7 @@ HEADLINE = [
     "emb_perceptron_train",
     "events_value_bootstrap_ci_fast",
     "docs_selection_pipeline",
+    "docs_bigram_ppx_scored",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -61,6 +61,9 @@ BOUNDED_BROADCAST_OK = {
     "docs_hybrid_rrf": (1, "1-row corpus-stats frame (text.bm25_topk)"),
     # the selection composite inherits BOTH models' 1-row total frames
     "docs_selection_pipeline": (2, "1-row totals: bigram_logprob N + dsir_weights corpus/target"),
+    # the model's 1-row token-total frame is instantiated by BOTH score
+    # consumers (unigram join + N attach) plus the attach join itself
+    "docs_bigram_ppx_scored": (3, "1-row token-total frames (text.bigram_lm_model/_score)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")

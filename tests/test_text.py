@@ -635,3 +635,26 @@ def test_dsir_model_score_split_matches_fused(spark):
     new = spark.createDataFrame([(99, "zzzz qqqq pppp")], "doc_id long, text string")
     out = text.dsir_score(new, model.filter(F.lit(False))).collect()
     assert out == []
+
+
+def test_bigram_lm_split_matches_fused_on_training_corpus(spark):
+    rows = [(1, "a b a b c"), (2, "a c a b"), (3, "b c b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = {r["doc_id"]: (r["N_BIGRAMS"], r["AVG_NEG_LOGPROB"])
+             for r in text.bigram_logprob(df).collect()}
+    pairs, unigrams = text.bigram_lm_model(df)
+    split = {r["doc_id"]: (r["N_BIGRAMS"], r["AVG_NEG_LOGPROB"])
+             for r in text.bigram_lm_score(df, pairs, unigrams).collect()}
+    assert split == fused  # no OOV on the training corpus itself
+
+
+def test_bigram_lm_score_oov_finite(spark):
+    import math
+
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    pairs, unigrams = text.bigram_lm_model(train)
+    # "z q" is fully out of vocabulary; "b a" has seen words, unseen pair
+    batch = spark.createDataFrame([(9, "z q b a")], "doc_id long, text string")
+    got = text.bigram_lm_score(batch, pairs, unigrams).collect()[0]
+    assert got["N_BIGRAMS"] == 3
+    assert math.isfinite(got["AVG_NEG_LOGPROB"]) and got["AVG_NEG_LOGPROB"] > 0
