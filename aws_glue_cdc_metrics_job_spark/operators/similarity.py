@@ -14,7 +14,7 @@ double-cast arrays -- JVM-side, no Python in the hot loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import rhu
@@ -1391,3 +1391,62 @@ def perceptron_train(
             break
         w = new_w
     return w
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-domain cosine top-k over :func:`int8_quantize` codes --
+    scalar-quantization ADC, the SQ8 counterpart of the PQ search path:
+    score vectors WITHOUT dequantizing, because the per-vector AMAX
+    scales cancel in the cosine, leaving
+
+        sq8_cos = (q_c . q_q) / (sqrt(q_c . q_c) * sqrt(q_q . q_q))
+
+    over pure int8 codes. Every product and partial sum is an integer
+    below 2^53, so the dot products are EXACT in any engine and any
+    accumulation order -- the quantized ranking is hash-reproducible
+    (unlike float ADC), which is why this query can be oracle-checked
+    while the float fast paths are rows-only.
+
+    The query side is broadcast-sized by contract (the brute_force_topk
+    contract); scoring is an unrolled codegen expression per (corpus,
+    query) pair from the broadcast cross join, ranked per query by
+    (rounded sim desc, neighbor id). Zero-norm codes score 0.0."""
+    qz_c = int8_quantize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("NEIGHBOR_ID"), F.col("Q").alias("__qc")
+    )
+    qz_q = int8_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("QUERY_ID"), F.col("Q").alias("__qq")
+    )
+    pairs = qz_c.crossJoin(F.broadcast(qz_q)).filter(
+        F.col("NEIGHBOR_ID") != F.col("QUERY_ID")
+    )
+    dot = None
+    nc = None
+    nq = None
+    for d in range(dim):
+        c, q = F.col("__qc")[d].cast("long"), F.col("__qq")[d].cast("long")
+        dot = c * q if dot is None else dot + c * q
+        nc = c * c if nc is None else nc + c * c
+        nq = q * q if nq is None else nq + q * q
+    sim = F.when(
+        (nc > 0) & (nq > 0), dot / (F.sqrt(nc.cast("double")) * F.sqrt(nq.cast("double")))
+    ).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "QUERY_ID", "NEIGHBOR_ID", rhu(sim, 6).alias("SQ8_COSINE")
+    )
+    w = F.row_number().over(
+        Window.partitionBy("QUERY_ID").orderBy(
+            F.col("SQ8_COSINE").desc(), F.col("NEIGHBOR_ID")
+        )
+    )
+    return (
+        scored.withColumn("NEIGHBOR_RANK", w.cast("long"))
+        .filter(F.col("NEIGHBOR_RANK") <= k)
+    )

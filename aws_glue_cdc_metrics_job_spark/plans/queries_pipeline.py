@@ -2563,3 +2563,46 @@ def q_docs_bigram_ppx_scored(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     pairs, unigrams = text.bigram_lm_model(docs.filter(F.col("lang") == "en"))
     return text.bigram_lm_score(docs, pairs, unigrams, lam=0.75)
+
+
+@query(
+    "emb_sq8_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x * 127 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS BIGINT))
+         END AS q
+  FROM e
+),
+qs AS (SELECT vec_id AS QUERY_ID, q AS qq FROM qz WHERE vec_id < 4),
+pairs AS (
+  SELECT qs.QUERY_ID, c.vec_id AS NEIGHBOR_ID,
+         list_dot_product(c.q, qs.qq) AS dp,
+         list_dot_product(c.q, c.q) AS nc,
+         list_dot_product(qs.qq, qs.qq) AS nq
+  FROM qz c, qs WHERE c.vec_id <> qs.QUERY_ID
+),
+scored AS (
+  SELECT QUERY_ID, NEIGHBOR_ID,
+         {sql_rhu("CASE WHEN nc > 0 AND nq > 0 THEN dp / (sqrt(nc) * sqrt(nq)) ELSE 0.0 END", 6)}
+           AS SQ8_COSINE
+  FROM pairs
+)
+SELECT QUERY_ID, NEIGHBOR_ID, SQ8_COSINE,
+       CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID
+                               ORDER BY SQ8_COSINE DESC, NEIGHBOR_ID) AS BIGINT) AS NEIGHBOR_RANK
+FROM scored
+QUALIFY NEIGHBOR_RANK <= 5
+""",
+)
+def q_emb_sq8_topk(spark: SparkSession, sf_dir: str):
+    """Compressed-domain SQ8 cosine top-k (similarity.sq8_topk): the
+    per-vector AMAX scales cancel in the cosine, so ranking runs on pure
+    int8 codes with EXACT integer dot products -- the only ANN scoring
+    path whose ranking is hash-reproducible cross-engine (float ADC
+    paths are rows-only). Queries = vectors 0-3, k = 5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(emb, emb.filter(F.col("vec_id") < 4), k=5)

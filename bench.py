@@ -132,6 +132,7 @@ HEADLINE = [
     "events_value_bootstrap_ci_fast",
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",
+    "emb_sq8_topk",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -64,6 +64,8 @@ BOUNDED_BROADCAST_OK = {
     # the model's 1-row token-total frame is instantiated by BOTH score
     # consumers (unigram join + N attach) plus the attach join itself
     "docs_bigram_ppx_scored": (3, "1-row token-total frames (text.bigram_lm_model/_score)"),
+    # SQ8 scoring crosses the corpus with the contract-small query codes
+    "emb_sq8_topk": (1, "bounded broadcast query-code set (similarity.sq8_topk)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -385,3 +385,25 @@ def test_perceptron_train_converges_on_separable_data(spark):
     assert left == []
     # determinism: retraining gives the identical trajectory
     assert similarity.perceptron_train(df, [0.0, 0.0], iters=20, lr=0.5) == w
+
+
+def test_sq8_topk_hand_case_and_recall(spark):
+    from aws_glue_cdc_metrics_job_spark.operators import similarity
+
+    # corpus of 2-dim-ish vectors padded to 64; vec 1 is nearly parallel
+    # to vec 0, vec 2 orthogonal, vec 3 anti-parallel
+    def pad(v):
+        return v + [0.0] * 62
+
+    rows = [
+        (0, pad([1.0, 0.0])),
+        (1, pad([0.99, 0.05])),
+        (2, pad([0.0, 1.0])),
+        (3, pad([-1.0, 0.0])),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.sq8_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    order = [r["NEIGHBOR_ID"] for r in sorted(out, key=lambda r: r["NEIGHBOR_RANK"])]
+    assert order == [1, 2, 3]
+    sims = {r["NEIGHBOR_ID"]: r["SQ8_COSINE"] for r in out}
+    assert sims[1] > 0.99 and abs(sims[2]) < 0.01 and sims[3] == -1.0
