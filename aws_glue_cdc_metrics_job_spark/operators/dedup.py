@@ -210,9 +210,26 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
         key = df.semanticHash()
     except Exception:  # pragma: no cover - connect/edge sessions
         key = id(df)
-    if key in _PERSIST_SCOPE and df.sameSemantics(_PERSIST_SCOPE[key]):
-        _PERSIST_SCOPE.move_to_end(key)
-        return _PERSIST_SCOPE[key]
+    if key in _PERSIST_SCOPE:
+        cached = _PERSIST_SCOPE[key]
+        try:
+            # same LIVE session AND genuinely same plan (semanticHash is
+            # 32-bit; a collision must never return a different frame).
+            # sameSemantics on a handle from a stopped session raises --
+            # treated as "not reusable" and retired below.
+            if cached.sparkSession is df.sparkSession and df.sameSemantics(cached):
+                _PERSIST_SCOPE.move_to_end(key)
+                return cached
+        except Exception:
+            pass
+        # stale-session handle or hash collision: retire the old entry so
+        # its cache (if its session still lives) is released instead of
+        # staying pinned for the process lifetime
+        del _PERSIST_SCOPE[key]
+        try:
+            cached.unpersist(blocking=False)
+        except Exception:
+            pass
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSIST_SCOPE[key] = df
     while len(_PERSIST_SCOPE) > _PERSIST_CAP:
@@ -572,7 +589,13 @@ def winnow_overlap_pairs(
     one pair-keyed count; texts never move.
 
     Returns (ID_A, ID_B, N_SHARED), A < B."""
-    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    # the fingerprint chain (per-char posexplode + two window passes) is
+    # the heaviest subtree here and feeds FOUR plan inputs (the frequency
+    # agg + the rare join + both self-join sides) -- persist it once
+    # instead of relying on ReuseExchange to collapse the copies
+    fps = _scoped_persist(
+        winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    )
     rare = fps.join(
         fps.groupBy("FP_HASH")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -834,21 +834,27 @@ def df_table(
 
     Returns (TOKEN, DOC_FREQ, DF_PPM) for the ``top`` most common tokens
     (DOC_FREQ desc, TOKEN asc -- deterministic)."""
-    n_docs = df.count()
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
     ex = df.select(F.explode(F.array_distinct(tokens(text_col))).alias("TOKEN"))
     return (
         ex.groupBy("TOKEN")
         .agg(F.count(F.lit(1)).alias("DOC_FREQ"))
-        .withColumn("DF_PPM", F.expr(f"(DOC_FREQ * 1000000) div {int(n_docs)}").cast("long"))
+        # 1-row broadcast total (the skew_report pattern) -- an eager
+        # df.count() here would scan the corpus a second time at plan
+        # CONSTRUCTION and make the operator non-composable
+        .join(n_docs)
+        .withColumn("DF_PPM", F.expr("(DOC_FREQ * 1000000) div __n").cast("long"))
+        .drop("__n")
         .orderBy(F.col("DOC_FREQ").desc(), "TOKEN")
         .limit(top)
     )
 
 
-#: (rule name, violation predicate builder) for gopher_rules_report --
-#: Gopher/C4-style repetition-free quality gates that are exact integer
-#: arithmetic (no ratios, so no cross-engine float rounding): mean token
-#: length bounds compare sum_len against bound*count.
+#: Rule names for gopher_rules_report (their violation predicates live
+#: inline in that function) -- Gopher/C4-style quality gates kept as
+#: exact integer arithmetic (no ratios, so no cross-engine float
+#: rounding): mean token length bounds compare sum_len against
+#: bound*count.
 GOPHER_RULES = (
     "too_few_tokens",
     "too_many_tokens",

@@ -77,7 +77,7 @@ GRADE_FIRST: list[str] = [
     "events_approx_distinct_users",
     # -- new in round 4 (16)
     "events_sessionize_stats",
-    "events_retention_cohorts",
+    "events_activity_cohorts",
     "orders_pareto_deciles",
     "customer_returns_report",
     "nation_trade_volume",

@@ -673,7 +673,7 @@ def q_events_sessionize_stats(spark: SparkSession, sf_dir: str):
 
 
 @query(
-    "events_retention_cohorts",
+    "events_activity_cohorts",
     oracle="""
 WITH f AS (
   SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort FROM events GROUP BY 1
@@ -688,7 +688,7 @@ SELECT cohort AS COHORT_WEEK, CAST(offs AS INT) AS WEEK_OFFSET,
 FROM a GROUP BY 1, 2
 """,
 )
-def q_events_retention_cohorts(spark: SparkSession, sf_dir: str):
+def q_events_activity_cohorts(spark: SparkSession, sf_dir: str):
     """Weekly cohort retention: users bucketed by first-activity week,
     counted once per (cohort, week-offset) they return in -- the
     triangular retention matrix in long form. One keyed aggregation for

@@ -110,18 +110,15 @@ def sqlserver_read(
     fails fast with a clear error when the jar is absent rather than
     falling through to URL guessing. Same parallel-read contract as
     jdbc_read: pass partition_column/bounds for anything big."""
-    opts = {"driver": "com.microsoft.sqlserver.jdbc.SQLServerDriver"}
+    opts = dict(kwargs, driver="com.microsoft.sqlserver.jdbc.SQLServerDriver")
     if user is not None:
         opts["user"] = user
     if password is not None:
         opts["password"] = password
-    opts.update({k: v for k, v in kwargs.items() if isinstance(v, str)})
-    passthrough = {k: v for k, v in kwargs.items() if not isinstance(v, str)}
     return jdbc_read(
         spark,
         sqlserver_url(host, port=port, database=database),
         table=table,
         query=query,
-        **passthrough,
         **opts,
     )

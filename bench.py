@@ -82,6 +82,7 @@ HEADLINE = [
     "events_value_trend",
     "events_funnel",
     "events_retention_cohorts",
+    "events_activity_cohorts",
     "emb_kmeans_update",
     "emb_cosine_topk",
     "emb_cosine_topk_fast",

@@ -66,6 +66,8 @@ BOUNDED_BROADCAST_OK = {
     "docs_bigram_ppx_scored": (3, "1-row token-total frames (text.bigram_lm_model/_score)"),
     # SQ8 scoring crosses the corpus with the contract-small query codes
     "emb_sq8_topk": (1, "bounded broadcast query-code set (similarity.sq8_topk)"),
+    # DF rates cross the per-token counts with the ONE-ROW doc-count frame
+    "docs_df_table": (1, "1-row corpus doc-count frame (text.df_table)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")

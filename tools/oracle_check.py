@@ -56,10 +56,22 @@ def canon_cell(v) -> str:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            # Decimals are exact; compare the exact value via full float
-            # repr so a scale difference (2.5 vs 2.50) still matches but
-            # any value difference fails.
-            return repr(float(v))
+            # Decimals are exact -- compare them exactly. When the value
+            # round-trips through float unchanged, keep the float repr
+            # (so a decimal on one engine still matches a double on the
+            # other, as before); otherwise emit the exact fixed-point
+            # string. Two DISTINCT decimals can never share a canon form:
+            # at most one of them equals the shared float image exactly
+            # (repr(float(v)) alone collapsed differences past ~17
+            # significant digits -- a false local PASS vs the driver's
+            # exact hash).
+            try:
+                f = float(v)
+                if decimal.Decimal(repr(f)) == v:
+                    return repr(f)
+            except (OverflowError, ValueError):
+                pass
+            return format(v.normalize(), "f")
     except ImportError:
         pass
     return str(v)
