@@ -17,6 +17,16 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # a second registration under an existing name would SILENTLY
+        # clobber the first query and its oracle (dict assignment), which
+        # once cost a previously-green catalog entry its coverage. Allow
+        # only the same function re-registering (module reload in tests).
+        prior = QUERIES.get(name)
+        if prior is not None and prior.__qualname__ != fn.__qualname__:
+            raise ValueError(
+                f"catalog query name {name!r} is already registered by "
+                f"{prior.__module__}.{prior.__qualname__}; pick a new name"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

@@ -99,3 +99,23 @@ def test_interval_join_is_equi_join(spark, sf_dir, catalog):
     plan = _plan(catalog["events_interval_join"](spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_catalog_rejects_duplicate_query_names():
+    import pytest as _pytest
+
+    from aws_glue_cdc_metrics_job_spark.plans import catalog
+
+    @catalog.query("_dup_guard_probe")
+    def probe_a(spark, sf_dir):  # pragma: no cover - registration only
+        return None
+
+    with _pytest.raises(ValueError, match="already registered"):
+
+        @catalog.query("_dup_guard_probe")
+        def probe_b(spark, sf_dir):  # pragma: no cover
+            return None
+
+    # same function re-registering (module reload) stays allowed
+    catalog.query("_dup_guard_probe")(probe_a)
+    catalog.QUERIES.pop("_dup_guard_probe", None)
