@@ -127,4 +127,10 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def load_all() -> None:
     """Import every query-defining module (idempotent)."""
-    from . import queries_analytics, queries_marts, queries_ops, queries_pipeline  # noqa: F401
+    from . import (  # noqa: F401
+        queries_analytics,
+        queries_marts,
+        queries_ops,
+        queries_pipeline,
+        queries_warehouse,
+    )

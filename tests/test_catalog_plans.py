@@ -68,6 +68,12 @@ BOUNDED_BROADCAST_OK = {
     "emb_sq8_topk": (1, "bounded broadcast query-code set (similarity.sq8_topk)"),
     # DF rates cross the per-token counts with the ONE-ROW doc-count frame
     "docs_df_table": (1, "1-row corpus doc-count frame (text.df_table)"),
+    # Q11 shape: per-part values cross the ONE-ROW global total/count frame
+    "part_value_concentration": (1, "1-row global-total frame (queries_warehouse)"),
+    # Q15 shape: per-supplier revenue crosses the ONE-ROW max-revenue frame
+    "top_supplier_revenue": (1, "1-row max-of-aggregate frame (queries_warehouse)"),
+    # Q22 shape: customers cross the ONE-ROW global average-balance frame
+    "idle_rich_customers": (1, "1-row avg-balance frame (queries_warehouse)"),
 }
 
 BAD_SHAPES = ("CartesianProduct", "BroadcastNestedLoopJoin")
