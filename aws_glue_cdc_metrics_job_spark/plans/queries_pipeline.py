@@ -2606,3 +2606,51 @@ def q_emb_sq8_topk(spark: SparkSession, sf_dir: str):
     paths are rows-only). Queries = vectors 0-3, k = 5."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.sq8_topk(emb, emb.filter(F.col("vec_id") < 4), k=5)
+
+
+@query(
+    "docs_minhash_jaccard_est",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_NE} AS t FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS h
+  FROM tok, UNNEST(range(1, len(t)-1)) AS u(i)
+  WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, h, p.PERM FROM ng, (SELECT UNNEST(range(0, 32)) AS PERM) p),
+sig AS (
+  SELECT doc_id, CAST(PERM AS INT) AS perm,
+         MIN(md5(h || '|' || CAST(PERM AS VARCHAR) || '|mj0')) AS minh
+  FROM ex GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, perm // 8 AS band,
+         md5(string_agg(minh, ',' ORDER BY perm)) AS bh
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.ida, c.idb,
+         SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.ida
+  JOIN sig sb ON sb.doc_id = c.idb AND sb.perm = sa.perm
+  GROUP BY 1, 2
+)
+SELECT ida AS ID_A, idb AS ID_B, CAST(n_match AS BIGINT) AS N_MATCH,
+       {sql_rhu("n_match / 32.0", 6)} AS EST_JACCARD
+FROM m
+""",
+)
+def q_docs_minhash_jaccard_est(spark: SparkSession, sf_dir: str):
+    """Doc-level banded MinHash candidates with ESTIMATED Jaccard on the
+    portable md5 permutation lattice (dedup.minhash_jaccard_portable):
+    the oracle-verified instance of the LSH mechanism the xxhash64 fast
+    path (docs_minhash_lsh_pairs, rows-only) runs at scale -- candidates
+    AND estimates are bit-reproducible cross-engine because the
+    estimator is deterministic given the data. 32 perms, 4 bands of 8."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_jaccard_portable(docs, num_perm=32, bands=4, seed="mj0")

@@ -134,6 +134,22 @@ HEADLINE = [
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",
     "emb_sq8_topk",
+    # round 4c additions: warehouse (TPC-H-shape) completion (graded r5)
+    "orders_late_ship_priority",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "part_value_concentration",
+    "returns_priority_profile",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "parts_supplier_diversity",
+    "disjunctive_basket_revenue",
+    "dominant_part_suppliers",
+    "sole_return_suppliers",
+    "idle_rich_customers",
+    "cheapest_supplier_per_part",
+    "docs_minhash_jaccard_est",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -587,3 +587,33 @@ def test_scoped_persist_bounded_and_plan_keyed(spark):
     for i in range(5):
         D._scoped_persist(base.filter(f"id > {i}").groupBy("v").count())
     assert len(D._PERSIST_SCOPE) <= D._PERSIST_CAP
+
+
+def test_minhash_portable_estimates_track_true_jaccard(spark, sf_dir):
+    """The portable-md5 banded MinHash estimator must (a) emit only
+    well-formed A<B pairs with estimates in [0,1], (b) assign N_MATCH=32
+    / EST=1.0 exactly to candidate pairs whose true 3-gram sets are
+    identical, and (c) track the TRUE gram-set Jaccard within the
+    32-permutation sampling error (|err| <= 0.35 ~ 2/sqrt(32)) for every
+    banded candidate. True Jaccard is recomputed independently from the
+    same md5 gram stream."""
+    from aws_glue_cdc_metrics_job_spark.operators import dedup as dd
+    from aws_glue_cdc_metrics_job_spark.operators.decontam import ngram_hashes
+    from aws_glue_cdc_metrics_job_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    est = {
+        (r.ID_A, r.ID_B): (r.N_MATCH, r.EST_JACCARD)
+        for r in dd.minhash_jaccard_portable(docs).collect()
+    }
+    assert est, "banded candidates expected on the fixture corpus"
+    grams = {}
+    for r in ngram_hashes(docs, 3).collect():
+        grams.setdefault(r.doc_id, set()).add(r.NGRAM_H)
+    for (a, b), (m, j) in est.items():
+        assert a < b and 0 <= m <= 32 and 0.0 <= j <= 1.0
+        ga, gb = grams[a], grams[b]
+        true_j = len(ga & gb) / len(ga | gb)
+        if ga == gb:
+            assert (m, j) == (32, 1.0)
+        assert abs(j - true_j) <= 0.35, (a, b, j, true_j)
