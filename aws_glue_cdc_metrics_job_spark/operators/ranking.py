@@ -1,0 +1,147 @@
+"""Distributed total-order ranking: global ROW_NUMBER / NTILE without the
+single-partition window.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` (and ``NTILE`` built on it) funnels
+the whole input through ONE reducer -- Spark plans an
+``Exchange SinglePartition`` and emits the "No Partition Defined for Window
+operation" warning. Fine for a bounded frame (a vocabulary, a top-k list,
+one row per group); a scale-killer for per-customer or per-event frames
+that grow with the data.
+
+The scalable shape mirrors how Spark's own ``sortWithinPartitions`` +
+range partitioner would do it, kept in the DataFrame API:
+
+1. pick ~``buckets`` split points with ``approxQuantile`` on the sort key
+   (a driver collect of <= buckets-1 scalars -- bounded by construction);
+2. assign each row a range-bucket by counting boundaries below its key
+   (an array-literal ``filter``/``size`` inside whole-stage codegen --
+   no join, no shuffle for the assignment itself);
+3. count rows per bucket (map-side-combined agg, <= ``buckets`` rows
+   collected to the driver -- the second and last bounded action);
+4. ``row_number`` inside each bucket (a PARTITIONED window: one keyed
+   shuffle, ``buckets``-way parallel);
+5. global rank = literal-array offset lookup + intra-bucket rank --
+   no join, no extra exchange, stays inside whole-stage codegen.
+
+The rank depends only on the total order (key, tiebreaks) -- bucket
+boundaries affect parallelism, never the result -- so callers keep their
+exact oracles while the plan drops the SinglePartition exchange.
+
+Skew note: equal keys always share a bucket (assignment is by key value),
+so a key with one dominant value degenerates toward one hot bucket --
+the same hazard every range partitioner has. The tiebreak columns do NOT
+spread it (they only order within the bucket); for such keys rank by a
+composite numeric key instead.
+
+NULL keys are not supported: ``approxQuantile`` ignores them and the
+boundary comparison would park every NULL in bucket 0 while the window
+sorts them elsewhere. Callers filter or coalesce first (both catalog
+users rank non-null aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sorted_rank", "ntile_exact"]
+
+
+def _bucket_expr(key: str, boundaries: list[float], desc: bool) -> Column:
+    """0-based range-bucket id, monotone in the FINAL rank order.
+
+    Ascending: bucket = #(boundaries < key). Descending flips the id so
+    bucket 0 holds the largest keys; rows with equal keys land together
+    either way, which is what keeps intra-bucket ordering total."""
+    if not boundaries:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    asc_bucket = F.size(F.filter(arr, lambda b: b < F.col(key).cast("double")))
+    return (F.lit(len(boundaries)) - asc_bucket) if desc else asc_bucket
+
+
+def sorted_rank(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    desc: bool = False,
+    buckets: int = 64,
+    rank_col: str = "RANK",
+    total_col: str | None = None,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Global 1-based ROW_NUMBER by ``(key [DESC], *tiebreaks ASC)``
+    without a single-partition window.
+
+    ``key`` must be numeric and non-null; ``tiebreaks`` must complete a
+    total order (duplicate (key, tiebreaks) tuples would make the rank
+    partitioning-dependent). Returns the input plus ``rank_col`` (long)
+    and, when ``total_col`` is given, the total row count on every row
+    (long) -- the two numbers NTILE needs, carried by the same broadcast.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    # approxQuantile is an action on ONE column with a bounded result
+    # (<= buckets-1 doubles): bounded driver collect #1.
+    raw = df.stat.approxQuantile(key, qs, rel_err)
+    boundaries = sorted(set(raw))
+    b = _bucket_expr(key, boundaries, desc)
+    # bucket counts: map-side-combined agg over <= buckets groups,
+    # collected to the driver -- bounded collect #2. Computing offsets
+    # here (plain Python prefix sum) keeps the final plan free of both
+    # the SinglePartition offsets window and the broadcast join.
+    nb = len(boundaries) + 1
+    counts = dict(
+        df.select(b.alias("__rb")).groupBy("__rb").count().collect()
+    )
+    offsets, acc = [], 0
+    for i in range(nb):
+        offsets.append(acc)
+        acc += int(counts.get(i, 0))
+    total = acc
+    order = [F.col(key).desc() if desc else F.col(key).asc()] + [
+        F.col(t).asc() for t in tiebreaks
+    ]
+    w_in = Window.partitionBy("__rb").orderBy(*order)
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("__rb") + 1
+    )
+    out = (
+        df.withColumn("__rb", b)
+        .withColumn("__rr", F.row_number().over(w_in))
+        .withColumn(rank_col, (off + F.col("__rr")).cast("long"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(total).cast("long"))
+    return out.drop("__rb", "__rr")
+
+
+def ntile_exact(
+    df: DataFrame,
+    n: int,
+    key: str,
+    tiebreaks: list[str],
+    desc: bool = False,
+    buckets: int = 64,
+    tile_col: str = "TILE",
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY key [DESC], *tiebreaks)`` from the
+    distributed rank -- bit-identical to the SQL window: with ``q = N div
+    n`` and ``r = N mod n``, the first ``r`` tiles hold ``q + 1`` rows
+    (ranks ``1 .. r*(q+1)``) and the rest hold ``q``. All-integer CASE
+    arithmetic (the ELSE's ``div q`` is unreachable when ``q = 0``
+    because the first branch then covers every rank), no SinglePartition
+    exchange in the plan.
+
+    Returns the input plus ``tile_col`` (int)."""
+    ranked = sorted_rank(
+        df, key, tiebreaks, desc=desc, buckets=buckets,
+        rank_col="__ntr", total_col="__ntn",
+    )
+    tile = F.expr(
+        f"CASE WHEN __ntr <= (__ntn % {int(n)}) * (__ntn div {int(n)} + 1) "
+        f"THEN (__ntr - 1) div (__ntn div {int(n)} + 1) + 1 "
+        f"ELSE (__ntn % {int(n)}) "
+        f"  + (__ntr - (__ntn % {int(n)}) * (__ntn div {int(n)} + 1) - 1) "
+        f"    div (__ntn div {int(n)}) + 1 END"
+    )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__ntr", "__ntn")

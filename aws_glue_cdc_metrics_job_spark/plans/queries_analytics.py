@@ -255,9 +255,10 @@ def q_events_value_winsorized(spark: SparkSession, sf_dir: str):
 
 
 # --- ntile bucketing (rank-based quartiles; deterministic via full-order
-# tiebreak). Global window, but over events' value column post-filter this
-# is the documented bounded-input exception; the scalable quantile path is
-# functions/quantile.py.
+# tiebreak). The purchase-event frame grows with the data, so the tiles
+# come from operators/ranking.ntile_exact (distributed rank), not a
+# SinglePartition NTILE window; functions/quantile.py stays the
+# value-based (qcut-parity) alternative.
 
 
 @query(
@@ -272,11 +273,15 @@ FROM b GROUP BY 1
 """,
 )
 def q_events_value_ntile(spark: SparkSession, sf_dir: str):
+    from ..operators.ranking import ntile_exact
+
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.orderBy("value", "event_id")
+    tiled = ntile_exact(
+        ev.select("value", "event_id"), 4, key="value", tiebreaks=["event_id"],
+        tile_col="BUCKET",
+    )
     return (
-        ev.select("value", F.ntile(4).over(w).alias("BUCKET"))
-        .groupBy("BUCKET")
+        tiled.groupBy("BUCKET")
         .agg(
             F.count(F.lit(1)).alias("N"),
             F.min("value").alias("MIN_VALUE"),
@@ -742,11 +747,14 @@ FROM g
 def q_orders_pareto_deciles(spark: SparkSession, sf_dir: str):
     """Revenue concentration (Pareto) report: customers ranked into
     deciles by lifetime spend, each decile's exact cent total and ppm
-    share of all revenue. The global ntile window runs on the
-    one-row-per-customer AGGREGATE (bounded, like W4), never raw orders;
-    the share divides exact BIGINT cents. The top decile's SHARE_PPM is
-    the 80/20 health number warehouses watch."""
+    share of all revenue. The per-customer frame grows with the data, so
+    the decile assignment uses ranking.ntile_exact (range-bucketed
+    distributed rank, bit-identical to the NTILE window) instead of a
+    SinglePartition global window; the share divides exact BIGINT cents.
+    The top decile's SHARE_PPM is the 80/20 health number warehouses
+    watch."""
     from ..functions.numeric import money
+    from ..operators.ranking import ntile_exact
 
     o = read_table(spark, sf_dir, "orders")
     # stay in the decimal domain end to end: dsum's double image * 100
@@ -754,9 +762,8 @@ def q_orders_pareto_deciles(spark: SparkSession, sf_dir: str):
     rev = o.groupBy("o_custkey").agg(
         (F.sum(money("o_totalprice", 2)) * 100).cast("long").alias("cents")
     )
-    d = rev.withColumn(
-        "DECILE",
-        F.ntile(10).over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))),
+    d = ntile_exact(
+        rev, 10, key="cents", tiebreaks=["o_custkey"], desc=True, tile_col="DECILE"
     )
     g = d.groupBy("DECILE").agg(
         F.count(F.lit(1)).alias("N_CUSTOMERS"),

@@ -1,0 +1,96 @@
+"""Distributed sorted_rank / ntile_exact vs the naive global window.
+
+The operator's contract is bit-equality with ROW_NUMBER()/NTILE() OVER
+(ORDER BY ...) while keeping the hot path free of the SinglePartition
+exchange those windows plan. Equality is checked on real sf0.001 frames
+(with ties in the key) and on adversarial shapes (fewer rows than tiles,
+all-equal keys, empty input); the plan property is checked on the
+catalog query that motivated the operator."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators.ranking import ntile_exact, sorted_rank
+from aws_glue_cdc_metrics_job_spark.sources.parquet_io import read_table
+
+
+def _rev(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+
+
+def test_sorted_rank_matches_global_window(spark, sf_dir):
+    rev = _rev(spark, sf_dir)
+    got = sorted_rank(rev, "cents", ["o_custkey"], desc=True, buckets=8)
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    want = rev.withColumn("RANK", F.row_number().over(w).cast("long"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_sorted_rank_asc_with_ties(spark, sf_dir):
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("value", "event_id")
+    )
+    got = sorted_rank(ev, "value", ["event_id"], desc=False, buckets=16)
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    want = ev.withColumn("RANK", F.row_number().over(w).cast("long"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_sorted_rank_total_col(spark, sf_dir):
+    rev = _rev(spark, sf_dir)
+    n = rev.count()
+    got = sorted_rank(rev, "cents", ["o_custkey"], total_col="N")
+    assert got.select("N").distinct().collect()[0][0] == n
+    # rank is a permutation of 1..N
+    assert got.agg(F.min("RANK"), F.max("RANK"), F.count_distinct("RANK")).collect()[
+        0
+    ] == (1, n, n)
+
+
+@pytest.mark.parametrize("n,desc", [(4, False), (10, True), (3, True)])
+def test_ntile_matches_window(spark, sf_dir, n, desc):
+    rev = _rev(spark, sf_dir)
+    got = ntile_exact(rev, n, key="cents", tiebreaks=["o_custkey"], desc=desc, buckets=8)
+    order = [F.col("cents").desc() if desc else F.col("cents").asc(), "o_custkey"]
+    want = rev.withColumn("TILE", F.ntile(n).over(Window.orderBy(*order)))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    got = ntile_exact(df, 5, key="v", tiebreaks=["id"])
+    want = df.withColumn("TILE", F.ntile(5).over(Window.orderBy("v", "id")))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_ntile_all_equal_keys(spark):
+    # every boundary collapses -> one bucket; rank falls back to the
+    # tiebreak order and must still match the window exactly
+    df = spark.createDataFrame([(i, 7) for i in range(23)], "id int, v int")
+    got = ntile_exact(df, 4, key="v", tiebreaks=["id"])
+    want = df.withColumn("TILE", F.ntile(4).over(Window.orderBy("v", "id")))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_sorted_rank_empty(spark):
+    df = spark.createDataFrame([], "id int, v int")
+    assert sorted_rank(df, "v", ["id"]).count() == 0
+
+
+def test_catalog_ntile_plan_has_no_single_partition_exchange(spark):
+    """The motivating fix: events_value_ntile's plan must not funnel the
+    event frame through one reducer (VERDICT r3-era WindowExec warning)."""
+    from aws_glue_cdc_metrics_job_spark.plans import catalog
+
+    catalog.load_all()
+    df = catalog.QUERIES["events_value_ntile"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
