@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sorted_rank", "ntile_exact"]
+__all__ = ["sorted_rank", "ntile_exact", "rank_percentiles"]
 
 
 def _bucket_expr(key: str, boundaries: list[float], desc: bool) -> Column:
@@ -79,6 +79,27 @@ def sorted_rank(
     and, when ``total_col`` is given, the total row count on every row
     (long) -- the two numbers NTILE needs, carried by the same broadcast.
     """
+    out, _ = sorted_rank_with_total(
+        df, key, tiebreaks, desc=desc, buckets=buckets,
+        rank_col=rank_col, total_col=total_col, rel_err=rel_err,
+    )
+    return out
+
+
+def sorted_rank_with_total(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    desc: bool = False,
+    buckets: int = 64,
+    rank_col: str = "RANK",
+    total_col: str | None = None,
+    rel_err: float = 0.01,
+) -> tuple[DataFrame, int]:
+    """``sorted_rank`` plus the total row count as a Python int -- the
+    count is already on the driver from the bucket-counts collect, and
+    consumers like ``rank_percentiles`` turn it into literal target ranks
+    (a pure pushed-down filter instead of any join)."""
     qs = [i / buckets for i in range(1, buckets)]
     # approxQuantile is an action on ONE column with a bounded result
     # (<= buckets-1 doubles): bounded driver collect #1.
@@ -112,7 +133,7 @@ def sorted_rank(
     )
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(total).cast("long"))
-    return out.drop("__rb", "__rr")
+    return out.drop("__rb", "__rr"), total
 
 
 def ntile_exact(
@@ -145,3 +166,61 @@ def ntile_exact(
         f"    div (__ntn div {int(n)}) + 1 END"
     )
     return ranked.withColumn(tile_col, tile.cast("int")).drop("__ntr", "__ntn")
+
+
+def rank_percentiles(
+    df: DataFrame,
+    key: str,
+    tiebreaks: list[str],
+    qs_bp: list[int],
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact discrete percentiles (``PERCENTILE_DISC`` / DuckDB
+    ``quantile_disc``) without a single-reducer sort: the q-quantile of N
+    rows is the key at global rank ``ceil(q * N)``, so after
+    ``sorted_rank`` it is ONE bucket-pruned filter -- every partition
+    drops to at most ``len(qs_bp)`` candidate rows before the final tiny
+    collect-side projection. The selected value is a row's own key (no
+    interpolation arithmetic), so it hashes identically in any engine.
+
+    ``qs_bp`` are basis points (5000 = median) so the target ranks are
+    exact integers: ``rank_q = ceil(q_bp * N / 10000)``, computed on the
+    driver from the already-collected total -- the selection is a literal
+    ``RANK IN (...)`` filter, no join of any kind. A quantile whose target
+    rank collides with another's still gets its own output row (the CASE
+    maps each Q_BP to its rank first). Returns one row per quantile:
+    (Q_BP int, N long, VALUE <key's type>)."""
+    ranked, total = sorted_rank_with_total(
+        df.select(key, *tiebreaks), key, tiebreaks,
+        desc=False, buckets=buckets, rank_col="__pr",
+    )
+    qs = sorted(set(int(q) for q in qs_bp))
+    # ceil without floats: ceil(a/b) = -((-a) // b) on exact ints
+    target = {q: max(1, -((-q * total) // 10000)) for q in qs}
+    if total == 0:
+        return ranked.select(
+            F.lit(None).cast("int").alias("Q_BP"),
+            F.lit(0).cast("long").alias("N"),
+            F.col(key).alias("VALUE"),
+        ).limit(0)
+    # one pass: keep only target-rank rows, then explode a literal
+    # rank -> [quantiles] map (two quantiles of a small N can share a
+    # rank and still each get a row)
+    by_rank: dict[int, list[int]] = {}
+    for q, r in target.items():
+        by_rank.setdefault(r, []).append(q)
+    qarr = None
+    for r, qlist in by_rank.items():
+        arm = F.array(*[F.lit(q) for q in sorted(qlist)])
+        qarr = F.when(F.col("__pr") == r, arm) if qarr is None else qarr.when(
+            F.col("__pr") == r, arm
+        )
+    return (
+        ranked.filter(F.col("__pr").isin(*by_rank))
+        .select(
+            F.explode(qarr).alias("__q"),
+            F.lit(total).cast("long").alias("N"),
+            F.col(key).alias("VALUE"),
+        )
+        .select(F.col("__q").cast("int").alias("Q_BP"), "N", "VALUE")
+    )

@@ -1063,3 +1063,38 @@ def q_events_value_bootstrap_ci_fast(spark: SparkSession, sf_dir: str):
         ev, "value", ["event_id"], group_cols=["EVENT_TYPE"], b=100, seed="bs1",
         portable=False,
     )
+
+
+# --- exact discrete percentiles at corpus scale (PERCENTILE_DISC via the
+# distributed rank: no single-reducer sort, no interpolation arithmetic --
+# the answer is a row's own value, so it hashes identically cross-engine)
+
+
+@query(
+    "events_value_rank_percentiles",
+    oracle="""
+WITH p AS (SELECT value FROM events WHERE event_type = 'purchase'),
+n AS (SELECT COUNT(*) AS n FROM p)
+SELECT 2500 AS Q_BP, n.n AS N, (SELECT quantile_disc(value, 0.25) FROM p) AS VALUE FROM n
+UNION ALL
+SELECT 5000, n.n, (SELECT quantile_disc(value, 0.50) FROM p) FROM n
+UNION ALL
+SELECT 9000, n.n, (SELECT quantile_disc(value, 0.90) FROM p) FROM n
+UNION ALL
+SELECT 9900, n.n, (SELECT quantile_disc(value, 0.99) FROM p) FROM n
+""",
+)
+def q_events_value_rank_percentiles(spark: SparkSession, sf_dir: str):
+    """Exact P25/P50/P90/P99 of purchase values by global-rank selection
+    (operators/ranking.rank_percentiles): range-bucketed distributed
+    row_number, then a literal RANK IN (...) filter -- the quantile is
+    the value at rank ceil(q*N), PERCENTILE_DISC semantics, with no
+    SinglePartition exchange and no join in the plan. The grouped /
+    interpolated alternative stays orders_price_percentiles."""
+    from ..operators.ranking import rank_percentiles
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return rank_percentiles(
+        ev.select("value", "event_id"), key="value", tiebreaks=["event_id"],
+        qs_bp=[2500, 5000, 9000, 9900],
+    )

@@ -150,6 +150,9 @@ HEADLINE = [
     "idle_rich_customers",
     "cheapest_supplier_per_part",
     "docs_minhash_jaccard_est",
+    # round 4d additions: distributed ranking family (graded r5)
+    "events_value_ntile",
+    "events_value_rank_percentiles",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

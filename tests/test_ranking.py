@@ -94,3 +94,38 @@ def test_catalog_ntile_plan_has_no_single_partition_exchange(spark):
     df = catalog.QUERIES["events_value_ntile"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_rank_percentiles_matches_percentile_disc(spark, sf_dir):
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("value", "event_id")
+    )
+    from aws_glue_cdc_metrics_job_spark.operators.ranking import rank_percentiles
+
+    got = {
+        r["Q_BP"]: (r["N"], r["VALUE"])
+        for r in rank_percentiles(
+            ev, key="value", tiebreaks=["event_id"], qs_bp=[2500, 5000, 9900]
+        ).collect()
+    }
+    vals = sorted(r[0] for r in ev.select("value").collect())
+    n = len(vals)
+    for q in (2500, 5000, 9900):
+        want = vals[-((-q * n) // 10000) - 1]  # value at rank ceil(q*n/1e4)
+        assert got[q] == (n, want), q
+
+
+def test_rank_percentiles_shared_rank_and_empty(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.ranking import rank_percentiles
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id int, v double")
+    # with N=2 both 1bp and 4900bp hit rank 1: each still gets a row
+    out = {
+        r["Q_BP"]: r["VALUE"]
+        for r in rank_percentiles(df, "v", ["id"], qs_bp=[1, 4900, 10000]).collect()
+    }
+    assert out == {1: 5.0, 4900: 5.0, 10000: 7.0}
+    empty = spark.createDataFrame([], "id int, v double")
+    assert rank_percentiles(empty, "v", ["id"], qs_bp=[5000]).count() == 0
