@@ -182,7 +182,15 @@ def shingle_hashes(
 
 
 _PERSIST_SCOPE: "OrderedDict[int, DataFrame]" = None  # type: ignore[assignment]
-_PERSIST_CAP = 2
+# 6, not 2: the scope is shared by three operator families (minhash
+# sighsets, winnow fingerprints, jaccard-est signatures), and a workload
+# that interleaves them -- bench.py's measured passes do -- evicted a
+# query's cache between its own invocations at cap 2, re-paying the
+# shingle pass every time (observed: minhash_lsh_pairs 2.7s evicted vs
+# 1.8s cached at sf0.1). Entries are per-doc K-long signatures (~1-2 KB),
+# MEMORY_AND_DISK, so the bound is about handle hygiene, not memory
+# pressure; 6 keeps every family's working pair resident.
+_PERSIST_CAP = 6
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:

@@ -501,3 +501,100 @@ def weighted_top_k_sample(
         [F.col("__ares").desc(), *[F.col(c).asc() for c in key_cols]],
         k=k,
     ).drop("__ares")
+
+
+def epoch_plan(
+    df: DataFrame,
+    source_col: str,
+    weight_ppm: Column,
+    budget_units: int,
+    unit_col: str,
+    max_epochs_milli: int = 3000,
+) -> DataFrame:
+    """Mixture -> epochs: the data-mixing step that turns per-source
+    sampling weights into PASS COUNTS over each source (LLaMA/Dolma-style
+    pretraining mixes repeat small high-weight sources for several epochs
+    while reading a fraction of the big ones). Per source: available
+    units (sum of ``unit_col``), the caller's weight (ppm of the budget,
+    as a COLUMN so the rule travels with the query and stays portable
+    across engines), the unit target ``budget * ppm div 1e6``, and
+    ``EPOCHS_MILLI = min(target * 1000 div available, max)`` -- every
+    step integer division on ppm/milli lattices, so the plan hashes
+    identically in any engine. The repetition cap mirrors the
+    "don't repeat data more than ~4 epochs" guidance from the
+    data-constrained-scaling literature; capped sources show the cap,
+    they are not silently redistributed.
+
+    One tiny aggregate (|sources| rows); join nothing back. Feed the
+    result to :func:`materialize_epochs`."""
+    tot = df.groupBy(source_col).agg(
+        F.sum(F.col(unit_col)).cast("long").alias("N_UNITS"),
+        F.first(weight_ppm).cast("int").alias("WEIGHT_PPM"),
+    )
+    target = F.expr(f"(CAST({int(budget_units)} AS BIGINT) * WEIGHT_PPM) div 1000000")
+    return tot.select(
+        F.col(source_col).alias("SOURCE"),
+        "N_UNITS",
+        "WEIGHT_PPM",
+        target.cast("long").alias("TARGET_UNITS"),
+        # guard N_UNITS = 0 explicitly: Spark's least() SKIPS nulls, so a
+        # null div-by-zero would silently become the cap (= max epochs of
+        # an empty source) instead of 0
+        F.when(
+            F.col("N_UNITS") > 0,
+            F.least(
+                F.expr(
+                    f"(( (CAST({int(budget_units)} AS BIGINT) * WEIGHT_PPM) div 1000000 ) * 1000)"
+                    " div N_UNITS"
+                ),
+                F.lit(int(max_epochs_milli)),
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("EPOCHS_MILLI"),
+    )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str,
+    key_cols: list[str],
+    seed: str = "ep1",
+) -> DataFrame:
+    """Deterministically materialize an :func:`epoch_plan`: every row gets
+    ``EPOCHS_MILLI div 1000`` full copies plus one more iff its md5 draw
+    falls under the fractional remainder -- so 2.3 epochs means every doc
+    appears twice and a reproducible, key-stable 30% of docs appear a
+    third time. Output rows carry EPOCH = 1..copies (an upsampled
+    training feed with an explicit pass index; EPOCH > 1 rows are the
+    repeats).
+
+    Shape: broadcast the |sources|-row plan, then one scan-stage
+    ``sequence``-explode -- NO shuffle anywhere; output size is exactly
+    the planned unit budget (modulo the cap). The fractional draw reuses
+    the corpus-wide md5 lattice (``hash_sample``'s), so membership of the
+    "extra pass" set is consistent with every other sampler here."""
+    j = df.join(
+        F.broadcast(plan.select(F.col("SOURCE").alias(source_col), "EPOCHS_MILLI")),
+        source_col,
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.expr(f"((EPOCHS_MILLI % 1000) * {16**_HEX_DIGITS}) div 1000")),
+            _HEX_DIGITS,
+            "0",
+        )
+    )
+    copies = (F.expr("EPOCHS_MILLI div 1000") + F.when(
+        _bucket_hex(key_cols, seed) < thr, 1
+    ).otherwise(0)).cast("int")
+    return (
+        j.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(
+            "EPOCH", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        )
+        .drop("__copies", "EPOCHS_MILLI")
+    )

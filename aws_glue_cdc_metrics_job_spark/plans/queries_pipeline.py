@@ -2654,3 +2654,101 @@ def q_docs_minhash_jaccard_est(spark: SparkSession, sf_dir: str):
     estimator is deterministic given the data. 32 perms, 4 bands of 8."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.minhash_jaccard_portable(docs, num_perm=32, bands=4, seed="mj0")
+
+
+# --- mixture -> epochs -> materialized training feed (the data-mixing
+# recipe that REPEATS small high-weight sources instead of only
+# downsampling big ones; sampling.epoch_plan / materialize_epochs)
+
+_EPOCH_PLAN_SQL = """
+  SELECT source,
+         CAST(SUM(n_chars) AS BIGINT) AS N_UNITS,
+         CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+              THEN 25000 ELSE 75000 END AS WEIGHT_PPM
+  FROM documents GROUP BY 1
+"""
+
+
+@query(
+    "docs_epoch_plan",
+    oracle=f"""
+WITH tot AS ({_EPOCH_PLAN_SQL})
+SELECT source AS SOURCE, N_UNITS, WEIGHT_PPM,
+       CAST((CAST(400000 AS BIGINT) * WEIGHT_PPM) // 1000000 AS BIGINT) AS TARGET_UNITS,
+       CAST(CASE WHEN N_UNITS > 0 THEN
+         LEAST((CAST((CAST(400000 AS BIGINT) * WEIGHT_PPM) // 1000000 AS BIGINT) * 1000) // N_UNITS,
+               3000)
+       ELSE 0 END AS BIGINT) AS EPOCHS_MILLI
+FROM tot
+""",
+)
+def q_docs_epoch_plan(spark: SparkSession, sf_dir: str):
+    """Per-source epoch plan for a 400k-char budget: even-numbered
+    sources get 2.5% of the budget each, odd ones 7.5% (the weight rule
+    is computed from the source NAME so both engines derive it
+    identically at any SF). Sub-epoch targets show as EPOCHS_MILLI < 1000
+    (read a fraction), over-budget targets as > 1000 (repeat the source),
+    capped at 3 epochs -- all integer ppm/milli arithmetic, exact in any
+    engine."""
+    from ..operators.sampling import epoch_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.when(
+        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int") % 2 == 0,
+        25000,
+    ).otherwise(75000)
+    return epoch_plan(
+        docs, "source", w, budget_units=400000, unit_col="n_chars",
+        max_epochs_milli=3000,
+    )
+
+
+@query(
+    "docs_epoch_materialize",
+    oracle=f"""
+WITH tot AS ({_EPOCH_PLAN_SQL}),
+plan AS (
+  SELECT source,
+         CASE WHEN N_UNITS > 0 THEN
+           LEAST((CAST((CAST(400000 AS BIGINT) * WEIGHT_PPM) // 1000000 AS BIGINT) * 1000) // N_UNITS,
+                 3000)
+         ELSE 0 END AS em
+  FROM tot
+),
+c AS (
+  SELECT d.doc_id, d.source,
+         CAST(p.em // 1000
+              + CASE WHEN SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR) || '|' || 'ep1'), 1, 8)
+                          < printf('%08x', ((p.em % 1000) * 4294967296) // 1000)
+                     THEN 1 ELSE 0 END AS INT) AS copies
+  FROM documents d JOIN plan p USING (source)
+)
+SELECT doc_id AS DOC_ID, source AS SOURCE,
+       CAST(UNNEST(range(1, copies + 1)) AS INT) AS EPOCH
+FROM c
+""",
+)
+def q_docs_epoch_materialize(spark: SparkSession, sf_dir: str):
+    """The docs_epoch_plan mix made physical: every doc repeated
+    EPOCHS_MILLI div 1000 times plus a reproducible md5-keyed extra pass
+    for the fractional remainder, each copy tagged with its 1-based
+    EPOCH index. Broadcast plan join + scan-stage sequence-explode: no
+    shuffle; at 100 TB the output streams straight to the training-shard
+    sink."""
+    from ..operators.sampling import epoch_plan, materialize_epochs
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.when(
+        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int") % 2 == 0,
+        25000,
+    ).otherwise(75000)
+    plan = epoch_plan(
+        docs, "source", w, budget_units=400000, unit_col="n_chars",
+        max_epochs_milli=3000,
+    )
+    out = materialize_epochs(docs, plan, "source", key_cols=["doc_id"], seed="ep1")
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"),
+        F.col("source").alias("SOURCE"),
+        F.col("EPOCH").cast("int").alias("EPOCH"),
+    )

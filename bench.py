@@ -150,9 +150,11 @@ HEADLINE = [
     "idle_rich_customers",
     "cheapest_supplier_per_part",
     "docs_minhash_jaccard_est",
-    # round 4d additions: distributed ranking family (graded r5)
+    # round 4d additions: distributed ranking family + epoch mixing (graded r5)
     "events_value_ntile",
     "events_value_rank_percentiles",
+    "docs_epoch_plan",
+    "docs_epoch_materialize",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

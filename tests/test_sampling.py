@@ -411,3 +411,64 @@ class TestReviewGuards:
 
         df = spark.createDataFrame([(42,)], "doc_id long")
         assert negative_samples(df, "doc_id", k=3).count() == 0
+
+
+class TestEpochMaterialization:
+    def _plan(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import epoch_plan
+
+        df = spark.createDataFrame(
+            [("a", 1, 100), ("a", 2, 100), ("b", 3, 100), ("c", 4, 0)],
+            "src string, doc_id int, units int",
+        )
+        # a: 200 avail, 60% of 1000 = 600 target -> 3000 milli (capped)
+        # b: 100 avail, 30% of 1000 = 300 target -> 3000 milli exactly
+        # c: 0 avail -> 0 milli (guarded div-by-zero, NOT the cap)
+        w = (
+            F.when(F.col("src") == "a", 600000)
+            .when(F.col("src") == "b", 300000)
+            .otherwise(100000)
+        )
+        return df, epoch_plan(
+            df, "src", w, budget_units=1000, unit_col="units", max_epochs_milli=3000
+        )
+
+    def test_plan_lattice_and_zero_guard(self, spark):
+        _, plan = self._plan(spark)
+        rows = {r["SOURCE"]: r.asDict() for r in plan.collect()}
+        assert rows["a"]["TARGET_UNITS"] == 600 and rows["a"]["EPOCHS_MILLI"] == 3000
+        assert rows["b"]["EPOCHS_MILLI"] == 3000
+        assert rows["c"]["EPOCHS_MILLI"] == 0  # least() must not turn 0/0 into the cap
+
+    def test_materialize_counts_and_epoch_index(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import (
+            materialize_epochs,
+        )
+
+        df, plan = self._plan(spark)
+        out = materialize_epochs(df, plan, "src", key_cols=["doc_id"]).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["EPOCH"])
+        # integer epochs: every a/b doc appears exactly 3x, EPOCH = 1..3
+        for d in (1, 2, 3):
+            assert sorted(by_doc[d]) == [1, 2, 3]
+        assert 4 not in by_doc  # zero-epoch source emits nothing
+
+    def test_fractional_epoch_is_key_stable(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.sampling import (
+            materialize_epochs,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i, 10) for i in range(200)], "src string, doc_id int, units int"
+        )
+        plan = spark.createDataFrame([("a", 1500)], "SOURCE string, EPOCHS_MILLI long")
+        out1 = materialize_epochs(df, plan, "src", key_cols=["doc_id"])
+        out2 = materialize_epochs(
+            df.repartition(7), plan, "src", key_cols=["doc_id"]
+        )
+        # 1.5 epochs: everyone once, ~half twice; identical under re-layout
+        assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+        n2 = out1.filter(F.col("EPOCH") == 2).count()
+        assert 60 <= n2 <= 140 and out1.filter(F.col("EPOCH") == 1).count() == 200
