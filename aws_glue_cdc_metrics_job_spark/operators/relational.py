@@ -193,11 +193,13 @@ def salted_join(
     so one hot key occupies ``salt`` reducers instead of one. Exact for
     inner/left joins (each big row meets exactly one replica). Prefer AQE's
     skew-join first; this is the manual fallback when the skew is known and
-    extreme (SURVEY.md §4 hazards)."""
-    replicas = small.crossJoin(
-        F.broadcast(
-            small.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
-        )
+    extreme (SURVEY.md §4 hazards).
+
+    The replication is a generate (explode of a literal salt array), not a
+    join -- the plan stays BNLJ-free and the replica stage is map-side."""
+    replicas = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)])),
     )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")

@@ -1010,6 +1010,48 @@ def q_events_type_skew_report(spark: SparkSession, sf_dir: str):
     return skew_report(ev, ["event_type"], top=5, partitions=256)
 
 
+@query(
+    "events_salted_type_join",
+    oracle="""
+WITH d AS (SELECT event_type, COUNT(*) AS TYPE_ROWS FROM events GROUP BY 1)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS N_EVENTS,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS N_USERS,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS TYPE_VALUE,
+       CAST(MAX(d.TYPE_ROWS) AS BIGINT) AS TYPE_ROWS
+FROM events e JOIN d ON e.event_type = d.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def q_events_salted_type_join(spark: SparkSession, sf_dir: str):
+    """The manual skew playbook end-to-end, graded against a plain-join
+    oracle (salting is result-neutral, so the oracle is exact SQL): the
+    fact side joins its per-key dim through relational.salted_join (hot
+    key spread across 8 replica reducers instead of one) and the distinct
+    count runs through relational.salted_count_distinct (value-derived
+    salt splits a hot key's distinct-set, partial counts sum exactly).
+    This is the fallback skew_report points at when AQE's runtime split
+    isn't enough (SURVEY.md §4 hazards); the dim and the 5-row partial
+    aggregates broadcast."""
+    from ..operators.relational import salted_count_distinct, salted_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("TYPE_ROWS"))
+    joined = salted_join(ev, dim, ["event_type"], salt=8)
+    stats = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("N_EVENTS"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("TYPE_VALUE"),
+        F.max("TYPE_ROWS").cast("long").alias("TYPE_ROWS"),
+    )
+    users = salted_count_distinct(ev, ["event_type"], "user_id", "N_USERS", salt=16)
+    return (
+        stats.join(F.broadcast(users), "event_type")
+        .select("event_type", "N_EVENTS", "N_USERS", "TYPE_VALUE", "TYPE_ROWS")
+        .orderBy("event_type")
+    )
+
+
 @query("events_hll_weekly_rollup")  # rows-only: HLL estimates engine-specific
 def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str):
     """Distinct users per week answered by UNIONING stored per-day HLL

@@ -155,6 +155,8 @@ HEADLINE = [
     "events_value_rank_percentiles",
     "docs_epoch_plan",
     "docs_epoch_materialize",
+    # round 4e: manual skew playbook (salted join + salted count-distinct)
+    "events_salted_type_join",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes
