@@ -986,6 +986,41 @@ def q_dq_orders_report(spark: SparkSession, sf_dir: str):
     )
 
 
+_PROFILE_COLS = [
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+    "o_orderpriority",
+    "o_orderstatus",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS COLUMN_NAME,
+       CAST(COUNT(*) AS BIGINT) AS N_ROWS,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS N_NULL,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS N_DISTINCT,
+       CAST(MIN({c}) AS VARCHAR) AS MIN_VALUE,
+       CAST(MAX({c}) AS VARCHAR) AS MAX_VALUE
+FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY COLUMN_NAME"
+
+
+@query("orders_table_profile", oracle=_PROFILE_ORACLE)
+def q_orders_table_profile(spark: SparkSession, sf_dir: str):
+    """Column profile of the orders table (null counts, exact distincts,
+    min/max) through quality.table_profile: ONE aggregation over ONE scan
+    -- Spark fuses the 5 exact count-distincts into a single Expand-based
+    aggregate and the tidy per-column pivot is a stack() over the 1-row
+    result, so cost is one pass regardless of column count. Profiles the
+    exact-typed columns only (bigint/string/timestamp); doubles render
+    engine-specifically and are excluded per the operator's parity
+    contract."""
+    from ..operators.quality import table_profile
+
+    return table_profile(read_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
 @query(
     "events_type_skew_report",
     oracle="""

@@ -157,6 +157,8 @@ HEADLINE = [
     "docs_epoch_materialize",
     # round 4e: manual skew playbook (salted join + salted count-distinct)
     "events_salted_type_join",
+    # round 4e: one-pass column profiler
+    "orders_table_profile",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

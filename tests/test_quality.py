@@ -91,3 +91,34 @@ def test_empty_rules_raise(frames):
         row_rule_violations(frames[0], {})
     with pytest.raises(ValueError):
         quality_report([])
+
+
+def test_table_profile_values(frames):
+    from aws_glue_cdc_metrics_job_spark.operators.quality import table_profile
+
+    orders, _, _ = frames
+    rows = {
+        r["COLUMN_NAME"]: r
+        for r in table_profile(orders, ["o_custkey", "o_orderstatus"]).collect()
+    }
+    assert list(rows) == sorted(rows)  # ordered by column name
+    ck = rows["o_custkey"]
+    assert (ck["N_ROWS"], ck["N_NULL"], ck["N_DISTINCT"]) == (5, 1, 3)
+    assert (ck["MIN_VALUE"], ck["MAX_VALUE"]) == ("10", "30")
+    st = rows["o_orderstatus"]
+    assert (st["N_ROWS"], st["N_NULL"], st["N_DISTINCT"]) == (5, 0, 3)
+    assert (st["MIN_VALUE"], st["MAX_VALUE"]) == ("F", "X")
+
+
+def test_table_profile_one_scan(frames):
+    """The whole profile is ONE aggregation over ONE scan (an Expand feeds
+    the k count-distincts); defaults profile every column."""
+    from aws_glue_cdc_metrics_job_spark.operators.quality import table_profile
+
+    orders, _, _ = frames
+    prof = table_profile(orders)
+    assert prof.count() == len(orders.columns)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+    with pytest.raises(ValueError):
+        table_profile(orders, [])
