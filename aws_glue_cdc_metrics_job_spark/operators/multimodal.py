@@ -132,3 +132,67 @@ def map_in_pandas_features(
             )
 
     return df.select(*cols).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    every_k: int = 4,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame sampling over opaque media payloads: slice the binary into
+    fixed-size frames and keep every ``every_k``-th one, at most
+    ``max_frames`` per payload -- the video-pipeline "sample k frames per
+    clip" stage, with byte-range slicing standing in for container-aware
+    keyframe extraction (a real demuxer slots into the same
+    explode-of-slices shape; pyav is absent here).
+
+    Entirely JVM-side: frame indices come from sequence() (a generate,
+    no join), frames from substring() on the binary column -- per-row
+    fan-out is bounded by max_frames, so the explode cannot amplify a
+    payload into unbounded rows. No Python, no shuffle; downstream
+    per-frame featurization (map_in_pandas_features) sees small frame
+    rows instead of whole payloads.
+
+    Returns (id, FRAME_IDX, N_FRAME_BYTES, FRAME_HEX) -- the frame bytes
+    rendered as uppercase hex, the portable cross-engine encoding (both
+    Spark and DuckDB hex blobs identically, so the operator is
+    oracle-checkable end to end)."""
+    if frame_bytes <= 0 or every_k <= 0 or max_frames <= 0:
+        raise ValueError("frame_bytes, every_k and max_frames must be positive")
+    payload = F.col(payload_col)
+    n_frames = F.ceil(F.length(payload) / F.lit(frame_bytes)).cast("int")
+    last = F.least(n_frames - 1, F.lit(every_k * (max_frames - 1)))
+    idxs = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), last, F.lit(every_k)),
+    ).otherwise(F.array().cast("array<int>"))
+    frame = F.substring(payload, F.col("FRAME_IDX") * frame_bytes + 1, frame_bytes)
+    return (
+        df.select(F.col(id_col), payload, F.explode(idxs).alias("FRAME_IDX"))
+        .select(
+            F.col(id_col),
+            "FRAME_IDX",
+            F.length(frame).cast("long").alias("N_FRAME_BYTES"),
+            F.hex(frame).alias("FRAME_HEX"),
+        )
+    )
+
+
+def resize_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_bytes: int = 1024,
+    out_col: str = "payload_resized",
+) -> DataFrame:
+    """Deterministic stand-in for media resizing: truncate the payload to
+    ``target_bytes`` (a real image resize -- PIL thumbnail + re-encode --
+    slots into the same binary -> binary column contract via
+    map_in_pandas_features's decoder hook). JVM-side substring, scan
+    stage only; the point at 100 TB is that resize happens BEFORE any
+    shuffle so wide payloads never ride an exchange."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    return df.withColumn(out_col, F.substring(F.col(payload_col), 1, target_bytes))

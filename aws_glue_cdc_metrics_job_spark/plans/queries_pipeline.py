@@ -382,6 +382,55 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH d AS (
+    SELECT doc_id,
+           hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n
+    FROM documents
+    WHERE doc_id % 17 = 3
+),
+f AS (
+    SELECT d.doc_id,
+           CAST(gs.idx AS INTEGER) AS FRAME_IDX,
+           substring(d.hx, CAST(gs.idx AS BIGINT) * 128 + 1, 128) AS FRAME_HEX
+    FROM d,
+         LATERAL (
+             SELECT unnest(generate_series(
+                 0,
+                 CAST(least(CAST(ceil(d.n / 64.0) AS BIGINT) - 1, 28) AS BIGINT),
+                 4
+             )) AS idx
+         ) gs
+    WHERE d.n > 0
+)
+SELECT doc_id,
+       FRAME_IDX,
+       CAST(length(FRAME_HEX) / 2 AS BIGINT) AS N_FRAME_BYTES,
+       FRAME_HEX
+FROM f
+ORDER BY doc_id, FRAME_IDX
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str):
+    """Frame sampling over opaque payloads: every 4th 64-byte frame, at
+    most 8 per payload, sliced and hexed entirely JVM-side (sequence
+    generate + binary substring -- the video keyframe-sampling shape with
+    byte ranges standing in for a demuxer). The oracle replays the exact
+    byte slicing on DuckDB's hex plane, so the fan-out, boundaries, and
+    short-final-frame handling are value-checked, not just row-counted.
+    Filters to ~1/17th of docs so the graded fan-out stays small."""
+    from ..operators.multimodal import frame_sample
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 3)
+    out = frame_sample(
+        as_binary_column(docs), frame_bytes=64, every_k=4, max_frames=8
+    )
+    return out.orderBy("doc_id", "FRAME_IDX")
+
+
 @query("multimodal_features")  # no oracle: mapInPandas decode stage (stubbed decode)
 def q_multimodal_features(spark: SparkSession, sf_dir: str):
     """Arrow-batched feature extraction over binary payloads (rows-only

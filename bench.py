@@ -159,6 +159,8 @@ HEADLINE = [
     "events_salted_type_join",
     # round 4e: one-pass column profiler
     "orders_table_profile",
+    # round 4e: JVM-side frame sampling over opaque payloads
+    "multimodal_frame_sample",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -76,3 +76,40 @@ def test_map_in_pandas_features_custom_decoder(spark):
         df, decoder=lambda p: {"n_bytes": len(p), "feat_mean": 7.0, "feat_dim": 1}
     ).collect()
     assert rows[0]["feat_mean"] == 7.0 and rows[0]["n_bytes"] == 3
+
+
+def test_frame_sample_slicing_and_bounds(spark):
+    # 300 bytes @ frame_bytes=100 -> frames 0,1,2 (last short); every_k=2
+    # keeps 0 and 2; max_frames=8 doesn't bind.
+    payload = bytes(range(256)) + bytes(44)
+    df = spark.createDataFrame([(1, payload), (2, b""), (3, None)],
+                               "doc_id long, payload binary")
+    rows = multimodal.frame_sample(
+        df, frame_bytes=100, every_k=2, max_frames=8
+    ).orderBy("doc_id", "FRAME_IDX").collect()
+    # empty and NULL payloads produce no frames
+    assert [r["doc_id"] for r in rows] == [1, 1]
+    assert [r["FRAME_IDX"] for r in rows] == [0, 2]
+    assert [r["N_FRAME_BYTES"] for r in rows] == [100, 100]
+    assert rows[0]["FRAME_HEX"] == payload[:100].hex().upper()
+    assert rows[1]["FRAME_HEX"] == payload[200:300].hex().upper()
+
+
+def test_frame_sample_max_frames_caps_fanout(spark):
+    df = spark.createDataFrame([(1, bytes(1000))], "doc_id long, payload binary")
+    rows = multimodal.frame_sample(
+        df, frame_bytes=10, every_k=3, max_frames=4
+    ).collect()
+    assert sorted(r["FRAME_IDX"] for r in rows) == [0, 3, 6, 9]
+    with pytest.raises(ValueError):
+        multimodal.frame_sample(df, frame_bytes=0)
+
+
+def test_resize_payload_truncates(spark):
+    df = spark.createDataFrame([(1, b"abcdef"), (2, b"xy")],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r["payload_resized"]
+            for r in multimodal.resize_payload(df, target_bytes=4).collect()}
+    assert bytes(rows[1]) == b"abcd" and bytes(rows[2]) == b"xy"
+    with pytest.raises(ValueError):
+        multimodal.resize_payload(df, target_bytes=-1)
