@@ -269,6 +269,71 @@ def gap_fill_daily(
     return out
 
 
+def interpolate_daily(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_col: str,
+    out_col: str = "VALUE_CENTI",
+) -> DataFrame:
+    """Linear interpolation across daily gaps, on an exact integer lattice.
+
+    Densifies each key's series (gap_fill_daily spine) and fills missing
+    days by interpolating between the surrounding observations:
+    ``v = (prev*(gap-steps) + next*steps) div gap`` in centi-units, all
+    integer arithmetic -- truncating integer division behaves identically
+    across engines (Spark ``div`` == DuckDB ``//``), so interpolated
+    values hash-match an independent SQL replay exactly. ``value_col``
+    must be an exact type (decimal/int); scaling by 100 into BIGINT
+    centi-units is lossless for DECIMAL(p,2).
+
+    Shape: the spine join (see gap_fill_daily), then ONE shuffle on the
+    keys feeding two frames over the same partition+order (running last
+    backward, running first forward) -- Catalyst plans them in one
+    exchange+sort. The carried (date, value) pair rides a struct so an
+    observation is skipped or kept atomically. Spine endpoints are always
+    observed (the spine spans min..max per key), so gap rows always have
+    both neighbors -- no extrapolation is ever produced.
+
+    Returns (keys..., date, IS_OBSERVED, out_col bigint)."""
+    dense = gap_fill_daily(df.select(*key_cols, date_col, value_col), key_cols, date_col)
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(date_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    observed = F.col(value_col).isNotNull()
+    obs = F.when(
+        observed,
+        F.struct(
+            F.col(date_col).alias("d"),
+            (F.col(value_col) * 100).cast("long").alias("v"),
+        ),
+    )
+    staged = (
+        dense.withColumn("__prev", F.last(obs, ignorenulls=True).over(w_back))
+        .withColumn("__next", F.first(obs, ignorenulls=True).over(w_fwd))
+        .withColumn(
+            "__steps", F.datediff(F.col(date_col), F.col("__prev.d")).cast("long")
+        )
+        .withColumn(
+            "__gap", F.datediff(F.col("__next.d"), F.col("__prev.d")).cast("long")
+        )
+    )
+    interp = F.expr("(__prev.v * (__gap - __steps) + __next.v * __steps) div __gap")
+    return staged.select(
+        *key_cols,
+        date_col,
+        observed.alias("IS_OBSERVED"),
+        F.when(observed, F.col("__prev.v")).otherwise(interp).cast("long").alias(out_col),
+    )
+
+
 def session_transitions(
     df: DataFrame,
     user_col: str = "user_id",

@@ -349,6 +349,69 @@ def q_events_daily_gapfill(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "events_value_interpolated",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS EVENT_TYPE, CAST(ts AS DATE) AS EVENT_DATE,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS VC
+  FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2
+),
+span AS (SELECT EVENT_TYPE, MIN(EVENT_DATE) AS lo, MAX(EVENT_DATE) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT EVENT_TYPE, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS EVENT_DATE
+  FROM span
+),
+j AS (
+  SELECT s.EVENT_TYPE, s.EVENT_DATE, d.VC
+  FROM spine s LEFT JOIN daily d USING (EVENT_TYPE, EVENT_DATE)
+),
+w AS (
+  SELECT EVENT_TYPE, EVENT_DATE, VC,
+    last_value(CASE WHEN VC IS NOT NULL THEN EVENT_DATE END IGNORE NULLS)
+      OVER (PARTITION BY EVENT_TYPE ORDER BY EVENT_DATE
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    last_value(VC IGNORE NULLS)
+      OVER (PARTITION BY EVENT_TYPE ORDER BY EVENT_DATE
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN VC IS NOT NULL THEN EVENT_DATE END IGNORE NULLS)
+      OVER (PARTITION BY EVENT_TYPE ORDER BY EVENT_DATE
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+    first_value(VC IGNORE NULLS)
+      OVER (PARTITION BY EVENT_TYPE ORDER BY EVENT_DATE
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM j
+)
+SELECT EVENT_TYPE, EVENT_DATE,
+       (VC IS NOT NULL) AS IS_OBSERVED,
+       CAST(CASE WHEN VC IS NOT NULL THEN VC
+            ELSE (pv * (date_diff('day', pd, nd) - date_diff('day', pd, EVENT_DATE))
+                  + nv * date_diff('day', pd, EVENT_DATE))
+                 // date_diff('day', pd, nd) END AS BIGINT) AS VALUE_CENTI
+FROM w
+""",
+)
+def q_events_value_interpolated(spark: SparkSession, sf_dir: str):
+    """Linear gap interpolation (temporal.interpolate_daily) over a
+    deliberately sparse per-type daily series (1/97th of users, so real
+    gaps exist): missing days take the straight line between neighboring
+    observations, computed as integer centi-unit arithmetic with
+    truncating division -- Spark ``div`` and the oracle's ``//`` agree
+    bit-for-bit, including on negative sums. One spine explode + one
+    key-partitioned window pass (backward last + forward first share the
+    exchange and sort)."""
+    from ..operators.temporal import interpolate_daily
+    from ..functions.numeric import money
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    daily = ev.groupBy(
+        F.col("event_type").alias("EVENT_TYPE"), F.to_date("ts").alias("EVENT_DATE")
+    ).agg(F.sum(money("value", 2)).alias("TOTAL_VALUE"))
+    return interpolate_daily(
+        daily, ["EVENT_TYPE"], "EVENT_DATE", "TOTAL_VALUE"
+    )
+
+
+@query(
     "events_hopping_6h",
     oracle=f"""
 WITH e AS (SELECT epoch_us(ts) AS us, event_type, user_id, value FROM events),

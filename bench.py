@@ -161,6 +161,8 @@ HEADLINE = [
     "orders_table_profile",
     # round 4e: JVM-side frame sampling over opaque payloads
     "multimodal_frame_sample",
+    # round 4e: linear gap interpolation on the integer lattice
+    "events_value_interpolated",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -1,6 +1,7 @@
 """asof_join: backward-fill semantics vs hand-computed expectations."""
 
-from datetime import datetime
+from datetime import date, datetime
+from decimal import Decimal
 
 from pyspark.sql import functions as F
 
@@ -323,3 +324,29 @@ class TestSessionTransitions:
         }
         # edge conservation: every event is a TO exactly once
         assert sum(got.values()) == len(rows)
+
+
+def test_interpolate_daily_exact_lattice(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import interpolate_daily
+
+    df = spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 1), Decimal("1.00")),
+            ("a", date(2024, 1, 4), Decimal("2.50")),   # 3-day gap: thirds truncate
+            ("b", date(2024, 1, 1), Decimal("-3.00")),
+            ("b", date(2024, 1, 3), Decimal("1.00")),   # crosses zero
+        ],
+        "k string, d date, v decimal(18,2)",
+    )
+    rows = {
+        (r["k"], str(r["d"])): (r["IS_OBSERVED"], r["VALUE_CENTI"])
+        for r in interpolate_daily(df, ["k"], "d", "v").collect()
+    }
+    assert rows[("a", "2024-01-01")] == (True, 100)
+    # (100*2 + 250*1) div 3 = 450 div 3 = 150; (100*1 + 250*2) div 3 = 200
+    assert rows[("a", "2024-01-02")] == (False, 150)
+    assert rows[("a", "2024-01-03")] == (False, 200)
+    assert rows[("a", "2024-01-04")] == (True, 250)
+    # (-300*1 + 100*1) div 2 = -200 div 2 = -100 (truncating, sign-safe)
+    assert rows[("b", "2024-01-02")] == (False, -100)
+    assert len(rows) == 7
