@@ -158,3 +158,43 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "MIN_VALUE",
         "MAX_VALUE",
     ).orderBy("COLUMN_NAME")
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: every combination
+    of ``quasi_cols`` values shared by FEWER than ``k`` rows -- the groups
+    whose members a linkage attack can single out, and the privacy
+    counterpart to content-level PII scrubbing (text.pii_scrub removes
+    identifiers IN the text; this finds rows identifiable BY their
+    metadata). Generalize (bucket/truncate) the quasi columns first, then
+    iterate until the report is empty or suppress the remainder
+    (suppress_below_k).
+
+    One hash aggregation on the quasi columns (map-side combined) + a
+    filter -- nothing else moves. Returns (quasi_cols..., GROUP_SIZE)
+    ordered by GROUP_SIZE then the quasi columns."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("GROUP_SIZE"))
+        .filter(F.col("GROUP_SIZE") < k)
+        .orderBy("GROUP_SIZE", *quasi_cols)
+    )
+
+
+def suppress_below_k(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """Enforce k-anonymity by suppression: drop every row whose
+    quasi-identifier combination has fewer than ``k`` members. The
+    standard release gate after generalization has done what it can.
+
+    Shape: the small violating-group frame (k_anonymity_report) comes
+    back as a LEFT ANTI join on the quasi columns -- it is tiny by
+    construction (every group < k rows), so AQE broadcasts it and the
+    big side never shuffles."""
+    bad = k_anonymity_report(df, quasi_cols, k).select(*quasi_cols)
+    return df.join(bad, quasi_cols, "left_anti")

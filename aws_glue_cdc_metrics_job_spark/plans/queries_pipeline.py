@@ -383,6 +383,35 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "docs_k_anonymity",
+    oracle="""
+WITH g AS (
+  SELECT lang, source, n_chars // 100 AS LEN_BUCKET,
+         CAST(COUNT(*) AS BIGINT) AS GROUP_SIZE
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source, LEN_BUCKET, GROUP_SIZE
+FROM g WHERE GROUP_SIZE < 8
+ORDER BY GROUP_SIZE, lang, source, LEN_BUCKET
+""",
+)
+def q_docs_k_anonymity(spark: SparkSession, sf_dir: str):
+    """k-anonymity audit of the corpus metadata: quasi-identifier
+    combinations (lang, source, 100-char length bucket) shared by fewer
+    than k=8 documents -- rows a metadata linkage attack can single out
+    even after text-level PII scrubbing. One hash aggregation + a
+    filter; suppression (quality.suppress_below_k) anti-joins the tiny
+    violating-group frame back, pinned in test_quality."""
+    from ..operators.quality import k_anonymity_report
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 100").alias("LEN_BUCKET")
+    )
+    return k_anonymity_report(docs, ["lang", "source", "LEN_BUCKET"], k=8)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
 WITH d AS (

@@ -163,6 +163,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     # round 4e: linear gap interpolation on the integer lattice
     "events_value_interpolated",
+    # round 4e: k-anonymity audit over corpus metadata
+    "docs_k_anonymity",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

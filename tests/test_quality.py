@@ -122,3 +122,27 @@ def test_table_profile_one_scan(frames):
     assert plan.count("Scan ExistingRDD") <= 1
     with pytest.raises(ValueError):
         table_profile(orders, [])
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.quality import (
+        k_anonymity_report,
+        suppress_below_k,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "a")] * 5 + [("en", "b")] * 2 + [("fr", "a")] * 1,
+        "lang string, source string",
+    )
+    rep = k_anonymity_report(df, ["lang", "source"], k=3).collect()
+    assert [(r["lang"], r["source"], r["GROUP_SIZE"]) for r in rep] == [
+        ("fr", "a", 1),
+        ("en", "b", 2),
+    ]
+    kept = suppress_below_k(df, ["lang", "source"], k=3)
+    assert kept.count() == 5
+    assert k_anonymity_report(kept, ["lang", "source"], k=3).count() == 0
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["lang"], k=1)
