@@ -113,3 +113,23 @@ def test_resize_payload_truncates(spark):
     assert bytes(rows[1]) == b"abcd" and bytes(rows[2]) == b"xy"
     with pytest.raises(ValueError):
         multimodal.resize_payload(df, target_bytes=-1)
+
+
+def test_frame_sample_reconstructs_payload(spark):
+    """every_k=1 with a generous cap is a lossless byte partition: unhexing
+    and concatenating the frames reproduces the payload exactly."""
+    payloads = [bytes(range(256)) * 3 + b"tail", b"x" * 63, b"y" * 64, b"z" * 65]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    rows = multimodal.frame_sample(
+        df, frame_bytes=64, every_k=1, max_frames=1000
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["FRAME_IDX"], r["FRAME_HEX"]))
+    for i, p in enumerate(payloads):
+        joined = b"".join(
+            bytes.fromhex(hx) for _, hx in sorted(by_doc[i])
+        )
+        assert joined == p, f"doc {i} reconstruction mismatch"

@@ -1,6 +1,6 @@
 """asof_join: backward-fill semantics vs hand-computed expectations."""
 
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 from decimal import Decimal
 
 from pyspark.sql import functions as F
@@ -350,3 +350,42 @@ def test_interpolate_daily_exact_lattice(spark):
     # (-300*1 + 100*1) div 2 = -200 div 2 = -100 (truncating, sign-safe)
     assert rows[("b", "2024-01-02")] == (False, -100)
     assert len(rows) == 7
+
+
+def test_interpolate_daily_bounded_and_dense(spark):
+    """Interpolated values always lie within [min(prev,next), max(prev,next)]
+    and the output is one row per day of each key's span."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for key in ("p", "q"):
+        day = 0
+        while day < 60:
+            rows.append((key, date(2024, 1, 1) + timedelta(days=day),
+                         Decimal(str(round(rng.uniform(-50, 50), 2)))))
+            day += rng.randint(1, 9)
+    df = spark.createDataFrame(rows, "k string, d date, v decimal(18,2)")
+    from aws_glue_cdc_metrics_job_spark.operators.temporal import interpolate_daily
+
+    out = interpolate_daily(df, ["k"], "d", "v").collect()
+    spans = {}
+    for key, d, v in rows:
+        lo, hi = spans.get(key, (d, d))
+        spans[key] = (min(lo, d), max(hi, d))
+    expected_rows = sum((hi - lo).days + 1 for lo, hi in spans.values())
+    assert len(out) == expected_rows
+    observed = {(key, d): int(v * 100) for key, d, v in rows}
+    obs_dates = {}
+    for key, d, _ in rows:
+        obs_dates.setdefault(key, []).append(d)
+    for r in out:
+        k, d, vc = r["k"], r["d"], r["VALUE_CENTI"]
+        if r["IS_OBSERVED"]:
+            assert vc == observed[(k, d)]
+        else:
+            prev_d = max(x for x in obs_dates[k] if x < d)
+            next_d = min(x for x in obs_dates[k] if x > d)
+            lo = min(observed[(k, prev_d)], observed[(k, next_d)])
+            hi = max(observed[(k, prev_d)], observed[(k, next_d)])
+            assert lo <= vc <= hi, (k, d, vc, lo, hi)
