@@ -198,3 +198,52 @@ def suppress_below_k(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFr
     big side never shuffles."""
     bad = k_anonymity_report(df, quasi_cols, k).select(*quasi_cols)
     return df.join(bad, quasi_cols, "left_anti")
+
+
+# log10(1 + 1/d) in exact ppm; the rounded values sum to exactly 1_000_000,
+# so deviations are integer-lattice comparable across engines
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_report(df: DataFrame, value_col: Column | str) -> DataFrame:
+    """Benford's-law first-digit screen over a positive integer measure --
+    the classic fabricated-numbers detector for financial columns (a
+    money column should track log10(1+1/d); a flat or spiky digit
+    histogram flags synthetic or tampered values). ``value_col`` must be
+    integer-valued and positive (scale money to cents first); zero/NULL
+    rows are excluded.
+
+    The first digit comes from substring(CAST(v AS STRING), 1, 1) --
+    integer-to-string rendering is identical across engines, unlike
+    float log10/pow extraction, so the report hashes exactly. One hash
+    aggregation on the 9-value digit key; the 1-row total broadcasts.
+
+    Returns (DIGIT, N, OBSERVED_PPM, EXPECTED_PPM, DEV_PPM) for digits
+    with at least one observation, ordered by DIGIT; the expected table
+    is the exact-ppm Benford lattice (rounded values sum to 1e6)."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    digits = (
+        df.filter(v.isNotNull() & (v > 0))
+        .select(F.substring(v.cast("string"), 1, 1).cast("int").alias("DIGIT"))
+        .groupBy("DIGIT")
+        .agg(F.count(F.lit(1)).cast("long").alias("N"))
+    )
+    total = digits.agg(F.sum("N").alias("__TOT"))
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]),
+        F.col("DIGIT"),
+    )
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "DIGIT",
+            "N",
+            F.expr("(N * 1000000) div __TOT").alias("OBSERVED_PPM"),
+            expected.cast("long").alias("EXPECTED_PPM"),
+            (F.expr("(N * 1000000) div __TOT") - expected).cast("long").alias("DEV_PPM"),
+        )
+        .orderBy("DIGIT")
+    )

@@ -1049,6 +1049,47 @@ def q_dq_orders_report(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "orders_benford_screen",
+    oracle="""
+WITH v AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+d AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS DIGIT,
+         CAST(COUNT(*) AS BIGINT) AS N
+  FROM v GROUP BY 1
+),
+t AS (SELECT SUM(N) AS tot FROM d),
+e(DIGIT, EXPECTED_PPM) AS (
+  VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+)
+SELECT d.DIGIT, d.N,
+       CAST((d.N * 1000000) // t.tot AS BIGINT) AS OBSERVED_PPM,
+       CAST(e.EXPECTED_PPM AS BIGINT) AS EXPECTED_PPM,
+       CAST((d.N * 1000000) // t.tot - e.EXPECTED_PPM AS BIGINT) AS DEV_PPM
+FROM d, t
+JOIN e ON d.DIGIT = e.DIGIT
+ORDER BY d.DIGIT
+""",
+)
+def q_orders_benford_screen(spark: SparkSession, sf_dir: str):
+    """Benford's-law first-digit screen over order totals in exact cents:
+    observed vs expected digit frequencies on the integer ppm lattice
+    (the rounded Benford table sums to exactly 1e6, so deviations are
+    engine-portable integers). First digits come from integer-to-string
+    rendering, not float log10 -- identical across engines. One 9-key
+    hash aggregation + a broadcast 1-row total."""
+    from ..operators.quality import benford_report
+    from ..functions.numeric import money
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice", 2) * 100).cast("long")
+    return benford_report(orders.select(cents.alias("__cents")), "__cents")
+
+
 _PROFILE_COLS = [
     "o_custkey",
     "o_orderdate",

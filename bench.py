@@ -165,6 +165,8 @@ HEADLINE = [
     "events_value_interpolated",
     # round 4e: k-anonymity audit over corpus metadata
     "docs_k_anonymity",
+    # round 4e: Benford first-digit screen on the exact ppm lattice
+    "orders_benford_screen",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes

@@ -40,6 +40,8 @@ BOUNDED_BROADCAST_OK = {
     "docs_heavy_hitters": (1, "1-row corpus-total frame (text.heavy_hitters)"),
     # skew report crosses per-key counts with the ONE-ROW grand-total frame
     "events_type_skew_report": (1, "1-row grand-total frame (relational.skew_report)"),
+    # benford screen crosses the 9-row digit table with the ONE-ROW total
+    "orders_benford_screen": (1, "1-row digit-total frame (quality.benford_report)"),
     # temperature mix crosses per-source counts with the ONE-ROW denominator
     "docs_temperature_mix": (1, "1-row smoothing denominator (sampling.temperature_mix)"),
     # equal-key member expansion goes through the broadcast 8-row salt range

@@ -146,3 +146,24 @@ def test_k_anonymity_report_and_suppression(spark):
         k_anonymity_report(df, [], k=3)
     with pytest.raises(ValueError):
         k_anonymity_report(df, ["lang"], k=1)
+
+
+def test_benford_report_exact_lattice(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.quality import (
+        BENFORD_PPM,
+        benford_report,
+    )
+
+    assert sum(BENFORD_PPM.values()) == 1_000_000
+    # 100, 1xx..., 2xx, 9xx; zero and NULL excluded
+    df = spark.createDataFrame(
+        [(100,), (150,), (199,), (250,), (900,), (0,), (None,)],
+        "v long",
+    )
+    rows = {r["DIGIT"]: r for r in benford_report(df, "v").collect()}
+    assert sorted(rows) == [1, 2, 9]
+    assert rows[1]["N"] == 3 and rows[2]["N"] == 1 and rows[9]["N"] == 1
+    assert rows[1]["OBSERVED_PPM"] == 600000  # 3*1e6 div 5
+    assert rows[1]["EXPECTED_PPM"] == 301030
+    assert rows[1]["DEV_PPM"] == 600000 - 301030
+    assert rows[9]["DEV_PPM"] == 200000 - 45757
