@@ -754,3 +754,60 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str):
         .agg(F.min("l_suppkey").cast("long").alias("SUPP_ID"))
         .select("PART_ID", "PART_NAME", "SUPP_ID", "UNIT_MILLI")
     )
+
+
+# --- TPC-H Q9 shape: multi-dim star join + derived profit measure
+
+
+@query(
+    "nation_part_profit",
+    oracle=f"""
+SELECT n_name AS NATION,
+       CAST(year(o_orderdate) AS INTEGER) AS O_YEAR,
+       CAST(SUM({_NET_CENTS}
+                - CAST(FLOOR(p_retailprice * l_quantity * 0.6 * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS PROFIT_CENTS
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%al%'
+GROUP BY 1, 2
+ORDER BY NATION, O_YEAR
+""",
+)
+def q_nation_part_profit(spark: SparkSession, sf_dir: str):
+    """Product-type profit by nation and year (TPC-H Q9 shape): lineitem
+    fans out through part (name-pattern filter), supplier -> nation, and
+    orders (for the year), with profit = net revenue minus a supply-cost
+    model -- partsupp is absent from the testdata schema, so cost is
+    re-anchored as 60% of p_retailprice per unit on the SAME exact
+    cents lattice as revenue (FLOOR half-up, identical IEEE expression
+    both engines; the BIGINT cents sum is partitioning-independent).
+    Completes the 22-pattern TPC-H shape coverage (Q1-Q22).
+
+    Plan shape: part/supplier/nation broadcast (dim-sized); the one
+    fact-fact shuffle is lineitem x orders on the order key -- the
+    bucketed-recipe pair (SCALE.md); the name filter reaches the part
+    scan so the fan-out is pre-pruned."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%al%"))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    cost_cents = F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * 0.6 * 100 + 0.5
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("NATION"),
+            F.year("o_orderdate").cast("int").alias("O_YEAR"),
+        )
+        .agg(F.sum(_net_cents() - cost_cents).cast("long").alias("PROFIT_CENTS"))
+        .orderBy("NATION", "O_YEAR")
+    )

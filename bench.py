@@ -167,6 +167,8 @@ HEADLINE = [
     "docs_k_anonymity",
     # round 4e: Benford first-digit screen on the exact ppm lattice
     "orders_benford_screen",
+    # round 4e: TPC-H Q9 shape completes the 22-pattern warehouse coverage
+    "nation_part_profit",
 ]
 
 # Secondary 10x scale point (tools/scale_up.py -> .bench_sf1). Excludes
