@@ -254,8 +254,11 @@ def main() -> int:
         detail["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1,
                          "scale": "10x sf0.1"}
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json"), "w") as fh:
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+    )
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     # ONE compact final line, guaranteed under the driver's tail buffer
     # (2000 chars): if the per-query dict has outgrown it, drop the

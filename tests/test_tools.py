@@ -49,3 +49,30 @@ def test_canon_cell_basics_unchanged():
     assert oc.canon_cell(True) == "True"
     assert oc.canon_cell(b"\x01\xff") == "01ff"
     assert oc.canon_cell([1.5, None]) == "[1.5,NULL]"
+
+
+def test_bench_json_contract(monkeypatch, capsys, tmp_path):
+    """bench.py must emit ONE parseable JSON line with the driver's
+    expected keys, under the 2000-char stdout-tail budget. Runs a
+    2-query HEADLINE at smoke scale so the contract (not throughput)
+    is what's tested."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setattr(bench, "HEADLINE", ["pricing_summary", "order_revenue"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_SF1_DIR", "/nonexistent")  # skip 10x pass
+    monkeypatch.setenv("SPARK_GRAFT_DETAIL", str(tmp_path / "detail.json"))
+    assert bench.main() == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1900
+    out = json.loads(line)
+    assert out["metric"] == "headline_queries_total_sec"
+    assert out["unit"] == "sec"
+    assert out["sf"] == 0.001
+    assert set(out["queries"]) == {"pricing_summary", "order_revenue"}
+    assert out["value"] > 0
