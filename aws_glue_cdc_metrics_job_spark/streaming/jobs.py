@@ -665,3 +665,127 @@ def dsir_selection_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def k_anonymity_release_sink(
+    doc_stream: DataFrame,
+    spark: SparkSession,
+    intake_path: str,
+    released_path: str,
+    checkpoint: str,
+    quasi_cols: list[str],
+    id_col: str = "doc_id",
+    k: int = 5,
+):
+    """Streaming k-anonymity release gate: rows are published only once
+    their quasi-identifier combination has at least ``k`` members across
+    everything published so far plus the rows waiting with them. The
+    streaming enforcement half of the batch audit
+    (operators/quality.k_anonymity_report): an under-k group is never
+    visible in the released zone at any point in time; a row whose group
+    is already public releases immediately (k-anonymity is a group-level
+    property); waiting rows release later when arrivals heal their group.
+
+    Two append-only zones, NO mutable snapshot: the intake zone is the
+    canonical store (every batch lands in ``intake/batch_id=N`` with
+    OVERWRITE), the released zone (``released/batch_id=N``, rows released
+    AT batch N, possibly quarantined since an earlier batch) is the
+    published view, and the quarantine is DERIVED -- intake minus
+    released by ``id_col`` (k_anonymity_quarantine exposes it). Because
+    every piece of state is an idempotent per-batch directory, a replayed
+    micro-batch recomputes bit-identical outputs from bit-identical
+    inputs: the probe EXCLUDES the batch's own released delta, the intake
+    rewrite is a same-content overwrite, and there is no snapshot whose
+    post-swap state could leak into the replay (the flaw a mutable
+    quarantine zone has, caught by the replay test).
+
+    Per-batch cost: the released probe reads only (id, quasi) columns and
+    the intake probe only its column-pruned projection -- the same
+    probe-shape economics as dedup_ingest_sink's index read. ``id_col``
+    must be unique across the stream's lifetime (it is the anti-join
+    identity). At scale, intake batch dirs whose rows are all released
+    can be compacted away by maintenance. Returns the started
+    StreamingQuery."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 releases everything)")
+    _apply = _k_anonymity_apply(
+        spark, intake_path, released_path, quasi_cols, id_col, k
+    )
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def k_anonymity_quarantine(
+    spark: SparkSession, intake_path: str, released_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The gate's derived quarantine view: intake rows not yet released
+    (anti-join on ``id_col``). Inspection/monitoring surface -- the gate
+    itself never stores this as a snapshot."""
+    from ..sources.parquet_io import path_exists
+
+    intake = spark.read.parquet(intake_path)
+    if not path_exists(spark, released_path):
+        return intake
+    rel = spark.read.parquet(released_path).select(id_col)
+    return intake.join(rel, id_col, "left_anti")
+
+
+def _k_anonymity_apply(
+    spark: SparkSession,
+    intake_path: str,
+    released_path: str,
+    quasi_cols: list[str],
+    id_col: str,
+    k: int,
+):
+    """k_anonymity_release_sink's per-batch body, factored out so tests
+    can replay a micro-batch with the same batch_id and assert
+    idempotence."""
+    from ..sources.parquet_io import path_exists
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("overwrite").parquet(f"{intake_path}/batch_id={batch_id}")
+        # read back the just-written delta alongside prior intakes so the
+        # pending set is a pure function of durable per-batch dirs
+        intake = spark.read.parquet(intake_path).drop("batch_id")
+        if path_exists(spark, released_path):
+            # exclude THIS batch's own released delta: on a replay after a
+            # successful first attempt, counting it would shift decisions
+            # and anti-joining on it would erase the pending set
+            rel = spark.read.parquet(released_path).filter(
+                F.col("batch_id") != batch_id
+            )
+            pending = intake.join(rel.select(id_col), id_col, "left_anti")
+            totals = (
+                pending.groupBy(*quasi_cols)
+                .agg(F.count(F.lit(1)).alias("__npen"))
+                .join(
+                    rel.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__nrel")),
+                    quasi_cols,
+                    "left",
+                )
+                .select(
+                    *quasi_cols,
+                    (
+                        F.col("__npen") + F.coalesce(F.col("__nrel"), F.lit(0))
+                    ).alias("__tot"),
+                )
+            )
+        else:
+            pending = intake
+            totals = pending.groupBy(*quasi_cols).agg(
+                F.count(F.lit(1)).alias("__tot")
+            )
+        ok = totals.filter(F.col("__tot") >= k).select(*quasi_cols)
+        release = pending.join(ok, quasi_cols, "left_semi")
+        release.write.mode("overwrite").parquet(
+            f"{released_path}/batch_id={batch_id}"
+        )
+
+    return _apply

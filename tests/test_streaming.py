@@ -549,3 +549,101 @@ def test_dsir_selection_sink_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert 200 in got and 201 not in got  # target-like kept, junk-like blocked
+
+
+
+def test_k_anonymity_release_gate_heals_groups(spark, tmp_path):
+    """Rows wait (derived quarantine) until their quasi-group reaches k
+    across released + pending; later arrivals heal a waiting group; a row
+    whose group is already public releases immediately."""
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import (
+        _k_anonymity_apply,
+        k_anonymity_quarantine,
+    )
+
+    intake, rel = str(tmp_path / "intake"), str(tmp_path / "released")
+    apply_fn = _k_anonymity_apply(spark, intake, rel, ["lang", "source"], "doc_id", 3)
+    SCHEMA = "doc_id long, lang string, source string"
+
+    # batch 0: en/a has 2 (< 3, waits), fr/b has 3 (released)
+    apply_fn(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "en", "a"), (3, "fr", "b"), (4, "fr", "b"), (5, "fr", "b")],
+            SCHEMA,
+        ),
+        0,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(rel).collect()} == {3, 4, 5}
+    held = k_anonymity_quarantine(spark, intake, rel)
+    assert {r["doc_id"] for r in held.collect()} == {1, 2}
+
+    # batch 1: one more en/a heals the group (2 waiting + 1 = 3);
+    # one fr/b rides the already-public group alone; de/c waits
+    apply_fn(
+        spark.createDataFrame([(6, "en", "a"), (7, "fr", "b"), (8, "de", "c")], SCHEMA),
+        1,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(rel).collect()} == {
+        1, 2, 3, 4, 5, 6, 7,
+    }
+    held = k_anonymity_quarantine(spark, intake, rel)
+    assert {r["doc_id"] for r in held.collect()} == {8}
+
+    # invariant: every released quasi-group has >= 3 members
+    sizes = spark.read.parquet(rel).groupBy("lang", "source").count().collect()
+    assert all(r["count"] >= 3 for r in sizes)
+
+
+def test_k_anonymity_release_replay_idempotent(spark, tmp_path):
+    """Micro-batches replayed with the same batch_id (foreachBatch retry
+    after a fully-successful first attempt -- the hard case for
+    snapshot-state sinks) must not double-release, lose, or re-quarantine
+    rows: every piece of state is an idempotent per-batch directory."""
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import (
+        _k_anonymity_apply,
+        k_anonymity_quarantine,
+    )
+
+    intake, rel = str(tmp_path / "intake"), str(tmp_path / "released")
+    apply_fn = _k_anonymity_apply(spark, intake, rel, ["lang"], "doc_id", 2)
+    SCHEMA = "doc_id long, lang string"
+    b0 = spark.createDataFrame([(1, "en"), (2, "en"), (3, "fr")], SCHEMA)
+    b1 = spark.createDataFrame([(4, "fr")], SCHEMA)
+
+    apply_fn(b0, 0)
+    apply_fn(b0, 0)  # retry of batch 0 after full success
+    apply_fn(b1, 1)  # fr healed: 3 (waiting) + 4 release together
+    apply_fn(b1, 1)  # retry of batch 1 after full success
+
+    out = sorted(r["doc_id"] for r in spark.read.parquet(rel).collect())
+    assert out == [1, 2, 3, 4]  # each row exactly once, none lost
+    assert k_anonymity_quarantine(spark, intake, rel).count() == 0
+
+
+def test_k_anonymity_sink_end_to_end(spark, tmp_path):
+    from aws_glue_cdc_metrics_job_spark.streaming import jobs as S2
+
+    SCHEMA = "doc_id long, lang string"
+    src = str(tmp_path / "kanon_in")
+    spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], SCHEMA
+    ).write.mode("append").parquet(src)
+    stream = S2.read_event_stream(spark, src, SCHEMA)
+    q = S2.k_anonymity_release_sink(
+        stream,
+        spark,
+        str(tmp_path / "intake"),
+        str(tmp_path / "released"),
+        checkpoint=str(tmp_path / "ckpt_ka"),
+        quasi_cols=["lang"],
+        k=2,
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "released")).collect()}
+    assert out == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S2.k_anonymity_release_sink(
+            stream, spark, "x", "y", checkpoint="z", quasi_cols=["lang"], k=1
+        )
