@@ -37,83 +37,78 @@ def query(name: str, oracle: str | None = None):
 
 # The driver grades the FIRST 50 catalog entries (served in this order)
 # each round. Window history: r2 graded one representative per mechanism;
-# r3 rotated onto the then-ungraded tail, leaving r2 ∪ r3 green for every
-# oracle-equipped entry that existed when the r3 window was fixed. Round 4
-# rotates onto everything still without a driver row (VERDICT r3 items 2
-# and 4):
-# - the 22 oracle-equipped entries added after the r3 window was fixed
-#   (locally verified then; now due their driver rows),
-# - the 2 rows without a clean row in any round: events_type_skew_report
-#   (red r3; SKEW_X re-emitted on an exact integer lattice this round) and
-#   events_approx_distinct_users (errored r1, never re-entered a window),
-# - the 16 queries NEW in round 4 (sessionization, cohorts, pareto,
-#   TPC-H Q7/Q10 shapes, inactivity gaps, discount bands, cross-source
-#   matrix, DF table, winnow overlap, gopher audit, segment share,
-#   length quantiles, norm buckets, the exact-distinct twin, the
-#   count-min fast path),
-# - the 9 rows-only-by-design entries that never had even a driver
-#   rows-only row (their exactness/invariant bounds are pinned in
-#   tests/test_catalog_parity.py and unit tests),
-# - 1 insurance re-grade: docs_winnow_fingerprints, whose oracle SQL was
-#   refactored into a shared CTE this round (values unchanged).
-# Everything else keeps its r2/r3 green row as evidence and follows in
-# definition order (see COVERAGE.md).
+# r3 rotated onto the then-ungraded tail; r4 graded the 22 post-r3
+# additions, the r4-new 16, and the 9 rows-only entries — leaving exactly
+# the 39 entries added after the r4 window froze without any driver row.
+# Round 5 rotates onto all of them (VERDICT r4 item 2):
+# - the 14 warehouse-suite completions (TPC-H shapes Q8/Q9/Q11/Q13/Q14/
+#   Q15/Q16/Q17/Q19/Q21/Q22 et al.),
+# - the ranking / interpolation / profile / Benford / salted-join /
+#   k-anonymity / frame-sample ops,
+# - the DSIR / bigram-LM / CCNet-selection / BPE-encode / RRF family,
+# - SQ8, Matryoshka, the perceptron pair, epoch planning/materialize,
+#   the minhash mechanism twin, and the bootstrap fast path,
+# plus events_type_skew_report — r4's ONE red row, root-caused to an
+# oracle-side uncast HUGEINT `//` (queries_ops.py:1134) rendered as
+# float64 through the driver's pandas fetch path; the CAST landed this
+# round together with a dual-fetch-path divergence check in
+# tools/oracle_check.py — and insurance re-grades for every query whose
+# plan or oracle was touched this round. Everything else keeps its
+# r2/r3/r4 green row as evidence and follows in definition order.
 GRADE_FIRST: list[str] = [
-    # -- oracle-equipped, added after the r3 window was fixed (22)
-    "orders_shipping_priority",
-    "region_nation_volume",
-    "events_value_trend",
+    # -- never driver-graded: added after the r4 window froze (39)
+    "nation_part_profit",
+    "parts_small_qty_revenue",
+    "orders_bulk_quantity",
+    "orders_late_ship_priority",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "part_value_concentration",
+    "returns_priority_profile",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "parts_supplier_diversity",
+    "disjunctive_basket_revenue",
+    "dominant_part_suppliers",
+    "sole_return_suppliers",
+    "idle_rich_customers",
+    "cheapest_supplier_per_part",
+    "events_value_rank_percentiles",
+    "events_value_interpolated",
+    "orders_benford_screen",
+    "orders_table_profile",
+    "events_salted_type_join",
+    "docs_k_anonymity",
+    "multimodal_frame_sample",
+    "docs_dsir_weights",
+    "docs_dsir_weights_fast",
+    "docs_bigram_logprob",
+    "docs_bigram_ppx_scored",
+    "docs_hybrid_rrf",
+    "docs_bpe_encode",
+    "docs_selection_pipeline",
+    "emb_matryoshka",
+    "emb_perceptron_step",
+    "emb_perceptron_train",
+    "emb_sq8_topk",
+    "docs_minhash_jaccard_est",
+    "docs_epoch_plan",
+    "docs_epoch_materialize",
+    "events_value_bootstrap_ci_fast",
+    # -- r4's one red row: oracle CAST fix landed this round (1)
+    "events_type_skew_report",
+    # -- insurance re-grades: plan or oracle touched in round 5 (10)
     "mart_sales_trends_all_grains",
-    "cdc_evolved_diff",
-    "cdc_compact_changelog",
-    "events_session_transitions",
-    "lineitem_basket_pairs",
-    "emb_pq_encode",
-    "emb_pq_adc_topk",
-    "emb_pq_train_update",
-    "docs_chunk_windows",
-    "emb_cross_contamination",
-    "docs_balanced_sample",
-    "docs_segment_lang_profile",
-    "docs_negative_samples",
-    "docs_weighted_topk_sample",
     "docs_cm_sketch",
     "docs_cm_estimates",
-    "docs_collocations",
-    "docs_source_overlap",
-    "docs_source_datasheet",
-    # -- never a clean driver row in any round (2)
-    "events_type_skew_report",
-    "events_approx_distinct_users",
-    # -- new in round 4 (16)
-    "events_sessionize_stats",
-    "events_activity_cohorts",
+    "events_value_bootstrap_ci",
     "orders_pareto_deciles",
-    "customer_returns_report",
-    "nation_trade_volume",
-    "events_inactivity_gaps",
-    "lineitem_discount_bands",
-    "docs_cross_source_dups",
-    "docs_df_table",
-    "docs_winnow_overlap_pairs",
-    "docs_gopher_report",
-    "docs_repeated_segment_share",
-    "docs_token_quantiles_by_lang",
-    "emb_norm_buckets",
-    "events_exact_distinct_users",
     "docs_cm_estimates_fast",
-    # -- rows-only-by-design, never in a window before (9)
-    "events_hll_weekly_rollup",
     "events_quantile_sketch_rollup",
-    "docs_minhash_lsh_pairs",
-    "emb_ivf_topk",
     "multimodal_features",
-    "emb_cosine_topk_fast",
     "docs_pack_sequences",
     "docs_incremental_near_dedup",
-    "emb_ivf_pq_topk",
-    # -- insurance re-grade: oracle refactored to a shared CTE this round
-    "docs_winnow_fingerprints",
 ]
 
 

@@ -1131,7 +1131,7 @@ def q_orders_table_profile(spark: SparkSession, sf_dir: str):
 WITH c AS (SELECT event_type, COUNT(*) AS N_ROWS FROM events GROUP BY 1),
 t AS (SELECT SUM(N_ROWS) AS tot FROM c)
 SELECT event_type, CAST(c.N_ROWS AS BIGINT) AS N_ROWS,
-       (c.N_ROWS * 1000000) // t.tot AS SHARE_PPM,
+       CAST((c.N_ROWS * 1000000) // t.tot AS BIGINT) AS SHARE_PPM,
        CAST((c.N_ROWS * 256 * 200 + t.tot) // (2 * t.tot) AS BIGINT) AS SKEW_X_CENTI
 FROM c, t
 ORDER BY c.N_ROWS DESC, event_type LIMIT 5

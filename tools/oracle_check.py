@@ -85,6 +85,18 @@ def canon_rows(cols: list[str], rows) -> list[str]:
 
 
 def duckdb_run(sf_dir: str, sql: str):
+    """Run the oracle and return (cols, rows, fetch_path_divergences).
+
+    Fetches the result through BOTH DuckDB client paths -- fetchall()
+    (exact Python objects) and fetchdf() (pandas/Arrow, the path the
+    driver's hash goes through) -- and flags any null-free column whose
+    values are integers via fetchall but a floating dtype via pandas.
+    That is exactly the r4 red-row mechanism: SUM() types as HUGEINT,
+    `//` propagates it, fetchall renders `13020` while the pandas path
+    renders `13020.0`, so the local gate passed and the driver's hash
+    failed (VERDICT r4 item 1). Fix on flag: CAST the oracle output
+    column (e.g. `CAST(... AS BIGINT)`).
+    """
     import duckdb
 
     con = duckdb.connect()
@@ -92,7 +104,24 @@ def duckdb_run(sf_dir: str, sql: str):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     res = con.execute(sql)
     cols = [d[0] for d in res.description]
-    return cols, res.fetchall()
+    rows = res.fetchall()
+    divergences = []
+    try:
+        df = con.execute(sql).fetchdf()
+        for j, c in enumerate(cols):
+            vals = [r[j] for r in rows]
+            if not vals or any(v is None for v in vals):
+                continue
+            if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+                dtype = df.iloc[:, j].dtype
+                if str(dtype).startswith("float"):
+                    divergences.append(
+                        f"column {c!r} is all-int via fetchall but {dtype} via the "
+                        f"pandas fetch path (driver hash path) -- CAST it in the oracle"
+                    )
+    except Exception as ex:  # noqa: BLE001 - divergence check is best-effort
+        divergences.append(f"fetchdf divergence check errored: {ex}")
+    return cols, rows, divergences
 
 
 def main() -> int:
@@ -140,12 +169,12 @@ def main() -> int:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{el:.1f}s]", flush=True)
             continue
         try:
-            dcols, drows = duckdb_run(sf_dir, oracles[name])
+            dcols, drows, divergences = duckdb_run(sf_dir, oracles[name])
         except Exception as ex:  # noqa: BLE001
             failed.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL  {name}: duckdb error: {str(ex)[:500]}")
             continue
-        problems = []
+        problems = list(divergences)
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns differ: spark={sorted(scols)} duckdb={sorted(dcols)}")
         if len(srows) != len(drows):
