@@ -127,26 +127,37 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
         raise ValueError("cols must be non-empty")
+    # resolve caller column names as literal identifiers (backtick-quoted,
+    # backticks doubled) so dotted names address the COLUMN, not a nested
+    # field path
+    def _id(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).cast("long").alias(f"__nn_{i}"),
-            F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{i}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{i}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{i}"),
+            F.count(_id(c)).cast("long").alias(f"__nn_{i}"),
+            F.countDistinct(_id(c)).cast("long").alias(f"__nd_{i}"),
+            F.min(_id(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(_id(c)).cast("string").alias(f"__mx_{i}"),
         ]
     one = df.agg(*aggs)
-    # string literals go through a bound parameter-free stack() expression;
-    # column NAMES are caller schema, not user data, but escape quotes all
-    # the same so a quoted identifier cannot break the expression
-    parts = ", ".join(
-        "'{0}', __nn_{1}, __nd_{1}, __mn_{1}, __mx_{1}".format(c.replace("'", "''"), i)
-        for i, c in enumerate(cols)
-    )
+    # pivot via the Column API (F.stack over lit/col arguments), not an
+    # interpolated F.expr string: column names enter as bound literals, so
+    # quoting/escaping (quotes, backslashes, dots) cannot corrupt the
+    # expression
+    stack_args: list = [F.lit(len(cols))]
+    for i, c in enumerate(cols):
+        stack_args += [
+            F.lit(c),
+            F.col(f"__nn_{i}"),
+            F.col(f"__nd_{i}"),
+            F.col(f"__mn_{i}"),
+            F.col(f"__mx_{i}"),
+        ]
     stacked = one.select(
-        F.expr(
-            f"stack({len(cols)}, {parts}) "
-            "as (COLUMN_NAME, N_NONNULL, N_DISTINCT, MIN_VALUE, MAX_VALUE)"
+        F.stack(*stack_args).alias(
+            "COLUMN_NAME", "N_NONNULL", "N_DISTINCT", "MIN_VALUE", "MAX_VALUE"
         ),
         F.col("__n").alias("N_ROWS"),
     )

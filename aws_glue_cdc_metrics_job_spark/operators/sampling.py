@@ -517,7 +517,11 @@ def epoch_plan(
     while reading a fraction of the big ones). Per source: available
     units (sum of ``unit_col``), the caller's weight (ppm of the budget,
     as a COLUMN so the rule travels with the query and stays portable
-    across engines), the unit target ``budget * ppm div 1e6``, and
+    across engines -- the expression MUST be constant within each source:
+    it is aggregated with max(), so a non-constant weight deterministically
+    takes the largest value rather than a partition-order-dependent one,
+    but the per-source-constant contract is the caller's to honor), the
+    unit target ``budget * ppm div 1e6``, and
     ``EPOCHS_MILLI = min(target * 1000 div available, max)`` -- every
     step integer division on ppm/milli lattices, so the plan hashes
     identically in any engine. The repetition cap mirrors the
@@ -529,7 +533,10 @@ def epoch_plan(
     result to :func:`materialize_epochs`."""
     tot = df.groupBy(source_col).agg(
         F.sum(F.col(unit_col)).cast("long").alias("N_UNITS"),
-        F.first(weight_ppm).cast("int").alias("WEIGHT_PPM"),
+        # max(), not first(): first() over a (contract-violating)
+        # non-constant weight expression would be partition-order
+        # nondeterministic; max() keeps the plan deterministic either way
+        F.max(weight_ppm).cast("int").alias("WEIGHT_PPM"),
     )
     target = F.expr(f"(CAST({int(budget_units)} AS BIGINT) * WEIGHT_PPM) div 1000000")
     return tot.select(

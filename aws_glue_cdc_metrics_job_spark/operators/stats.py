@@ -167,19 +167,23 @@ def grouped_trend(
     pre-scale larger operands.
 
     Returns (group_cols..., N_POINTS, SLOPE, INTERCEPT, R2)."""
-    # widen x BEFORE scaling: an integer x column would multiply in int32
-    # and overflow under ANSI for |x| > 2147 (observed: day indexes
-    # anchored years away from the data). long keeps integer x exact; a
-    # fractional x was already double and is unaffected. y keeps its
-    # native (decimal) arithmetic -- no widening that could move a .5
-    # boundary.
-    x_in = F.col(x_col)
+    # widen integral operands BEFORE scaling: an integer column would
+    # multiply in int32 and overflow under ANSI for |v| > 2147 (observed:
+    # day indexes anchored years away from the data). long keeps integer
+    # values exact; fractional/decimal inputs are unaffected (no widening
+    # that could move a .5 boundary). Applied symmetrically to x AND y --
+    # an integral y with |y| > 2147 hits the identical overflow.
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    if isinstance(df.schema[x_col].dataType, (ByteType, ShortType, IntegerType, LongType)):
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    x_in = F.col(x_col)
+    if isinstance(df.schema[x_col].dataType, _integral):
         x_in = x_in.cast("long")
+    y_in = F.col(y_col)
+    if isinstance(df.schema[y_col].dataType, _integral):
+        y_in = y_in.cast("long")
     xq = F.floor(x_in * 1000000 + F.lit(0.5)).cast("decimal(19,0)")
-    yq = F.floor(F.col(y_col) * 1000000 + F.lit(0.5)).cast("decimal(19,0)")
+    yq = F.floor(y_in * 1000000 + F.lit(0.5)).cast("decimal(19,0)")
     q = df.select(*group_cols, xq.alias("__x"), yq.alias("__y"))
     agg = q.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("N_POINTS"),

@@ -734,6 +734,55 @@ def k_anonymity_quarantine(
     return intake.join(rel, id_col, "left_anti")
 
 
+def k_anonymity_compact(
+    spark: SparkSession,
+    intake_path: str,
+    released_path: str,
+    id_col: str = "doc_id",
+    up_to_batch_id: int | None = None,
+) -> int:
+    """Maintenance compaction for the k-anonymity gate's intake zone: drop
+    intake rows already RELEASED at batch ids ≤ ``up_to_batch_id`` (all
+    batches when None), rewriting the zone partitioned by ``batch_id`` so
+    fully-released batch dirs disappear. This bounds the gate's per-batch
+    probe to |quarantine| + the released zone instead of O(total history)
+    -- the maintenance job k_anonymity_release_sink's docstring promises.
+
+    Correctness: pending = intake ∖ released is unchanged by removing
+    intake rows that ARE in released, and the released-side group counts
+    never read intake, so post-compaction release decisions are
+    bit-identical (pinned in test_streaming). Replay safety is the ONE
+    constraint: a replayed batch B excludes released/batch_id=B from its
+    probe and expects B's released rows to still be pending, so only
+    compact against batches that can no longer replay -- pass
+    ``up_to_batch_id`` = last committed batch - 1 (checkpoints replay at
+    most the final uncommitted batch). Run with the stream STOPPED: the
+    rewrite is a whole-zone overwrite, not transactional against a
+    concurrent micro-batch.
+
+    Returns the number of intake rows dropped."""
+    from ..sources.parquet_io import path_exists, swap_directory
+
+    if not path_exists(spark, released_path) or not path_exists(spark, intake_path):
+        return 0
+    intake = spark.read.option("basePath", intake_path).parquet(intake_path)
+    rel = spark.read.parquet(released_path)
+    if up_to_batch_id is not None:
+        rel = rel.filter(F.col("batch_id") <= up_to_batch_id)
+    kept = intake.join(rel.select(id_col), id_col, "left_anti")
+    before, after = intake.count(), kept.count()
+    if after == before:
+        return 0
+    # stage the compacted zone, verify, then atomically swap: a crash
+    # before the swap leaves the live intake untouched
+    staged = intake_path.rstrip("/") + "__compacted"
+    kept.write.mode("overwrite").partitionBy("batch_id").parquet(staged)
+    if spark.read.option("basePath", staged).parquet(staged).count() != after:
+        raise RuntimeError("compaction staging verification failed; intake untouched")
+    swap_directory(spark, staged, intake_path)
+    return before - after
+
+
 def _k_anonymity_apply(
     spark: SparkSession,
     intake_path: str,

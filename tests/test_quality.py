@@ -167,3 +167,22 @@ def test_benford_report_exact_lattice(spark):
     assert rows[1]["EXPECTED_PPM"] == 301030
     assert rows[1]["DEV_PPM"] == 600000 - 301030
     assert rows[9]["DEV_PPM"] == 200000 - 45757
+
+
+def test_table_profile_hostile_column_names(spark):
+    """Column names with quotes, backslashes, and dots must profile
+    correctly (ADVICE r4: the old stack() SQL string-interpolated names;
+    the Column-API build makes escaping a non-issue)."""
+    from aws_glue_cdc_metrics_job_spark.operators.quality import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "y")],
+        ["it's a col", "path\\dot.ted"],
+    )
+    rows = {r["COLUMN_NAME"]: r for r in table_profile(df).collect()}
+    assert set(rows) == {"it's a col", "path\\dot.ted"}
+    quoted = rows["it's a col"]
+    assert (quoted["N_ROWS"], quoted["N_NULL"], quoted["N_DISTINCT"]) == (3, 1, 2)
+    dotted = rows["path\\dot.ted"]
+    assert (dotted["N_ROWS"], dotted["N_NULL"], dotted["N_DISTINCT"]) == (3, 0, 2)
+    assert (dotted["MIN_VALUE"], dotted["MAX_VALUE"]) == ("x", "y")

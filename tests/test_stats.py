@@ -135,3 +135,22 @@ def test_bootstrap_fast_path_same_point_estimates(spark):
         df, "value", ["k"], group_cols=["g"], b=50, seed="s", portable=False
     ).collect()[0]
     assert (fast["CI_LO"], fast["CI_HI"]) == (fast2["CI_LO"], fast2["CI_HI"])
+
+
+def test_grouped_trend_integral_y_widened(spark):
+    """An integral y with |y| > 2147 must not overflow the int32 *1e6
+    pre-scale (ADVICE r4: the x-side widening fix applied asymmetrically).
+    Exact line: y = 5000*x -> slope exactly 5000."""
+    import numpy as np
+
+    from aws_glue_cdc_metrics_job_spark.operators.stats import grouped_trend
+
+    rows = [(0, i, 5000 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g int, x int, y int")
+    got = grouped_trend(df, "x", "y", ["g"]).collect()[0]
+    xs = np.array([r[1] for r in rows], dtype=float)
+    ys = np.array([r[2] for r in rows], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert got["SLOPE"] == pytest.approx(slope, abs=1e-6)
+    assert got["INTERCEPT"] == pytest.approx(intercept, abs=1e-6)
+    assert got["R2"] == pytest.approx(1.0, abs=1e-9)

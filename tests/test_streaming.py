@@ -647,3 +647,55 @@ def test_k_anonymity_sink_end_to_end(spark, tmp_path):
         S2.k_anonymity_release_sink(
             stream, spark, "x", "y", checkpoint="z", quasi_cols=["lang"], k=1
         )
+
+
+def test_k_anonymity_compact_preserves_decisions(spark, tmp_path):
+    """Intake compaction (the maintenance job bounding per-batch probe
+    cost) drops only already-released rows, leaves the quarantine view
+    bit-identical, and later release decisions match an uncompacted twin
+    (ADVICE r4: O(total history) probe growth)."""
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import (
+        _k_anonymity_apply,
+        k_anonymity_compact,
+        k_anonymity_quarantine,
+    )
+
+    SCHEMA = "doc_id long, lang string, source string"
+    b0 = [(1, "en", "a"), (2, "en", "a"), (3, "fr", "b"), (4, "fr", "b"), (5, "fr", "b")]
+    b1 = [(6, "en", "a"), (7, "fr", "b"), (8, "de", "c")]
+    b2 = [(9, "de", "c"), (10, "de", "c"), (11, "fr", "b")]
+
+    def run(base, compact_after_b1):
+        intake, rel = str(base / "intake"), str(base / "released")
+        apply_fn = _k_anonymity_apply(spark, intake, rel, ["lang", "source"], "doc_id", 3)
+        apply_fn(spark.createDataFrame(b0, SCHEMA), 0)
+        apply_fn(spark.createDataFrame(b1, SCHEMA), 1)
+        if compact_after_b1:
+            held_before = {
+                r["doc_id"]
+                for r in k_anonymity_quarantine(spark, intake, rel).collect()
+            }
+            # batches <= 0 are final; batch 1 stays replayable
+            dropped = k_anonymity_compact(
+                spark, intake, rel, "doc_id", up_to_batch_id=0
+            )
+            assert dropped == 3  # batch-0 released fr/b rows 3,4,5
+            held_after = {
+                r["doc_id"]
+                for r in k_anonymity_quarantine(spark, intake, rel).collect()
+            }
+            assert held_after == held_before
+            # replay of batch 1 (the still-replayable frontier) after
+            # compaction stays idempotent
+            apply_fn(spark.createDataFrame(b1, SCHEMA), 1)
+        apply_fn(spark.createDataFrame(b2, SCHEMA), 2)
+        released = {r["doc_id"] for r in spark.read.parquet(rel).collect()}
+        held = {r["doc_id"] for r in k_anonymity_quarantine(spark, intake, rel).collect()}
+        return released, held
+
+    plain = run(tmp_path / "plain", compact_after_b1=False)
+    compacted = run(tmp_path / "compacted", compact_after_b1=True)
+    assert compacted == plain
+    # de/c healed at batch 2 (1 waiting + 2 new = 3); everything released
+    assert compacted[0] == {1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11}
+    assert compacted[1] == set()
