@@ -691,7 +691,11 @@ WITH psu AS (
   GROUP BY 1, 2
 ),
 pr AS (
-  SELECT l_partkey, l_suppkey, cents * 10 // qty AS UNIT_MILLI FROM psu
+  -- CAST: cents comes from SUM() (HUGEINT in DuckDB), and HUGEINT '//'
+  -- renders as float64 through the pandas/Arrow fetch path the driver
+  -- hashes (the r4 red-row mechanism; caught locally by oracle_check's
+  -- dual-fetch divergence guard)
+  SELECT l_partkey, l_suppkey, CAST(cents * 10 // qty AS BIGINT) AS UNIT_MILLI FROM psu
 ),
 best AS (SELECT l_partkey, MIN(UNIT_MILLI) AS m FROM pr GROUP BY 1)
 SELECT p.p_partkey AS PART_ID, p.p_name AS PART_NAME,

@@ -29,6 +29,43 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Fact tables whose downstream operators do real per-row compute (hash
+# replicates, per-char text kernels, ANN arithmetic). Dimension tables are
+# excluded: they broadcast anyway and an extra exchange would only add
+# latency to every join.
+_SPREAD_TABLES = {"events", "documents", "lineitem", "orders", "embeddings"}
+
+
+def _spread_if_single_split(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Parallelism floor for degenerate small-file scans: a parquet file
+    with ONE row group is always ONE Spark task no matter what
+    maxPartitionBytes says (row groups are the split unit), so every
+    per-row-expensive projection above it runs on a single core. When the
+    input is a single file too small to split, repartition to the session's
+    core count so the expensive projection -- not the trivial scan --
+    defines the stage parallelism. Self-disabling at scale: a production
+    table is a directory of many files/row groups, the condition never
+    fires, and no 100 TB scan is ever blind-shuffled. The shuffle this adds
+    locally is bounded by the file's own (column-pruned: pushdown passes
+    through a deterministic Repartition) bytes."""
+    import os
+
+    local = path[7:] if path.startswith("file://") else path
+    try:
+        if not os.path.isfile(local):
+            return df
+        size = os.path.getsize(local)
+    except OSError:
+        return df
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    )
+    cpus = spark.sparkContext.defaultParallelism
+    if size < max_split and cpus > 1:
+        return df.repartition(cpus)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
@@ -44,13 +81,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``PARQUET_TYPE_ILLEGAL`` on the NANOS column."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":  # parquet TIMESTAMP(NANOS) via nanosAsLong
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":  # micros-precision rewrites (scale_up)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name in _SPREAD_TABLES:
+        df = _spread_if_single_split(df, spark, path)
     return df
 
 

@@ -262,7 +262,12 @@ def test_bucketed_lineitem_orders_recipe(spark, sf_dir, tmp_path):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # exact decimal lattice (house dsum convention): double summation
+        # is addition-order-dependent, and the two plans aggregate in
+        # different orders by design
+        net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
         bucketed = (
             spark.table("bkt_lineitem")
             .join(spark.table("bkt_orders"), "l_orderkey")
