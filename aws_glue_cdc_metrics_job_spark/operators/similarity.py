@@ -1375,21 +1375,34 @@ def perceptron_train(
     Because each round's weights land on the 6-dp lattice before
     re-entering the expression as literals, the whole trajectory is
     bit-reproducible at any partitioning -- restartable distributed
-    training. Returns the final weight list."""
+    training. The projected training set (id, label, vector) is
+    persisted MEMORY_AND_DISK across rounds -- the standard iterative-
+    training contract (Spark MLlib does the same): one scan pays for all
+    rounds, every round after the first reads the materialized columns,
+    and persistence cannot change values (it is the same rows). Released
+    before returning. Returns the final weight list."""
+    from pyspark import StorageLevel
+
     w = [float(x) for x in init_weights]
-    for _ in range(iters):
-        upd = perceptron_step(
-            df, w, positive_label=positive_label, lr=lr,
-            id_col=id_col, vec_col=vec_col, label_col=label_col,
-        ).collect()
-        if not upd:
-            break
-        new_w = list(w)
-        for r in upd:
-            new_w[r["DIM"]] = r["W_NEW"]
-        if new_w == w:
-            break
-        w = new_w
+    train = df.select(id_col, label_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        for _ in range(iters):
+            upd = perceptron_step(
+                train, w, positive_label=positive_label, lr=lr,
+                id_col=id_col, vec_col=vec_col, label_col=label_col,
+            ).collect()
+            if not upd:
+                break
+            new_w = list(w)
+            for r in upd:
+                new_w[r["DIM"]] = r["W_NEW"]
+            if new_w == w:
+                break
+            w = new_w
+    finally:
+        train.unpersist()
     return w
 
 
