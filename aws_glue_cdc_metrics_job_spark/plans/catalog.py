@@ -106,7 +106,7 @@ GRADE_FIRST: list[str] = [
     "orders_pareto_deciles",
     "docs_cm_estimates_fast",
     "events_quantile_sketch_rollup",
-    "multimodal_features",
+    "multimodal_decode_roundtrip",
     "docs_pack_sequences",
     "docs_incremental_near_dedup",
 ]

@@ -133,3 +133,112 @@ def test_frame_sample_reconstructs_payload(spark):
             bytes.fromhex(hx) for _, hx in sorted(by_doc[i])
         )
         assert joined == p, f"doc {i} reconstruction mismatch"
+
+
+class TestPngCodec:
+    def test_roundtrip_exact(self):
+        from aws_glue_cdc_metrics_job_spark.operators.multimodal import (
+            _decode_png_gray,
+            encode_png_gray,
+        )
+
+        px = bytes(range(64))
+        png = encode_png_gray(px, 8, 8)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert _decode_png_gray(png) == (8, 8, px)
+        with pytest.raises(ValueError):
+            encode_png_gray(px, 8, 7)
+
+    def test_all_filter_types_reconstruct(self):
+        """Decoder must unfilter every PNG filter type (0 none, 1 sub,
+        2 up, 3 average, 4 Paeth) -- hand-filter a known image per spec
+        and assert exact reconstruction."""
+        import struct
+        import zlib
+
+        from aws_glue_cdc_metrics_job_spark.operators.multimodal import (
+            _decode_png_gray,
+        )
+
+        w = 5
+        rows = [bytes([(r * 37 + c * 11) % 256 for c in range(w)]) for r in range(5)]
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        raw = bytearray()
+        prev = bytes(w)
+        for ft, row in enumerate(rows):  # one row per filter type, then 0
+            ft = ft % 5
+            raw.append(ft)
+            for i in range(w):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ft]
+                raw.append((row[i] - pred) & 0xFF)
+            prev = row
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 5, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert _decode_png_gray(png) == (w, 5, b"".join(rows))
+
+    def test_decode_real_png_without_pil(self):
+        """decode_real must decode the built-in PNG subset in THIS
+        environment (no PIL installed) -- NotImplementedError unreachable
+        for these payloads."""
+        from aws_glue_cdc_metrics_job_spark.operators.multimodal import (
+            decode_real,
+            encode_png_gray,
+        )
+
+        px = bytes([10] * 32 + [20] * 32)
+        out = decode_real(encode_png_gray(px, 8, 8), "image/png")
+        assert out["feat_dim"] == 64 and out["feat_mean"] == 15.0
+        with pytest.raises(NotImplementedError):
+            decode_real(b"\xffnot-an-image", "image/jpeg")
+        with pytest.raises(NotImplementedError):
+            decode_real(b"RIFF....", "audio/wav")
+
+    def test_decode_real_pil_parity(self):
+        """When PIL IS installed, its decode of our PNGs must agree with
+        the built-in decoder (skipped where PIL is absent)."""
+        pytest.importorskip("PIL")
+        from aws_glue_cdc_metrics_job_spark.operators.multimodal import (
+            _decode_png_gray,
+            decode_real,
+            encode_png_gray,
+        )
+
+        px = bytes((i * 7) % 256 for i in range(64))
+        png = encode_png_gray(px, 8, 8)
+        out = decode_real(png, "image/png")
+        _, _, raw = _decode_png_gray(png)
+        assert out["feat_mean"] == sum(raw) / 64 and out["feat_dim"] == 64
+
+    def test_synth_payloads_spark_roundtrip(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.multimodal import (
+            _decode_png_gray,
+            synth_png_payloads,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, ""), (3, "x" * 200)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: bytes(r["payload"]) for r in synth_png_payloads(df).collect()}
+        w, h, px = _decode_png_gray(got[1])
+        assert (w, h) == (8, 8) and px == (b"hello" + b"\x00" * 64)[:64]
+        assert _decode_png_gray(got[2])[2] == b"\x00" * 64
+        assert _decode_png_gray(got[3])[2] == b"x" * 64
