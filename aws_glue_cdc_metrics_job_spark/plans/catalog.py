@@ -52,9 +52,13 @@ def query(name: str, oracle: str | None = None):
 # oracle-side uncast HUGEINT `//` (queries_ops.py:1134) rendered as
 # float64 through the driver's pandas fetch path; the CAST landed this
 # round together with a dual-fetch-path divergence check in
-# tools/oracle_check.py — and insurance re-grades for every query whose
-# plan or oracle was touched this round. Everything else keeps its
-# r2/r3/r4 green row as evidence and follows in definition order.
+# tools/oracle_check.py — and the final 10 slots mix the queries NEW in
+# round 5 (the bucketed/shuffled recipe twins, the PNG decode
+# round-trip) with insurance re-grades for entries whose plan, oracle,
+# or input path was touched this round (all-grains variantization, the
+# count-min A/B subjects, bootstrap + the spread-read change's heaviest
+# dependents). Everything else keeps its r2/r3/r4 green row as evidence
+# and follows in definition order.
 GRADE_FIRST: list[str] = [
     # -- never driver-graded: added after the r4 window froze (39)
     "nation_part_profit",
@@ -103,9 +107,9 @@ GRADE_FIRST: list[str] = [
     "docs_cm_sketch",
     "docs_cm_estimates",
     "events_value_bootstrap_ci",
+    "orders_lineitem_revenue_bucketed",
+    "orders_lineitem_revenue_shuffled",
     "orders_pareto_deciles",
-    "docs_cm_estimates_fast",
-    "events_quantile_sketch_rollup",
     "multimodal_decode_roundtrip",
     "docs_pack_sequences",
     "docs_incremental_near_dedup",

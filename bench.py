@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The reference's gold-mart set (BASELINE.md) + representative operator and
 # training-data-pipeline queries.
 HEADLINE = [
+    # round-5 additions
+    "multimodal_decode_roundtrip",
+    "orders_lineitem_revenue_shuffled",
+    "orders_lineitem_revenue_bucketed",
     "order_revenue",
     "fact_ltv_daily",
     "mart_customer_ltv_snapshot",

@@ -229,3 +229,24 @@ def test_cheapest_supplier_price_is_the_group_min(spark, sf_dir):
     mins = {r2.l_partkey: r2.m for r2 in psu.groupBy("l_partkey").agg(F.min("um").alias("m")).collect()}
     for row in rows:
         assert row.UNIT_MILLI == mins[row.PART_ID]
+
+
+def test_bucketed_recipe_pair_plans_and_values(spark, sf_dir):
+    """The graded bucketed/shuffled twins: identical values, and the
+    bucketed plan executes with ZERO Exchange (join AND the (ORDER_KEY,
+    STATUS) agg are satisfied by the bucket partitioning on the key
+    prefix), while the shuffled twin pays the fact shuffles."""
+    from aws_glue_cdc_metrics_job_spark.plans.queries_warehouse import (
+        q_orders_lineitem_revenue_bucketed,
+        q_orders_lineitem_revenue_shuffled,
+    )
+
+    b = q_orders_lineitem_revenue_bucketed(spark, sf_dir)
+    s = q_orders_lineitem_revenue_shuffled(spark, sf_dir)
+    got = {(r["ORDER_KEY"], r["STATUS"]): r["NET_REVENUE"] for r in b.collect()}
+    exp = {(r["ORDER_KEY"], r["STATUS"]): r["NET_REVENUE"] for r in s.collect()}
+    assert got == exp and len(got) > 0
+    bplan = b._jdf.queryExecution().executedPlan().toString()
+    splan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in bplan, bplan
+    assert splan.count("Exchange hashpartitioning") >= 2
