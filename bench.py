@@ -23,6 +23,7 @@ HEADLINE = [
     "multimodal_decode_roundtrip",
     "orders_lineitem_revenue_shuffled",
     "orders_lineitem_revenue_bucketed",
+    "events_partition_pruned_read",
     "order_revenue",
     "fact_ltv_daily",
     "mart_customer_ltv_snapshot",

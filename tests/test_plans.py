@@ -119,3 +119,34 @@ def test_catalog_rejects_duplicate_query_names():
     # same function re-registering (module reload) stays allowed
     catalog.query("_dup_guard_probe")(probe_a)
     catalog.QUERIES.pop("_dup_guard_probe", None)
+
+
+def test_partition_pruned_read_lists_only_matching_dirs(spark, sf_dir):
+    """The pruning demo's contract: the filter becomes PartitionFilters
+    and only the 7 in-range date directories contribute input files."""
+    from aws_glue_cdc_metrics_job_spark.plans.queries_ops import (
+        q_events_partition_pruned_read,
+    )
+
+    df = q_events_partition_pruned_read(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "EVENT_DATE" in plan.split("PartitionFilters")[1][:200]
+    # runtime proof (inputFiles() is pre-pruning): the files actually read
+    # are exactly the 7 in-range date directories
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"evpart_{h}")
+    read = (
+        spark.read.parquet(path)
+        .filter(F.col("EVENT_DATE").between("2024-01-10", "2024-01-16"))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dates = {r["f"].split("EVENT_DATE=")[1].split("/")[0] for r in read}
+    assert dates == {f"2024-01-1{d}" for d in range(0, 7)}
