@@ -1,5 +1,7 @@
 """CLI entry point (python -m aws_glue_cdc_metrics_job_spark)."""
 
+import pytest
+
 from aws_glue_cdc_metrics_job_spark.__main__ import main
 
 
@@ -20,6 +22,7 @@ def test_query_unknown(capsys):
     assert main(["query", "no_such_query"]) == 2
 
 
+@pytest.mark.slow  # ~4 min: excluded from the default suite (pytest.ini); run with -m ""
 def test_pipeline_end_to_end(spark, tmp_path):
     zones = str(tmp_path / "zones")
     assert (

@@ -62,6 +62,7 @@ def test_entry_contract(spark):
     assert df.count() > 0
 
 
+@pytest.mark.slow  # ~4 min: excluded from the default suite (pytest.ini); run with -m ""
 def test_every_query_runs_at_smoke_scale(spark, sf_dir, catalog):
     """Every catalog entry must build and execute (schema + >=0 rows)."""
     for name, fn in catalog.items():
@@ -75,22 +76,25 @@ def test_oracle_queries_have_matching_spark_entries():
 
 
 def test_asof_join_is_single_shuffle(spark, sf_dir, catalog):
-    # union + running-last as-of: exactly ONE Exchange (hash on the key),
-    # never a join node -- the piecewise-merge shape (operators/temporal.py)
-    import re
-
+    # union + running-last as-of: exactly ONE SEMANTIC Exchange (hash on
+    # the key), never a join node -- the piecewise-merge shape
+    # (operators/temporal.py). read_table's single-split parallelism floor
+    # adds RoundRobin repartitions in local mode (absent at scale, where
+    # scans split naturally); only hash/range exchanges are the operator's
+    # own shuffles.
     plan = _plan(catalog["events_asof_attribution"](spark, sf_dir))
-    # formatted explain repeats node headers in the details section: count
-    # unique node ids, not substring occurrences
-    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
     assert "Join" not in plan
     assert "Window" in plan
 
 
 def test_hash_sample_is_stateless_map(spark, sf_dir, catalog):
-    # md5-threshold sampling must not shuffle: scan -> filter -> project only
+    # md5-threshold sampling must not shuffle on any KEY: scan -> filter ->
+    # project only (the parallelism-floor RoundRobin is layout, not
+    # semantics -- see test_asof_join_is_single_shuffle)
     plan = _plan(catalog["lineitem_hash_sample"](spark, sf_dir))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
 
 
 def test_interval_join_is_equi_join(spark, sf_dir, catalog):
