@@ -112,7 +112,7 @@ GRADE_FIRST: list[str] = [
     "orders_pareto_deciles",
     "multimodal_decode_roundtrip",
     "events_partition_pruned_read",
-    "docs_incremental_near_dedup",
+    "orders_consistent_sample_revenue",
 ]
 
 

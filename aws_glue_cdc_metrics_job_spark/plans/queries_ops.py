@@ -1571,3 +1571,59 @@ def q_events_partition_pruned_read(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("long").alias("N_EVENTS"),
         dsum("value", 2).alias("TOTAL_VALUE"),
     )
+
+
+@query(
+    "orders_consistent_sample_revenue",
+    oracle=f"""
+WITH so AS (
+  SELECT o_orderkey, o_orderstatus FROM orders
+  WHERE SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR) || '|cs1'), 1, 8) < '20000000'
+),
+sl AS (
+  SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+  WHERE SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) || '|cs1'), 1, 8) < '20000000'
+)
+SELECT so.o_orderstatus AS STATUS,
+       CAST(COUNT(DISTINCT so.o_orderkey) AS BIGINT) AS N_ORDERS,
+       CAST(COUNT(*) AS BIGINT) AS N_LINES,
+       {sql_dsum("sl.l_extendedprice * (1 - sl.l_discount)", 4)} AS NET_REVENUE
+FROM sl JOIN so ON so.o_orderkey = sl.l_orderkey
+GROUP BY 1
+""",
+)
+def q_orders_consistent_sample_revenue(spark: SparkSession, sf_dir: str):
+    """KEY-CONSISTENT cross-table sampling (sampling.hash_sample's central
+    property, made observable): orders and lineitem are independently
+    hash-sampled at 1/8 on the SAME join-key values and seed, so the two
+    samples pick exactly the same order population -- the join loses
+    nothing on either side (referential completeness pinned in
+    test_sampling), and downstream revenue statistics are computed over a
+    coherent 1/8 sub-database. The production pattern for dev/staging
+    slices of a 100 TB warehouse: each table samples independently in a
+    stateless scan-stage filter (no coordination, no key exchange), yet
+    all foreign-key joins remain complete. '20000000'/16^8 = 0.125
+    exactly; membership is identical at any partitioning."""
+    from ..operators.sampling import hash_sample
+
+    o = hash_sample(
+        read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        ["o_orderkey"], 0.125, seed="cs1",
+    )
+    li = hash_sample(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        ["l_orderkey"], 0.125, seed="cs1",
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderstatus").alias("STATUS"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("N_ORDERS"),
+            F.count(F.lit(1)).cast("long").alias("N_LINES"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "NET_REVENUE"
+            ),
+        )
+    )

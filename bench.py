@@ -24,6 +24,7 @@ HEADLINE = [
     "orders_lineitem_revenue_shuffled",
     "orders_lineitem_revenue_bucketed",
     "events_partition_pruned_read",
+    "orders_consistent_sample_revenue",
     "order_revenue",
     "fact_ltv_daily",
     "mart_customer_ltv_snapshot",

@@ -472,3 +472,28 @@ class TestEpochMaterialization:
         assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
         n2 = out1.filter(F.col("EPOCH") == 2).count()
         assert 60 <= n2 <= 140 and out1.filter(F.col("EPOCH") == 1).count() == 200
+
+
+def test_hash_sample_cross_table_referential_completeness(spark, sf_dir):
+    """Sampling two tables independently on the same key+seed picks the
+    same key population: no sampled lineitem is orphaned, no sampled
+    order loses lines it had in the full data."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import hash_sample
+    from aws_glue_cdc_metrics_job_spark.sources import read_table
+
+    o = hash_sample(
+        read_table(spark, sf_dir, "orders").select("o_orderkey"),
+        ["o_orderkey"], 0.125, seed="cs1",
+    )
+    li_full = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    li = hash_sample(li_full, ["l_orderkey"], 0.125, seed="cs1")
+    # no orphans in either direction
+    assert li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti").count() == 0
+    # sampled orders keep ALL their lines: per-key line counts match full data
+    full_counts = li_full.groupBy("l_orderkey").count().withColumnRenamed("count", "n_full")
+    samp_counts = li.groupBy("l_orderkey").count()
+    joined = samp_counts.join(full_counts, "l_orderkey")
+    assert joined.filter(F.col("count") != F.col("n_full")).count() == 0
+    assert 0 < li.count() < li_full.count()
