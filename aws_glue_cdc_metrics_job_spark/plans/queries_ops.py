@@ -1627,3 +1627,46 @@ def q_orders_consistent_sample_revenue(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@query(
+    "events_bloom_prune_revenue",
+    oracle="""
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS N_EVENTS,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS N_USERS,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS EVENT_VALUE
+FROM events e
+WHERE e.user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def q_events_bloom_prune_revenue(spark: SparkSession, sf_dir: str):
+    """Bloom-filter semi-join pruning (operators/bloom.py), graded against
+    the plain semi-join oracle -- the filter is result-NEUTRAL (false
+    positives are removed by the exact join that follows), so the oracle
+    is exact SQL while the engine path demonstrates the 100 TB shape: the
+    dim side's join keys become a 16 KiB word array (one exploded
+    map-combined bit_or aggregation, never collected), ride a 1-row
+    broadcast onto the fact scan, and prune non-joining fact rows in the
+    scan stage BEFORE the join's exchange. This is the manual form of
+    Spark's InjectRuntimeFilter, usable where the optimizer won't inject
+    one (non-equi pre-aggregated inputs, cross-format sources) and sized
+    explicitly (~10-15 bits/key). xxhash64 probe (portable=False) is the
+    production default; the words' determinism and the md5 twin's
+    equality are pinned in tests/test_bloom.py."""
+    from ..operators.bloom import bloom_semi_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    hits = bloom_semi_join(ev, dim, "user_id", "c_custkey", portable=False)
+    return (
+        hits.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("N_EVENTS"),
+            F.countDistinct("user_id").cast("long").alias("N_USERS"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("EVENT_VALUE"),
+        )
+        .orderBy("event_type")
+    )

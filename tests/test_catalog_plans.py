@@ -22,6 +22,9 @@ catalog.load_all()
 # a SECOND genuinely-quadratic join sneaking into a whitelisted query's plan
 # still fails the guard (ADVICE r2).
 BOUNDED_BROADCAST_OK = {
+    # the Bloom word array rides a broadcast ONE-ROW frame onto the fact
+    # scan (operators/bloom.py) -- constant-size build side by construction
+    "events_bloom_prune_revenue": (1, "1-row bloom-words frame (operators/bloom.py)"),
     # exact-quantile cut: cross join with a broadcast ONE-ROW frame
     "mart_customer_clv_segment": (1, "1-row quantile cut frame (functions/quantile.py)"),
     # salted_join replicates the small side against a broadcast range(salt)
