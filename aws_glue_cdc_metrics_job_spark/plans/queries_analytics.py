@@ -1098,3 +1098,65 @@ def q_events_value_rank_percentiles(spark: SparkSession, sf_dir: str):
         ev.select("value", "event_id"), key="value", tiebreaks=["event_id"],
         qs_bp=[2500, 5000, 9000, 9900],
     )
+
+
+# --- fixed-iteration PageRank on the integer picos lattice: the oracle
+# unrolls the SAME iterations in SQL, so the trajectory must be exact.
+_PR_SCALE = 10**12
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    cte = [
+        "bi AS (SELECT DISTINCT l_orderkey AS B, l_partkey AS I FROM lineitem)",
+        "e AS (SELECT DISTINCT a.I AS SRC, b.I AS DST FROM bi a "
+        "JOIN bi b ON a.B = b.B AND a.I <> b.I)",
+        "deg AS (SELECT SRC, CAST(COUNT(*) AS BIGINT) AS DEG FROM e GROUP BY SRC)",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM deg)",
+        f"r0 AS (SELECT d.SRC AS NODE, CAST({_PR_SCALE} // n.N AS BIGINT) AS R FROM deg d, n)",
+    ]
+    for t in range(iterations):
+        cte.append(
+            f"r{t + 1} AS (SELECT e.DST AS NODE, "
+            f"CAST((SELECT CAST((15 * {_PR_SCALE}) // (100 * N) AS BIGINT) FROM n) "
+            f"+ SUM(CAST((85 * r.R) // (100 * d.DEG) AS BIGINT)) AS BIGINT) AS R "
+            f"FROM e JOIN r{t} r ON e.SRC = r.NODE JOIN deg d ON e.SRC = d.SRC "
+            f"GROUP BY e.DST)"
+        )
+    last = f"r{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT {last}.NODE AS PART_ID, {last}.R AS RANK_PICOS, d.DEG AS N_NEIGHBORS
+FROM {last} JOIN deg d ON {last}.NODE = d.SRC
+ORDER BY RANK_PICOS DESC, PART_ID
+LIMIT 50"""
+    )
+
+
+@query("parts_copurchase_pagerank", oracle=_pagerank_oracle(3))
+def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str):
+    """Link analysis as a first-class iterative operator (operators/
+    graph.py): parts form a symmetric co-purchase graph (edges built
+    per-basket, quadratic only within each order's distinct parts), and
+    three PageRank hops run as pure join+agg rounds on the exact integer
+    picos lattice -- bit-identical at any partitioning and replayed
+    verbatim by the unrolled-CTE DuckDB oracle, which makes an ITERATIVE
+    algorithm value-hash gradeable. The only driver value is the scalar
+    node count; lineage is cut per round (the connected-components
+    pattern); top-50 with a deterministic (rank, id) tie-break is a
+    TakeOrderedAndProject, not a global sort."""
+    from ..operators.graph import copurchase_edges, pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    pr = pagerank(edges, iterations=3, scale=_PR_SCALE, damping_pct=85)
+    return (
+        pr.select(
+            F.col("NODE").alias("PART_ID"),
+            F.col("RANK_PICOS"),
+            F.col("N_NEIGHBORS"),
+        )
+        .orderBy(F.col("RANK_PICOS").desc(), F.col("PART_ID"))
+        .limit(50)
+    )

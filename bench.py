@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # training-data-pipeline queries.
 HEADLINE = [
     # round-5 additions
+    "parts_copurchase_pagerank",
     "events_bloom_prune_revenue",
     "multimodal_decode_roundtrip",
     "orders_lineitem_revenue_shuffled",

@@ -1,0 +1,75 @@
+"""PageRank on the integer picos lattice (operators/graph.py): exact
+pure-Python replay parity, partitioning invariance, rank-mass sanity, and
+edge-builder shape."""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from aws_glue_cdc_metrics_job_spark.operators.graph import (
+    PR_SCALE,
+    copurchase_edges,
+    pagerank,
+)
+
+EDGES = [
+    (1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3),  # triangle
+    (3, 4), (4, 3),                                   # pendant
+    (5, 6), (6, 5),                                   # separate pair
+]
+
+
+def _replay(edges, iterations, scale=PR_SCALE, damping=85):
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    tele = (100 - damping) * scale // (100 * n)
+    r = {v: scale // n for v in deg}
+    for _ in range(iterations):
+        nxt = defaultdict(int)
+        for s, d in edges:
+            nxt[d] += damping * r[s] // (100 * deg[s])
+        r = {v: c + tele for v, c in nxt.items()}
+    return r
+
+
+def test_matches_pure_python_replay(spark):
+    df = spark.createDataFrame(EDGES, "SRC long, DST long")
+    got = {
+        row["NODE"]: row["RANK_PICOS"]
+        for row in pagerank(df, iterations=4, checkpoint=False).collect()
+    }
+    assert got == _replay(EDGES, 4)
+
+
+def test_partitioning_invariance(spark):
+    df = spark.createDataFrame(EDGES, "SRC long, DST long")
+    a = sorted(map(tuple, pagerank(df.coalesce(1), iterations=3).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(7), iterations=3).collect()))
+    assert a == b
+
+
+def test_rank_mass_bounded(spark):
+    """Floor division only LOSES mass: total rank stays in (0.99, 1.0] of
+    scale after several hops on a connected symmetric graph."""
+    ring = [(i, (i + 1) % 50) for i in range(50)] + [((i + 1) % 50, i) for i in range(50)]
+    df = spark.createDataFrame(ring, "SRC long, DST long")
+    total = (
+        pagerank(df, iterations=5, checkpoint=False)
+        .agg(F.sum("RANK_PICOS").alias("T"))
+        .collect()[0]["T"]
+    )
+    assert 0.99 * PR_SCALE < total <= PR_SCALE
+
+
+def test_copurchase_edges_symmetric_distinct(spark):
+    rows = [(1, 10), (1, 11), (1, 11), (2, 10), (2, 12), (3, 13)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    e = {(r["SRC"], r["DST"]) for r in copurchase_edges(df, "b", "i").collect()}
+    assert e == {(10, 11), (11, 10), (10, 12), (12, 10)}  # 13 isolated, dups collapsed
+
+
+def test_empty_graph(spark):
+    df = spark.createDataFrame([], "SRC long, DST long")
+    assert pagerank(df, iterations=2).count() == 0
