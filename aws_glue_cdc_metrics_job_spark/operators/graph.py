@@ -28,6 +28,74 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**12  # rank unit = 1e-12 of total mass ("picos")
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + exact clustering coefficient (ppm) via
+    degree-ordered edge orientation (Schank & Wagner 2005; the MapReduce
+    classic from Suri & Vassilvitskii, WWW'11).
+
+    Orient every undirected edge from its lower-(degree, id) endpoint to
+    the higher one: each node's ORIENTED out-degree is then O(sqrt(E)),
+    so the wedge self-join's fan-out is bounded regardless of hub skew --
+    the difference between this and the naive adjacency join is exactly
+    what survives a power-law graph at 100 TB. Each triangle forms one
+    wedge at its lowest-rank vertex plus one closing-edge probe: two
+    equi-joins, no node ever enumerates a hub's full neighborhood
+    quadratically. All arithmetic is integer (CC ppm = 2e6*T div
+    deg*(deg-1)), so results are value-hash exact cross-engine.
+
+    Input: directed edge list (SRC, DST); symmetrized and de-duplicated
+    internally. Returns (NODE, DEG, N_TRIANGLES, CC_PPM) for every node
+    with at least one edge.
+    """
+    und = (
+        edges.select(
+            F.least("SRC", "DST").alias("A"), F.greatest("SRC", "DST").alias("B")
+        )
+        .where(F.col("A") != F.col("B"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("A").alias("N"))
+        .unionAll(und.select(F.col("B").alias("N")))
+        .groupBy("N")
+        .agg(F.count(F.lit(1)).cast("long").alias("DEG"))
+    )
+    da = deg.select(F.col("N").alias("A"), F.col("DEG").alias("DA"))
+    db = deg.select(F.col("N").alias("B"), F.col("DEG").alias("DB"))
+    ad = und.join(da, "A").join(db, "B")
+    lo_first = F.struct(F.col("DA"), F.col("A")) < F.struct(F.col("DB"), F.col("B"))
+    ori = ad.select(
+        F.when(lo_first, F.col("A")).otherwise(F.col("B")).alias("SRC"),
+        F.when(lo_first, F.col("B")).otherwise(F.col("A")).alias("DST"),
+        F.when(lo_first, F.col("DB")).otherwise(F.col("DA")).alias("DDEG"),
+    )
+    e1 = ori.select(F.col("SRC").alias("U"), F.col("DST").alias("V"), F.col("DDEG").alias("RV"))
+    e2 = ori.select(F.col("SRC").alias("U"), F.col("DST").alias("W"), F.col("DDEG").alias("RW"))
+    wedges = e1.join(e2, "U").where(
+        F.struct(F.col("RV"), F.col("V")) < F.struct(F.col("RW"), F.col("W"))
+    )
+    closing = ori.select(F.col("SRC").alias("V"), F.col("DST").alias("W"))
+    tri = wedges.join(closing, ["V", "W"]).select("U", "V", "W")
+    per_node = (
+        tri.select(F.col("U").alias("N"))
+        .unionAll(tri.select(F.col("V").alias("N")))
+        .unionAll(tri.select(F.col("W").alias("N")))
+        .groupBy("N")
+        .agg(F.count(F.lit(1)).cast("long").alias("N_TRIANGLES"))
+    )
+    return (
+        deg.join(per_node, "N", "left")
+        .select(
+            F.col("N").alias("NODE"),
+            F.col("DEG"),
+            F.coalesce(F.col("N_TRIANGLES"), F.lit(0)).cast("long").alias("N_TRIANGLES"),
+            F.when(F.col("DEG") >= 2, F.expr(
+                "(2000000 * coalesce(N_TRIANGLES, 0)) div (DEG * (DEG - 1))"
+            )).otherwise(F.lit(0)).cast("long").alias("CC_PPM"),
+        )
+    )
+
+
 def copurchase_edges(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Symmetric distinct co-occurrence edges (SRC, DST), SRC <> DST.
 

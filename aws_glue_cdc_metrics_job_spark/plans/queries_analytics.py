@@ -1160,3 +1160,58 @@ def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("RANK_PICOS").desc(), F.col("PART_ID"))
         .limit(50)
     )
+
+
+@query(
+    "parts_copurchase_triangles",
+    oracle="""
+WITH bi AS (SELECT DISTINCT l_orderkey AS BKT, l_partkey AS I FROM lineitem),
+und AS (SELECT DISTINCT LEAST(a.I, b.I) AS A, GREATEST(a.I, b.I) AS B
+        FROM bi a JOIN bi b ON a.BKT = b.BKT AND a.I <> b.I),
+deg AS (SELECT N, CAST(COUNT(*) AS BIGINT) AS DEG FROM
+        (SELECT A AS N FROM und UNION ALL SELECT B FROM und) GROUP BY N),
+ori AS (SELECT CASE WHEN (da.DEG, u.A) < (db.DEG, u.B) THEN u.A ELSE u.B END AS SRC,
+               CASE WHEN (da.DEG, u.A) < (db.DEG, u.B) THEN u.B ELSE u.A END AS DST,
+               CASE WHEN (da.DEG, u.A) < (db.DEG, u.B) THEN db.DEG ELSE da.DEG END AS DDEG
+        FROM und u JOIN deg da ON u.A = da.N JOIN deg db ON u.B = db.N),
+tri AS (SELECT e1.SRC AS U, e1.DST AS V, e2.DST AS W
+        FROM ori e1 JOIN ori e2
+          ON e1.SRC = e2.SRC AND (e1.DDEG, e1.DST) < (e2.DDEG, e2.DST)
+        JOIN ori e3 ON e3.SRC = e1.DST AND e3.DST = e2.DST),
+pn AS (SELECT N, CAST(COUNT(*) AS BIGINT) AS T FROM
+       (SELECT U AS N FROM tri UNION ALL SELECT V FROM tri UNION ALL SELECT W FROM tri)
+       GROUP BY N)
+SELECT d.N AS PART_ID, d.DEG, CAST(COALESCE(pn.T, 0) AS BIGINT) AS N_TRIANGLES,
+       CAST(CASE WHEN d.DEG >= 2
+                 THEN (2000000 * COALESCE(pn.T, 0)) // (d.DEG * (d.DEG - 1))
+                 ELSE 0 END AS BIGINT) AS CC_PPM
+FROM deg d LEFT JOIN pn ON d.N = pn.N
+ORDER BY N_TRIANGLES DESC, PART_ID
+LIMIT 30
+""",
+)
+def q_parts_copurchase_triangles(spark: SparkSession, sf_dir: str):
+    """Exact triangle counting + clustering coefficient over the part
+    co-purchase graph via DEGREE-ORDERED edge orientation (operators/
+    graph.py triangle_counts): every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, which caps oriented
+    out-degree at O(sqrt(E)) and therefore bounds the wedge self-join's
+    fan-out even under power-law hub skew -- the canonical
+    hazard-of-scale for graph joins. Two equi-joins total (wedge + close),
+    integer ppm clustering coefficients, and the oracle replays the
+    identical orientation with SQL row-value comparisons, so the result
+    is value-hash exact. Top-30 with a (count, id) tie-break is a
+    TakeOrderedAndProject."""
+    from ..operators.graph import copurchase_edges, triangle_counts
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    tc = triangle_counts(edges)
+    return (
+        tc.select(
+            F.col("NODE").alias("PART_ID"), F.col("DEG"),
+            F.col("N_TRIANGLES"), F.col("CC_PPM"),
+        )
+        .orderBy(F.col("N_TRIANGLES").desc(), F.col("PART_ID"))
+        .limit(30)
+    )

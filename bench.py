@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # round-5 additions
     "parts_copurchase_pagerank",
+    "parts_copurchase_triangles",
     "events_bloom_prune_revenue",
     "multimodal_decode_roundtrip",
     "orders_lineitem_revenue_shuffled",

@@ -73,3 +73,51 @@ def test_copurchase_edges_symmetric_distinct(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "SRC long, DST long")
     assert pagerank(df, iterations=2).count() == 0
+
+
+def test_triangle_counts_k4(spark):
+    """K4: every node is in C(3,2)=3 triangles with CC exactly 1."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import triangle_counts
+
+    nodes = [1, 2, 3, 4]
+    k4 = [(a, b) for a in nodes for b in nodes if a < b]
+    df = spark.createDataFrame(k4, "SRC long, DST long")
+    got = {r["NODE"]: (r["DEG"], r["N_TRIANGLES"], r["CC_PPM"]) for r in triangle_counts(df).collect()}
+    assert got == {v: (3, 3, 1000000) for v in nodes}
+
+
+def test_triangle_counts_path_and_mixed(spark):
+    """Path graph: zero triangles; adding one chord closes exactly one.
+    Input direction/duplication must not matter (symmetrized internally)."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import triangle_counts
+
+    path = [(1, 2), (2, 3), (3, 4), (2, 1), (3, 2)]  # dups + reversals
+    df = spark.createDataFrame(path, "SRC long, DST long")
+    assert all(r["N_TRIANGLES"] == 0 for r in triangle_counts(df).collect())
+
+    chord = path + [(1, 3)]
+    got = {r["NODE"]: r["N_TRIANGLES"] for r in triangle_counts(
+        spark.createDataFrame(chord, "SRC long, DST long")).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_triangle_counts_match_brute_force(spark):
+    """Random-ish deterministic graph vs an O(n^3) Python count."""
+    from itertools import combinations
+
+    from aws_glue_cdc_metrics_job_spark.operators.graph import triangle_counts
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in
+                    ((i * 7 % 23, (i * i + 3) % 23) for i in range(160)) if a != b})
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {v: 0 for v in adj}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for x in (u, v, w):
+                want[x] += 1
+    df = spark.createDataFrame(edges, "SRC long, DST long")
+    got = {r["NODE"]: r["N_TRIANGLES"] for r in triangle_counts(df).collect()}
+    assert got == want
