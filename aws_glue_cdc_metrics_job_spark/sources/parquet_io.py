@@ -383,3 +383,44 @@ class MedallionLayout:
 
     def gold(self, mart: str) -> str:
         return f"{self.root}/gold/{mart}"
+
+
+def write_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    approx_shard_bytes: int | None = None,
+    max_records_per_shard: int | None = None,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> int:
+    """Training-data export: size-bounded JSONL shards (the interchange
+    format every LLM data pipeline ends in).
+
+    Each row serializes JVM-side via ``to_json(struct(*))`` -- no Python
+    in the hot path. Shard bounding, two composable mechanisms:
+
+    * ``approx_shard_bytes``: ONE map-combined scalar aggregation sums the
+      uncompressed serialized length, then a round-robin repartition to
+      ceil(total/target) balances shards -- one bounded shuffle, even
+      shard sizes regardless of input skew (the property downstream
+      loaders want for equal-work file assignment).
+    * ``max_records_per_shard``: Spark's ``maxRecordsPerFile`` -- no
+      shuffle at all; shard sizes then follow the input's partitioning.
+
+    Returns the number of planned shards (0 = left to the input layout).
+    Compression is per-file (gzip default), so shards stay independently
+    streamable; at 100 TB the scalar sizing pass is one scan with a
+    1-row result and the export write is embarrassingly parallel."""
+    lines = df.select(F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"))
+    n_shards = 0
+    if approx_shard_bytes:
+        total = lines.agg(
+            F.sum(F.octet_length("value") + F.lit(1)).alias("B")
+        ).collect()[0]["B"]  # bounded driver scalar: one long
+        n_shards = max(1, -(-int(total or 0) // int(approx_shard_bytes)))
+        lines = lines.repartition(n_shards)
+    writer = lines.write.mode(mode).option("compression", compression)
+    if max_records_per_shard:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_shard))
+    writer.text(path)
+    return n_shards

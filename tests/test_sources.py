@@ -289,3 +289,39 @@ def test_bucketed_lineitem_orders_recipe(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_write_jsonl_sharded_roundtrip(spark, sf_dir, tmp_path):
+    """Training-data JSONL export: JVM-side serialization, byte-balanced
+    shards, per-file gzip, lossless read-back through spark.read.json."""
+    import glob
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import write_jsonl_sharded
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "export")
+    n = write_jsonl_sharded(docs, out, approx_shard_bytes=16 * 1024)
+    assert n >= 2  # sf0.001 docs serialize past 32 KiB -> multiple shards
+    files = glob.glob(f"{out}/part-*.gz")
+    assert len(files) == n  # one gzip file per planned shard
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    want = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
+    got = {(r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()}
+    assert got == want
+
+
+def test_write_jsonl_sharded_record_cap(spark, sf_dir, tmp_path):
+    """maxRecordsPerFile path: no shuffle, every shard under the cap."""
+    import glob
+    import gzip
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import write_jsonl_sharded
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang").coalesce(1)
+    out = str(tmp_path / "export_cap")
+    n = write_jsonl_sharded(docs, out, max_records_per_shard=100)
+    assert n == 0  # no repartition planned
+    for f in glob.glob(f"{out}/part-*.gz"):
+        with gzip.open(f, "rt") as fh:
+            assert sum(1 for _ in fh) <= 100
