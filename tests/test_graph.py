@@ -4,6 +4,7 @@ edge-builder shape."""
 
 from collections import defaultdict
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_glue_cdc_metrics_job_spark.operators.graph import (
@@ -43,6 +44,7 @@ def test_matches_pure_python_replay(spark):
     assert got == _replay(EDGES, 4)
 
 
+@pytest.mark.slow  # two checkpointed 3-hop runs, ~30 s
 def test_partitioning_invariance(spark):
     df = spark.createDataFrame(EDGES, "SRC long, DST long")
     a = sorted(map(tuple, pagerank(df.coalesce(1), iterations=3).collect()))
