@@ -107,7 +107,12 @@ def copurchase_edges(df: DataFrame, basket_col: str, item_col: str) -> DataFrame
     bi = df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")).distinct()
     a = bi.select("__b", F.col("__i").alias("SRC"))
     b = bi.select("__b", F.col("__i").alias("DST"))
-    return a.join(b, "__b").where(F.col("SRC") != F.col("DST")).select("SRC", "DST").distinct()
+    # canonical SRC < DST pairs first: the dedup shuffle carries HALF the
+    # rows; the mirror union is a free narrow projection on top
+    pairs = (
+        a.join(b, "__b").where(F.col("SRC") < F.col("DST")).select("SRC", "DST").distinct()
+    )
+    return pairs.unionAll(pairs.select(F.col("DST").alias("SRC"), F.col("SRC").alias("DST")))
 
 
 def pagerank(
