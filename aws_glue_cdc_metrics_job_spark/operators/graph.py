@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**12  # rank unit = 1e-12 of total mass ("picos")
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Per-node triangle counts + exact clustering coefficient (ppm) via
     degree-ordered edge orientation (Schank & Wagner 2005; the MapReduce
     classic from Suri & Vassilvitskii, WWW'11).
@@ -46,6 +46,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Input: directed edge list (SRC, DST); symmetrized and de-duplicated
     internally. Returns (NODE, DEG, N_TRIANGLES, CC_PPM) for every node
     with at least one edge.
+
+    ``und``/``deg``/``ori`` are each referenced 2-3 times downstream;
+    without materialization every reference re-expands its whole subtree
+    (measured: 94 input scans / 238 exchanges in the unchecked plan), so
+    they are localCheckpoint'ed once and reused -- the same
+    lineage-cutting discipline as connected components and pagerank.
     """
     und = (
         edges.select(
@@ -54,12 +60,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .where(F.col("A") != F.col("B"))
         .distinct()
     )
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
     deg = (
         und.select(F.col("A").alias("N"))
         .unionAll(und.select(F.col("B").alias("N")))
         .groupBy("N")
         .agg(F.count(F.lit(1)).cast("long").alias("DEG"))
     )
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=False)
     da = deg.select(F.col("N").alias("A"), F.col("DEG").alias("DA"))
     db = deg.select(F.col("N").alias("B"), F.col("DEG").alias("DB"))
     ad = und.join(da, "A").join(db, "B")
@@ -69,6 +79,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lo_first, F.col("B")).otherwise(F.col("A")).alias("DST"),
         F.when(lo_first, F.col("DB")).otherwise(F.col("DA")).alias("DDEG"),
     )
+    if checkpoint:
+        ori = ori.localCheckpoint(eager=False)
     e1 = ori.select(F.col("SRC").alias("U"), F.col("DST").alias("V"), F.col("DDEG").alias("RV"))
     e2 = ori.select(F.col("SRC").alias("U"), F.col("DST").alias("W"), F.col("DDEG").alias("RW"))
     wedges = e1.join(e2, "U").where(
