@@ -59,6 +59,12 @@ def query(name: str, oracle: str | None = None):
 # count-min A/B subjects, bootstrap + the spread-read change's heaviest
 # dependents). Everything else keeps its r2/r3/r4 green row as evidence
 # and follows in definition order.
+#
+# ROUND-6 ROTATION NOTE: queries added after the r5 window froze and
+# therefore still lacking any driver row — rotate these into the r6
+# GRADE_FIRST head: parts_copurchase_pagerank, parts_copurchase_triangles,
+# events_bloom_prune_revenue (all three oracle-checked green locally at
+# sf0.001/sf0.01 and on freshly generated CI data this round).
 GRADE_FIRST: list[str] = [
     # -- never driver-graded: added after the r4 window froze (39)
     "nation_part_profit",
