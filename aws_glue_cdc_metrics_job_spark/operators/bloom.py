@@ -166,3 +166,17 @@ def bloom_semi_join(
     pruned = bloom_prefilter(fact, dim, fact_key, dim_key, num_bits, num_hashes, seed, portable)
     keys = dim.select(F.col(dim_key).alias(fact_key)).where(F.col(fact_key).isNotNull()).distinct()
     return pruned.join(keys, fact_key, "left_semi")
+
+
+def bloom_save(words: DataFrame, path: str) -> None:
+    """Persist the 1-row word frame (parquet). The filter becomes a shared
+    artifact the way the dedup fingerprint index is: built once from the
+    authoritative key set, probed by any number of later batch jobs or
+    streaming micro-batches without re-reading the (possibly huge) dim."""
+    words.write.mode("overwrite").parquet(path)
+
+
+def bloom_load(spark, path: str) -> DataFrame:
+    """Load a saved filter; pair with the SAME (num_bits, num_hashes,
+    seed, portable) probe parameters it was built with."""
+    return spark.read.parquet(path)

@@ -838,3 +838,57 @@ def _k_anonymity_apply(
         )
 
     return _apply
+
+
+def bloom_prune_sink(
+    fact_stream: DataFrame,
+    dim: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    seed: str = "bf0",
+    portable: bool = False,
+):
+    """Ingestion-time key-membership gate: append only fact rows whose key
+    belongs to the static dim's key set, using the SAME batch Bloom
+    operator (operators/bloom.py) per micro-batch -- so a batch backfill
+    and the stream can never disagree on membership.
+
+    The filter words and the exact key set are built ONCE from the static
+    dim at sink construction and persisted in memory: each micro-batch
+    pays k codegen hash probes in its scan stage plus an exact semi-join
+    against the cached keys; the (possibly huge) dim is never re-read.
+    For cross-job reuse, build with bloom_words + bloom_save and load the
+    artifact instead of the dim. False positives are removed by the exact
+    join; false negatives cannot happen, so the gate is exact."""
+    from ..operators import bloom as B
+
+    nb = num_bits or B.BLOOM_BITS
+    nh = num_hashes or B.BLOOM_HASHES
+    words = B.bloom_words(dim, dim_key, nb, nh, seed, portable).persist()
+    keys = (
+        dim.select(F.col(dim_key).alias(fact_key))
+        .where(F.col(fact_key).isNotNull())
+        .distinct()
+        .persist()
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pruned = (
+            batch.crossJoin(F.broadcast(words))
+            .where(B.might_contain(F.col(fact_key), F.col("BF"), nb, nh, seed, portable))
+            .drop("BF")
+        )
+        pruned.join(keys, fact_key, "left_semi").write.mode("append").parquet(out_path)
+
+    return (
+        fact_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -699,3 +699,40 @@ def test_k_anonymity_compact_preserves_decisions(spark, tmp_path):
     # de/c healed at batch 2 (1 waiting + 2 new = 3); everything released
     assert compacted[0] == {1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11}
     assert compacted[1] == set()
+
+
+def test_bloom_prune_sink_matches_batch(spark, tmp_path):
+    """Stream == batch for the Bloom membership gate: the sink's surviving
+    rows equal bloom_semi_join == the plain semi-join on the full input,
+    across micro-batches, and a round-tripped saved filter probes
+    identically."""
+    EV = "event_id long, user_id long"
+    dim = spark.createDataFrame([(u,) for u in (2, 3, 5, 8)], "c long")
+    src = str(tmp_path / "bloom_in")
+    spark.createDataFrame([(1, 1), (2, 2), (3, 3)], EV).write.mode("append").parquet(src)
+    spark.createDataFrame([(4, 5), (5, 6), (6, 8)], EV).write.mode("append").parquet(src)
+
+    stream = S.read_event_stream(spark, src, EV)
+    out = str(tmp_path / "bloom_out")
+    q = S.bloom_prune_sink(
+        stream, dim, out, checkpoint=str(tmp_path / "ckpt_bloom"),
+        fact_key="user_id", dim_key="c", num_bits=1 << 10,
+    )
+    q.awaitTermination(120)
+
+    got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2, 3, 4, 6}
+
+    from aws_glue_cdc_metrics_job_spark.operators.bloom import (
+        bloom_load, bloom_save, bloom_semi_join, bloom_words, might_contain,
+    )
+
+    full = spark.read.parquet(src)
+    batch = {r["event_id"] for r in bloom_semi_join(full, dim, "user_id", "c").collect()}
+    assert batch == got
+
+    # save/load round trip probes identically to the in-memory words
+    words = bloom_words(dim, "c", num_bits=1 << 10)
+    bloom_save(words, str(tmp_path / "bf.parquet"))
+    loaded = bloom_load(spark, str(tmp_path / "bf.parquet"))
+    assert loaded.collect()[0]["BF"] == words.collect()[0]["BF"]
