@@ -180,3 +180,22 @@ def bloom_load(spark, path: str) -> DataFrame:
     """Load a saved filter; pair with the SAME (num_bits, num_hashes,
     seed, portable) probe parameters it was built with."""
     return spark.read.parquet(path)
+
+
+def bloom_merge(filters: DataFrame) -> DataFrame:
+    """Union any number of stacked word frames into one filter: element-wise
+    OR of the word arrays (zip_with fold over an aggregated collection).
+    Bloom filters built with the same (m, k, seed, hash path) are
+    mergeable exactly like the HLL/count-min zones: build one filter per
+    partition/day/source, answer membership for any union of them without
+    touching the raw keys again. A key in ANY input passes the merged
+    probe (no false negatives survive a merge)."""
+    return filters.agg(
+        F.reduce(
+            F.collect_list("BF"),
+            F.lit(None).cast("array<long>"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b))
+            ),
+        ).alias("BF")
+    )

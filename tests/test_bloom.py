@@ -78,3 +78,19 @@ def test_graded_plan_prunes_before_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     # the exact semi-join is present and the probe filter sits under it
     assert "LeftSemi" in plan
+
+
+def test_bloom_merge_unions_membership(spark):
+    """Merged filter == filter built from the union of key sets, and any
+    key from either input passes the merged probe."""
+    from aws_glue_cdc_metrics_job_spark.operators.bloom import bloom_merge
+
+    a = _keys(spark, 0, 400)
+    b = _keys(spark, 10_000, 10_400)
+    both = a.unionAll(b)
+    bits = 1 << 12
+    wa = bloom_words(a, "k", num_bits=bits)
+    wb = bloom_words(b, "k", num_bits=bits)
+    merged = bloom_merge(wa.unionAll(wb)).collect()[0]["BF"]
+    direct = bloom_words(both, "k", num_bits=bits).collect()[0]["BF"]
+    assert merged == direct  # exact: OR of words == words of union
