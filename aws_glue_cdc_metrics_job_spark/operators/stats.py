@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, rhu
@@ -214,3 +214,51 @@ def grouped_trend(
         intercept.alias("INTERCEPT"),
         r2.alias("R2"),
     )
+
+
+def cusum_shifts(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    target_cents: int | str,
+    threshold_cents: int,
+    scale: int = 2,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection (Page 1954) per group, as
+    PURE window functions on the exact integer-cents lattice.
+
+    The textbook recurrence S_t = max(0, S_{t-1} + (x_t - k)) is not a
+    window expression, but its closed form is: S_t = C_t - min(C_0..C_t)
+    where C is the running sum of deviations -- two frames over ONE
+    ordered pass per group, no recursion, no UDF, deterministic at any
+    partitioning because every term is an integer. Upward level shifts
+    are flagged where S_t > h.
+
+    Scale shape: one hash partition per group, one sort within it (the
+    standard per-key-series contract -- skew bounded by the longest
+    single series); all arithmetic codegen. Returns one row per input
+    point: group cols, order col, VALUE_CENTS, CUSUM_CENTS, SHIFTED.
+
+    ``target_cents`` is the reference level k: an int literal, or the
+    NAME of an integer-cents column carrying a per-group target (e.g.
+    each group's own long-run mean).
+    """
+    s = 10**scale
+    k = F.col(target_cents) if isinstance(target_cents, str) else F.lit(int(target_cents))
+    dev = (F.col(value_col) * s).cast("long") - k
+    w = Window.partitionBy(*group_cols).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        df.withColumn("__c", F.sum(dev).over(w))
+        .withColumn("__cmin", F.min(F.least(F.col("__c"), F.lit(0))).over(w))
+        .select(
+            *group_cols,
+            F.col(order_col),
+            (F.col(value_col) * s).cast("long").alias("VALUE_CENTS"),
+            (F.col("__c") - F.col("__cmin")).alias("CUSUM_CENTS"),
+            (F.col("__c") - F.col("__cmin") > F.lit(int(threshold_cents))).alias("SHIFTED"),
+        )
+    )
+    return out

@@ -63,8 +63,9 @@ def query(name: str, oracle: str | None = None):
 # ROUND-6 ROTATION NOTE: queries added after the r5 window froze and
 # therefore still lacking any driver row — rotate these into the r6
 # GRADE_FIRST head: parts_copurchase_pagerank, parts_copurchase_triangles,
-# events_bloom_prune_revenue (all three oracle-checked green locally at
-# sf0.001/sf0.01 and on freshly generated CI data this round).
+# events_bloom_prune_revenue, events_value_cusum_shifts (all four
+# oracle-checked green locally at sf0.001/sf0.01 and on freshly generated
+# CI data this round).
 GRADE_FIRST: list[str] = [
     # -- never driver-graded: added after the r4 window froze (39)
     "nation_part_profit",

@@ -1670,3 +1670,66 @@ def q_events_bloom_prune_revenue(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_value_cusum_shifts",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS DAY,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS V
+  FROM events GROUP BY 1, 2
+),
+tgt AS (
+  SELECT event_type, CAST(SUM(V) // COUNT(*) AS BIGINT) AS K FROM daily GROUP BY 1
+),
+c AS (
+  SELECT d.event_type, d.DAY, d.V,
+         SUM(d.V - t.K) OVER (PARTITION BY d.event_type ORDER BY d.DAY
+                              ROWS UNBOUNDED PRECEDING) AS C
+  FROM daily d JOIN tgt t USING (event_type)
+)
+SELECT event_type, DAY, V AS VALUE_CENTS,
+       CAST(C - MIN(LEAST(C, 0)) OVER (PARTITION BY event_type ORDER BY DAY
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS CUSUM_CENTS,
+       (C - MIN(LEAST(C, 0)) OVER (PARTITION BY event_type ORDER BY DAY
+                                   ROWS UNBOUNDED PRECEDING)) > 200000 AS SHIFTED
+FROM c
+ORDER BY event_type, DAY
+""",
+)
+def q_events_value_cusum_shifts(spark: SparkSession, sf_dir: str):
+    """One-sided CUSUM change-point detection (stats.cusum_shifts) on each
+    event type's daily value series, against the type's OWN long-run mean
+    (exact integer: sum div count). The max(0, ...) recurrence is computed
+    in closed form -- running sum minus running min of the deviation
+    series, two frames over one per-type ordered pass, no recursion, no
+    UDF -- so an inherently sequential control-chart statistic stays a
+    declarative window plan and value-hash exact: every term is integer
+    cents. Flags days where the cumulative upward drift exceeds 2000.00.
+    Skew is bounded by the longest single type's day count (~2k rows)."""
+    from ..operators.stats import cusum_shifts
+
+    from ..functions.numeric import money
+
+    ev = read_table(spark, sf_dir, "events")
+    # exact decimal sum * 100 -> exact cents; dsum's double image would
+    # truncate (266.40 -> 26639) under the *100 + long cast
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("DAY"))
+        .agg((F.sum(money("value", 2)) * 100).cast("long").alias("V"))
+    )
+    # floor division matching DuckDB's `//` even for NEGATIVE sums (the
+    # error type's value sum is negative): Spark's `div` truncates toward
+    # zero, so floor via the always-non-negative pmod remainder instead
+    tgt = daily.groupBy("event_type").agg(
+        F.expr("(sum(V) - pmod(sum(V), count(1))) div count(1)").cast("long").alias("K")
+    )
+    frame = daily.join(tgt, "event_type")
+    return (
+        cusum_shifts(
+            frame, ["event_type"], "DAY", "V",
+            target_cents="K", threshold_cents=200000, scale=0,
+        )
+        .orderBy("event_type", "DAY")
+    )

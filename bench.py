@@ -22,6 +22,7 @@ HEADLINE = [
     # round-5 additions
     "parts_copurchase_pagerank",
     "parts_copurchase_triangles",
+    "events_value_cusum_shifts",
     "events_bloom_prune_revenue",
     "multimodal_decode_roundtrip",
     "orders_lineitem_revenue_shuffled",

@@ -154,3 +154,37 @@ def test_grouped_trend_integral_y_widened(spark):
     assert got["SLOPE"] == pytest.approx(slope, abs=1e-6)
     assert got["INTERCEPT"] == pytest.approx(intercept, abs=1e-6)
     assert got["R2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """The window closed form (running sum minus running min) equals the
+    textbook recurrence S_t = max(0, S_{t-1} + (x_t - k)) exactly,
+    including negative deviations and multiple groups."""
+    from aws_glue_cdc_metrics_job_spark.operators.stats import cusum_shifts
+
+    series = {
+        "a": [100, 90, 250, 260, 10, 400, 390],
+        "b": [50, 50, 50, 50],
+    }
+    k, h = 120, 200
+    rows = [(g, i, float(v)) for g, vals in series.items() for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    got = {
+        (r["g"], r["t"]): (r["CUSUM_CENTS"], r["SHIFTED"])
+        for r in cusum_shifts(df, ["g"], "t", "x", k * 100, h * 100, scale=2).collect()
+    }
+    for g, vals in series.items():
+        s = 0
+        for t, v in enumerate(vals):
+            s = max(0, s + (v * 100 - k * 100))
+            assert got[(g, t)] == (s, s > h * 100), (g, t)
+
+
+def test_cusum_partitioning_invariance(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.stats import cusum_shifts
+
+    rows = [("g", i, float((i * 37) % 113)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    a = sorted(map(tuple, cusum_shifts(df.coalesce(1), ["g"], "t", "x", 5000, 9000).collect()))
+    b = sorted(map(tuple, cusum_shifts(df.repartition(11), ["g"], "t", "x", 5000, 9000).collect()))
+    assert a == b
