@@ -1289,3 +1289,44 @@ def bigram_lm_score(
             6,
         ).alias("AVG_NEG_LOGPROB"),
     )
+
+
+def head_vocab_drift(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 300,
+) -> DataFrame:
+    """Per-source mixture-drift monitor: total-variation distance (ppm)
+    between each source's token distribution and the corpus distribution,
+    over the corpus's ``top_k`` HEAD vocabulary -- the signal that a
+    source's content shifted under you (scraper drift, a crawl picking up
+    a new site template, a mislabeled dump) before it skews a training
+    mix. Log-free by design, like the collocation miner: every term is an
+    integer ppm (count*1e6 div total), so the report is value-hash exact
+    cross-engine.
+
+    Scale shape: ONE token explode feeds all four aggregations; the head
+    vocabulary is a TakeOrdered top-k (deterministic (count, token)
+    tie-break), so the per-source grid is sources x k via a broadcast of
+    a BOUNDED k-row frame (never vocab-sized), absent head tokens count
+    as observed 0, and the final rollup is one small keyed aggregation.
+    Returns (SOURCE, N_TOKENS, HEAD_DRIFT_PPM)."""
+    tok = df.select(F.col(source_col).alias("SOURCE"), F.explode(tokens(text_col)).alias("W"))
+    csw = tok.groupBy("SOURCE", "W").agg(F.count(F.lit(1)).cast("long").alias("N_SW"))
+    cw = tok.groupBy("W").agg(F.count(F.lit(1)).cast("long").alias("N_W"))
+    top = cw.orderBy(F.col("N_W").desc(), "W").limit(int(top_k))
+    tot = tok.groupBy("SOURCE").agg(F.count(F.lit(1)).cast("long").alias("N_S"))
+    c_total = tok.agg(F.count(F.lit(1)).cast("long").alias("N_C"))
+    grid = tot.crossJoin(F.broadcast(top.crossJoin(F.broadcast(c_total))))
+    obs = grid.join(csw, ["SOURCE", "W"], "left").withColumn(
+        "N_SW", F.coalesce(F.col("N_SW"), F.lit(0).cast("long"))
+    )
+    diff = F.expr("abs((N_SW * 1000000) div N_S - (N_W * 1000000) div N_C)")
+    return (
+        obs.groupBy("SOURCE")
+        .agg(
+            F.max("N_S").alias("N_TOKENS"),
+            F.sum(diff).cast("long").alias("HEAD_DRIFT_PPM"),
+        )
+    )

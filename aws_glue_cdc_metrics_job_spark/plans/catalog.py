@@ -63,7 +63,8 @@ def query(name: str, oracle: str | None = None):
 # ROUND-6 ROTATION NOTE: queries added after the r5 window froze and
 # therefore still lacking any driver row — rotate these into the r6
 # GRADE_FIRST head: parts_copurchase_pagerank, parts_copurchase_triangles,
-# events_bloom_prune_revenue, events_value_cusum_shifts (all four
+# events_bloom_prune_revenue, events_value_cusum_shifts,
+# docs_head_vocab_drift (all five
 # oracle-checked green locally at sf0.001/sf0.01 and on freshly generated
 # CI data this round).
 GRADE_FIRST: list[str] = [

@@ -2882,3 +2882,44 @@ def q_docs_epoch_materialize(spark: SparkSession, sf_dir: str):
         F.col("source").alias("SOURCE"),
         F.col("EPOCH").cast("int").alias("EPOCH"),
     )
+
+
+@query(
+    "docs_head_vocab_drift",
+    oracle=f"""
+WITH tok AS (
+  SELECT source AS SOURCE, unnest({_TOKS_NE}) AS W FROM documents
+),
+csw AS (SELECT SOURCE, W, CAST(COUNT(*) AS BIGINT) AS N_SW FROM tok GROUP BY 1, 2),
+cw AS (SELECT W, CAST(COUNT(*) AS BIGINT) AS N_W FROM tok GROUP BY 1),
+top AS (SELECT W, N_W FROM cw ORDER BY N_W DESC, W LIMIT 300),
+tot AS (SELECT SOURCE, CAST(COUNT(*) AS BIGINT) AS N_S FROM tok GROUP BY 1),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS N_C FROM tok),
+obs AS (
+  SELECT g.SOURCE, g.N_S, g.N_W, g.N_C, COALESCE(s.N_SW, 0) AS N_SW
+  FROM (SELECT t.SOURCE, t.N_S, p.W, p.N_W, c.N_C FROM tot t, top p, c) g
+  LEFT JOIN csw s ON g.SOURCE = s.SOURCE AND g.W = s.W
+)
+SELECT SOURCE, MAX(N_S) AS N_TOKENS,
+       CAST(SUM(ABS(CAST((N_SW * 1000000) // N_S AS BIGINT)
+                    - CAST((N_W * 1000000) // N_C AS BIGINT))) AS BIGINT)
+         AS HEAD_DRIFT_PPM
+FROM obs
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_docs_head_vocab_drift(spark: SparkSession, sf_dir: str):
+    """Source mixture-drift monitor (text.head_vocab_drift): exact
+    total-variation distance in ppm between each source's token
+    distribution and the corpus, over the top-300 head vocabulary. One
+    token explode feeds all aggregations; the head vocab is a bounded
+    TakeOrdered frame broadcast against the handful of sources (absent
+    head tokens count as observed zero); every term is integer ppm, so
+    the drift ranking is deterministic and oracle-exact. The companion to
+    docs_source_datasheet / docs_temperature_mix: datasheet says what a
+    source IS, this says when it CHANGES."""
+    from ..operators.text import head_vocab_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    return head_vocab_drift(docs, "source", "text", top_k=300).orderBy("SOURCE")

@@ -25,6 +25,9 @@ BOUNDED_BROADCAST_OK = {
     # the Bloom word array rides a broadcast ONE-ROW frame onto the fact
     # scan (operators/bloom.py) -- constant-size build side by construction
     "events_bloom_prune_revenue": (1, "1-row bloom-words frame (operators/bloom.py)"),
+    # sources cross the BOUNDED top-k head-vocab frame (LIMIT 300) which
+    # itself carries the 1-row corpus total (text.head_vocab_drift)
+    "docs_head_vocab_drift": (2, "bounded top-k vocab frame + its 1-row corpus total"),
     # exact-quantile cut: cross join with a broadcast ONE-ROW frame
     "mart_customer_clv_segment": (1, "1-row quantile cut frame (functions/quantile.py)"),
     # salted_join replicates the small side against a broadcast range(salt)

@@ -658,3 +658,21 @@ def test_bigram_lm_score_oov_finite(spark):
     got = text.bigram_lm_score(batch, pairs, unigrams).collect()[0]
     assert got["N_BIGRAMS"] == 3
     assert math.isfinite(got["AVG_NEG_LOGPROB"]) and got["AVG_NEG_LOGPROB"] > 0
+
+
+def test_head_vocab_drift_ranks_shifted_source(spark):
+    """A source drawn from the corpus-typical distribution scores low; a
+    source of out-of-head tokens scores near the 2e6 ppm ceiling; results
+    are partitioning-invariant."""
+    from aws_glue_cdc_metrics_job_spark.operators.text import head_vocab_drift
+
+    typical = [("s_typical", "the cat sat on the mat " * 5)] * 8
+    shifted = [("s_shifted", "zzq qqz zqq xyzzy plugh " * 5)] * 2
+    df = spark.createDataFrame(typical + shifted, "source string, text string")
+    got = {r["SOURCE"]: r["HEAD_DRIFT_PPM"] for r in head_vocab_drift(df, top_k=6).collect()}
+    assert got["s_shifted"] > got["s_typical"]
+    # shifted source: 0 observed mass on the head (its tokens are the tail)
+    # -> drift == the head's full corpus ppm mass as seen from that source
+    a = sorted(map(tuple, head_vocab_drift(df.coalesce(1), top_k=6).collect()))
+    b = sorted(map(tuple, head_vocab_drift(df.repartition(7), top_k=6).collect()))
+    assert a == b
