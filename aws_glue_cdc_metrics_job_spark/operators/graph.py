@@ -186,3 +186,60 @@ def pagerank(
             F.col("DEG").alias("N_NEIGHBORS"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+    damping_pct: int = 85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED set) --
+    the related-items primitive: rank every node by proximity to the
+    seeds. Identical machinery to :func:`pagerank` (join+agg hops on the
+    integer picos lattice, per-round localCheckpoint, oracle-replayable),
+    except mass starts on -- and teleports back to -- the seeds only.
+    Seeds absent from the graph are dropped identically on both engines
+    (the surviving-seed count is what divides the teleport mass); an
+    all-absent seed set returns the empty frame.
+    """
+    deg = edges.groupBy("SRC").agg(F.count(F.lit(1)).cast("long").alias("DEG"))
+    ed = edges.join(deg, "SRC")
+    if checkpoint:
+        ed = ed.localCheckpoint(eager=False)
+    seed_lits = [int(x) for x in seeds]
+    k = deg.where(F.col("SRC").isin(seed_lits)).count()  # bounded scalar
+    if k == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "NODE long, RANK_PICOS long, N_NEIGHBORS long"
+        )
+    tele_seed = ((100 - damping_pct) * scale) // (100 * k)
+    is_seed = F.col("NODE").isin(seed_lits)
+    ranks = deg.select(
+        F.col("SRC").alias("NODE"),
+        F.when(F.col("SRC").isin(seed_lits), F.lit(scale // k))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("R"),
+    )
+    for _ in range(iterations):
+        ranks = (
+            ed.join(ranks, ed["SRC"] == ranks["NODE"])
+            .select(
+                F.col("DST"),
+                F.expr(f"({damping_pct} * R) div (100 * DEG)").cast("long").alias("__c"),
+            )
+            .groupBy(F.col("DST").alias("NODE"))
+            .agg(
+                (F.sum("__c") + F.when(is_seed, F.lit(tele_seed)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("R")
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.join(deg, ranks["NODE"] == deg["SRC"]).select(
+        F.col("NODE"), F.col("R").alias("RANK_PICOS"), F.col("DEG").alias("N_NEIGHBORS")
+    )

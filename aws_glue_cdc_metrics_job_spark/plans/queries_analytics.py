@@ -1228,3 +1228,64 @@ def q_parts_copurchase_triangles(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("N_TRIANGLES").desc(), F.col("PART_ID"))
         .limit(30)
     )
+
+
+def _ppr_oracle(iterations: int = 3, seeds: tuple[int, ...] = (1, 2, 3)) -> str:
+    sl = ", ".join(str(s) for s in seeds)
+    cte = [
+        "bi AS (SELECT DISTINCT l_orderkey AS BKT, l_partkey AS I FROM lineitem "
+        "WHERE SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) || '|tri1'), 1, 8) < '40000000')",
+        "e AS (SELECT DISTINCT a.I AS SRC, b.I AS DST FROM bi a "
+        "JOIN bi b ON a.BKT = b.BKT AND a.I <> b.I)",
+        "deg AS (SELECT SRC, CAST(COUNT(*) AS BIGINT) AS DEG FROM e GROUP BY SRC)",
+        f"k AS (SELECT CAST(COUNT(*) AS BIGINT) AS K FROM deg WHERE SRC IN ({sl}))",
+        f"r0 AS (SELECT d.SRC AS NODE, CAST(CASE WHEN d.SRC IN ({sl}) "
+        f"THEN {_PR_SCALE} // k.K ELSE 0 END AS BIGINT) AS R FROM deg d, k)",
+    ]
+    for t in range(iterations):
+        cte.append(
+            f"r{t + 1} AS (SELECT e.DST AS NODE, "
+            f"CAST(CASE WHEN e.DST IN ({sl}) "
+            f"THEN (SELECT CAST((15 * {_PR_SCALE}) // (100 * K) AS BIGINT) FROM k) "
+            f"ELSE 0 END "
+            f"+ SUM(CAST((85 * r.R) // (100 * d.DEG) AS BIGINT)) AS BIGINT) AS R "
+            f"FROM e JOIN r{t} r ON e.SRC = r.NODE JOIN deg d ON e.SRC = d.SRC "
+            f"GROUP BY e.DST)"
+        )
+    last = f"r{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT {last}.NODE AS PART_ID, {last}.R AS RANK_PICOS, d.DEG AS N_NEIGHBORS
+FROM {last} JOIN deg d ON {last}.NODE = d.SRC
+WHERE {last}.R > 0
+ORDER BY RANK_PICOS DESC, PART_ID
+LIMIT 30"""
+    )
+
+
+@query("parts_affinity_pagerank", oracle=_ppr_oracle(3))
+def q_parts_affinity_pagerank(spark: SparkSession, sf_dir: str):
+    """Personalized PageRank (random walk with restart): rank parts by
+    co-purchase proximity to a seed set -- the related-items /
+    people-also-bought primitive -- on the deterministic 1/4 basket
+    sample and the exact integer picos lattice, so the full 3-hop
+    trajectory is replayed verbatim by the unrolled-CTE oracle. Same
+    join+agg hops and scalar-only driver state as the global pagerank;
+    mass starts on and teleports back to the surviving seeds; zero-mass
+    nodes (unreached within 3 hops) are excluded from the top-30."""
+    from ..operators.graph import copurchase_edges, personalized_pagerank
+    from ..operators.sampling import hash_sample
+
+    li = hash_sample(
+        read_table(spark, sf_dir, "lineitem"), ["l_orderkey"], 0.25, seed="tri1"
+    )
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    pr = personalized_pagerank(edges, seeds=[1, 2, 3], iterations=3)
+    return (
+        pr.where(F.col("RANK_PICOS") > 0)
+        .select(F.col("NODE").alias("PART_ID"), "RANK_PICOS", "N_NEIGHBORS")
+        .orderBy(F.col("RANK_PICOS").desc(), F.col("PART_ID"))
+        .limit(30)
+    )

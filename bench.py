@@ -24,6 +24,7 @@ HEADLINE = [
     "parts_copurchase_triangles",
     "events_value_cusum_shifts",
     "docs_head_vocab_drift",
+    "parts_affinity_pagerank",
     "events_bloom_prune_revenue",
     "multimodal_decode_roundtrip",
     "orders_lineitem_revenue_shuffled",

@@ -123,3 +123,36 @@ def test_triangle_counts_match_brute_force(spark):
     df = spark.createDataFrame(edges, "SRC long, DST long")
     got = {r["NODE"]: r["N_TRIANGLES"] for r in triangle_counts(df).collect()}
     assert got == want
+
+
+def test_personalized_pagerank_concentrates_on_seed_component(spark):
+    """Mass stays in the seed's connected component; an all-absent seed
+    set returns empty; replay parity with the pure-Python recurrence."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(EDGES, "SRC long, DST long")
+    got = {
+        r["NODE"]: r["RANK_PICOS"]
+        for r in personalized_pagerank(df, seeds=[5], iterations=4, checkpoint=False).collect()
+    }
+    # component {5, 6} holds all positive mass; triangle+pendant get none
+    assert got[5] > 0 and got[6] > 0
+    assert all(got[v] == 0 for v in (1, 2, 3, 4))
+
+    # python replay of the seeded recurrence
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in EDGES:
+        deg[s] += 1
+    k = 1
+    tele = 15 * PR_SCALE // (100 * k)
+    r = {v: (PR_SCALE if v == 5 else 0) for v in deg}
+    for _ in range(4):
+        nxt = defaultdict(int)
+        for s, d in EDGES:
+            nxt[d] += 85 * r[s] // (100 * deg[s])
+        r = {v: nxt[v] + (tele if v == 5 else 0) for v in deg}
+    assert got == r
+
+    assert personalized_pagerank(df, seeds=[999], iterations=2).count() == 0
