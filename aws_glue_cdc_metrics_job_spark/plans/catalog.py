@@ -64,7 +64,8 @@ def query(name: str, oracle: str | None = None):
 # therefore still lacking any driver row — rotate these into the r6
 # GRADE_FIRST head: parts_copurchase_pagerank, parts_copurchase_triangles,
 # events_bloom_prune_revenue, events_value_cusum_shifts,
-# docs_head_vocab_drift, parts_affinity_pagerank (all six
+# docs_head_vocab_drift, parts_affinity_pagerank,
+# events_dow_seasonality (all seven
 # oracle-checked green locally at sf0.001/sf0.01 and on freshly generated
 # CI data this round).
 GRADE_FIRST: list[str] = [

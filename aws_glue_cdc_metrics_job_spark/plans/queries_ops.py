@@ -1733,3 +1733,72 @@ def q_events_value_cusum_shifts(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "DAY")
     )
+
+
+@query(
+    "events_dow_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS DAY,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS V
+  FROM events GROUP BY 1, 2
+),
+dw AS (
+  SELECT event_type, CAST(isodow(DAY) - 1 AS BIGINT) AS DOW,
+         CAST(COUNT(*) AS BIGINT) AS N_DAYS, CAST(SUM(V) AS BIGINT) AS SV
+  FROM daily GROUP BY 1, 2
+),
+ov AS (
+  SELECT event_type, CAST(SUM(V) AS BIGINT) AS ST, CAST(COUNT(*) AS BIGINT) AS ND
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.DOW, d.N_DAYS,
+       CAST(d.SV // d.N_DAYS AS BIGINT) AS AVG_CENTS,
+       CAST(((d.SV // d.N_DAYS) * 1000000) // (o.ST // o.ND) AS BIGINT) AS RATIO_PPM
+FROM dw d JOIN ov o USING (event_type)
+WHERE (o.ST // o.ND) > 0
+ORDER BY 1, 2
+""",
+)
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str):
+    """Day-of-week seasonality profile: each type's average daily value
+    per weekday as an exact ppm ratio of its own overall daily average --
+    the staffing/capacity fingerprint and the denominator a seasonality-
+    aware anomaly rule normalizes by. Two keyed aggregations over the
+    shared exact-cents daily frame; all divisions are FLOOR divisions via
+    the pmod idiom (daily sums can be negative), matching DuckDB's `//`
+    exactly, so the profile is value-hash exact. 7 x #types output rows.
+    ISO weekday (0=Monday) on both engines."""
+    from ..functions.numeric import money
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("DAY"))
+        .agg((F.sum(money("value", 2)) * 100).cast("long").alias("V"))
+    )
+    dw = daily.groupBy(
+        "event_type", F.expr("weekday(DAY)").cast("long").alias("DOW")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("N_DAYS"),
+        F.sum("V").cast("long").alias("SV"),
+    )
+    ov = daily.groupBy("event_type").agg(
+        F.sum("V").cast("long").alias("ST"),
+        F.count(F.lit(1)).cast("long").alias("ND"),
+    )
+    j = dw.join(ov, "event_type")
+    avg_c = F.expr("(SV - pmod(SV, N_DAYS)) div N_DAYS")
+    overall = F.expr("(ST - pmod(ST, ND)) div ND")
+    return (
+        j.withColumn("AVG_CENTS", avg_c.cast("long"))
+        .withColumn("__OV", overall.cast("long"))
+        .where(F.col("__OV") > 0)
+        .withColumn(
+            "RATIO_PPM",
+            F.expr(
+                "(AVG_CENTS * 1000000 - pmod(AVG_CENTS * 1000000, __OV)) div __OV"
+            ).cast("long"),
+        )
+        .select("event_type", "DOW", "N_DAYS", "AVG_CENTS", "RATIO_PPM")
+        .orderBy("event_type", "DOW")
+    )

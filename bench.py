@@ -25,6 +25,7 @@ HEADLINE = [
     "events_value_cusum_shifts",
     "docs_head_vocab_drift",
     "parts_affinity_pagerank",
+    "events_dow_seasonality",
     "events_bloom_prune_revenue",
     "multimodal_decode_roundtrip",
     "orders_lineitem_revenue_shuffled",
