@@ -892,3 +892,46 @@ def bloom_prune_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    conversions: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """True watermarked STREAM-STREAM inner join (not a foreachBatch
+    rewrite): attribute each conversion to the prior view by the same key
+    within ``within_seconds`` -- the canonical last-touch attribution
+    shape. Both sides carry watermarks and the join condition carries the
+    time RANGE, which is exactly what lets Structured Streaming bound the
+    join state: a buffered view can be dropped once the conversion-side
+    watermark passes view.ts + within_seconds, so state is
+    O(key-rate x window), never the stream's history. Inner join => no
+    emit-on-timeout semantics to reason about; results equal the batch
+    interval join over the same data (pinned in test_streaming).
+
+    Returns the joined streaming frame (KEY, VIEW_TS, CONV_TS, LAG_SECONDS
+    plus the conversion's value column if present); compose with any sink.
+    """
+    v = views.withWatermark(ts_col, watermark).alias("v")
+    c = conversions.withWatermark(ts_col, watermark).alias("c")
+    cond = (
+        (F.col(f"v.{key_col}") == F.col(f"c.{key_col}"))
+        & (F.col(f"c.{ts_col}") >= F.col(f"v.{ts_col}"))
+        & (
+            F.col(f"c.{ts_col}")
+            <= F.col(f"v.{ts_col}") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+        )
+    )
+    out = v.join(c, cond, "inner").select(
+        F.col(f"v.{key_col}").alias("KEY"),
+        F.col(f"v.{ts_col}").alias("VIEW_TS"),
+        F.col(f"c.{ts_col}").alias("CONV_TS"),
+        (
+            F.unix_micros(F.col(f"c.{ts_col}")) - F.unix_micros(F.col(f"v.{ts_col}"))
+        ).alias("LAG_MICROS"),
+    )
+    return out

@@ -736,3 +736,63 @@ def test_bloom_prune_sink_matches_batch(spark, tmp_path):
     bloom_save(words, str(tmp_path / "bf.parquet"))
     loaded = bloom_load(spark, str(tmp_path / "bf.parquet"))
     assert loaded.collect()[0]["BF"] == words.collect()[0]["BF"]
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """True watermarked stream-stream inner join == the batch interval
+    join over the same data: only conversions within the window attribute,
+    multi-view keys fan out exactly as in batch."""
+    import datetime as dtm
+
+    EV = "user_id long, ts timestamp"
+    base = dtm.datetime(2024, 1, 1, 12, 0, 0)
+
+    def _t(mins):
+        return base + dtm.timedelta(minutes=mins)
+
+    views = [(1, _t(0)), (1, _t(30)), (2, _t(0)), (3, _t(0))]
+    convs = [(1, _t(45)), (2, _t(90)), (3, _t(20)), (9, _t(5))]
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "convs")
+    spark.createDataFrame(views, EV).write.parquet(vsrc)
+    spark.createDataFrame(convs, EV).write.parquet(csrc)
+
+    joined = S.stream_stream_attribution(
+        S.read_event_stream(spark, vsrc, EV),
+        S.read_event_stream(spark, csrc, EV),
+        within_seconds=3600,
+    )
+    out = str(tmp_path / "attr_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["KEY"], r["VIEW_TS"], r["CONV_TS"], r["LAG_MICROS"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch oracle: same interval join in plain DataFrame land
+    v = spark.createDataFrame(views, EV).alias("v")
+    c = spark.createDataFrame(convs, EV).alias("c")
+    from pyspark.sql import functions as FF
+
+    cond = (
+        (FF.col("v.user_id") == FF.col("c.user_id"))
+        & (FF.col("c.ts") >= FF.col("v.ts"))
+        & (FF.col("c.ts") <= FF.col("v.ts") + FF.expr("INTERVAL 3600 SECONDS"))
+    )
+    want = {
+        (r["user_id"], r["vts"], r["cts"], (r["cts"] - r["vts"]).total_seconds() * 1_000_000)
+        for r in v.join(c, cond)
+        .select(FF.col("v.user_id"), FF.col("v.ts").alias("vts"), FF.col("c.ts").alias("cts"))
+        .collect()
+    }
+    assert {(k, vt, ct, lm) for k, vt, ct, lm in got} == want
+    # user 1: both views within the hour of the conversion -> 2 rows;
+    # user 2's conversion is outside; user 9 never viewed
+    keys = sorted(k for k, *_ in got)
+    assert keys == [1, 1, 3]
