@@ -1306,13 +1306,19 @@ def head_vocab_drift(
     integer ppm (count*1e6 div total), so the report is value-hash exact
     cross-engine.
 
-    Scale shape: ONE token explode feeds all four aggregations; the head
-    vocabulary is a TakeOrdered top-k (deterministic (count, token)
+    Scale shape: ONE token explode feeds all four aggregations -- the
+    exploded frame is localCheckpoint(eager=False)'d because four
+    independent aggregation subtrees reference it, and without the cut
+    Spark re-scans and re-tokenizes the corpus once per subtree (the
+    multi-reference re-expansion hazard triangle_counts documents); the
+    head vocabulary is a TakeOrdered top-k (deterministic (count, token)
     tie-break), so the per-source grid is sources x k via a broadcast of
     a BOUNDED k-row frame (never vocab-sized), absent head tokens count
     as observed 0, and the final rollup is one small keyed aggregation.
     Returns (SOURCE, N_TOKENS, HEAD_DRIFT_PPM)."""
-    tok = df.select(F.col(source_col).alias("SOURCE"), F.explode(tokens(text_col)).alias("W"))
+    tok = df.select(
+        F.col(source_col).alias("SOURCE"), F.explode(tokens(text_col)).alias("W")
+    ).localCheckpoint(eager=False)
     csw = tok.groupBy("SOURCE", "W").agg(F.count(F.lit(1)).cast("long").alias("N_SW"))
     cw = tok.groupBy("W").agg(F.count(F.lit(1)).cast("long").alias("N_W"))
     top = cw.orderBy(F.col("N_W").desc(), "W").limit(int(top_k))

@@ -36,6 +36,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 _SPREAD_TABLES = {"events", "documents", "lineitem", "orders", "embeddings"}
 
 
+def _parse_byte_size(value: str, default: int = 134217728) -> int:
+    """Spark size confs accept Hadoop-style suffixes ('64MB', '128m',
+    '1g', bare '134217728', trailing 'b'); mirror JavaUtils.byteStringAsBytes
+    for the subset users actually write. Unparseable input falls back to
+    the 128 MB Spark default rather than crashing the read path."""
+    try:
+        s = str(value).strip().lower()
+        if s.endswith("b") and not s[:-1][-1:].isdigit():
+            s = s[:-1]  # kb/mb/gb/tb -> k/m/g/t
+        elif s.endswith("b"):
+            s = s[:-1]  # plain-bytes '...b'
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(s[-1:])
+        if mult is not None:
+            s = s[:-1]
+        return int(float(s) * (mult or 1))
+    except (ValueError, IndexError):
+        return default
+
+
 def _spread_if_single_split(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     """Parallelism floor for degenerate small-file scans: a parquet file
     with ONE row group is always ONE Spark task no matter what
@@ -57,8 +76,8 @@ def _spread_if_single_split(df: DataFrame, spark: SparkSession, path: str) -> Da
         size = os.path.getsize(local)
     except OSError:
         return df
-    max_split = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    max_split = _parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     cpus = spark.sparkContext.defaultParallelism
     if size < max_split and cpus > 1:

@@ -863,7 +863,12 @@ def bloom_prune_sink(
     against the cached keys; the (possibly huge) dim is never re-read.
     For cross-job reuse, build with bloom_words + bloom_save and load the
     artifact instead of the dim. False positives are removed by the exact
-    join; false negatives cannot happen, so the gate is exact."""
+    join; false negatives cannot happen, so the gate is exact.
+
+    Lifecycle: both cached frames are unpersisted automatically when the
+    returned query terminates (a StreamingQueryListener keyed to this
+    query's id fires on termination and removes itself), so a finished
+    availableNow run leaves no frames pinned in executor memory."""
     from ..operators import bloom as B
 
     nb = num_bits or B.BLOOM_BITS
@@ -886,12 +891,39 @@ def bloom_prune_sink(
         )
         pruned.join(keys, fact_key, "left_semi").write.mode("append").parquet(out_path)
 
-    return (
+    query = (
         fact_stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    spark = dim.sparkSession
+    query_id = str(query.id)
+
+    class _ReleaseOnTerminate(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) != query_id:
+                return
+            try:
+                words.unpersist()
+                keys.unpersist()
+            finally:
+                spark.streams.removeListener(self)
+
+    spark.streams.addListener(_ReleaseOnTerminate())
+    return query
 
 
 def stream_stream_attribution(
@@ -903,19 +935,21 @@ def stream_stream_attribution(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """True watermarked STREAM-STREAM inner join (not a foreachBatch
-    rewrite): attribute each conversion to the prior view by the same key
-    within ``within_seconds`` -- the canonical last-touch attribution
-    shape. Both sides carry watermarks and the join condition carries the
-    time RANGE, which is exactly what lets Structured Streaming bound the
-    join state: a buffered view can be dropped once the conversion-side
+    rewrite): pair each conversion with EVERY prior view by the same key
+    within ``within_seconds`` -- all-touch attribution (last-touch is a
+    downstream ``max(VIEW_TS) per conversion`` over this output; streaming
+    inner joins cannot dedup in-flight without another stateful stage).
+    Both sides carry watermarks and the join condition carries the time
+    RANGE, which is exactly what lets Structured Streaming bound the join
+    state: a buffered view can be dropped once the conversion-side
     watermark passes view.ts + within_seconds, so state is
     O(key-rate x window), never the stream's history. Inner join => no
     emit-on-timeout semantics to reason about; results equal the batch
     interval join over the same data (pinned in test_streaming).
 
-    Returns the joined streaming frame (KEY, VIEW_TS, CONV_TS, LAG_SECONDS
-    plus the conversion's value column if present); compose with any sink.
-    """
+    Returns the joined streaming frame with exactly (KEY, VIEW_TS,
+    CONV_TS, LAG_MICROS) -- one row per qualifying (view, conversion)
+    pair, other input columns dropped; compose with any sink."""
     v = views.withWatermark(ts_col, watermark).alias("v")
     c = conversions.withWatermark(ts_col, watermark).alias("c")
     cond = (

@@ -325,3 +325,31 @@ def test_write_jsonl_sharded_record_cap(spark, sf_dir, tmp_path):
     for f in glob.glob(f"{out}/part-*.gz"):
         with gzip.open(f, "rt") as fh:
             assert sum(1 for _ in fh) <= 100
+
+
+def test_parse_byte_size_suffixes():
+    """Size confs arrive as raw user strings ('64MB', '128m'); the spread
+    floor must parse them instead of crashing every read (round-6 ADVICE)."""
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import _parse_byte_size
+
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size("134217728b") == 134217728
+    assert _parse_byte_size("64MB") == 64 << 20
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("512k") == 512 << 10
+    # unparseable input falls back to Spark's 128 MB default, never raises
+    assert _parse_byte_size("garbage") == 134217728
+    assert _parse_byte_size("") == 134217728
+
+
+def test_spread_survives_suffixed_conf(spark, sf_dir):
+    """read_table must work when the user set maxPartitionBytes with a
+    size suffix -- the exact repro from the round-5 advice."""
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64MB")
+        df = read_table(spark, sf_dir, "events")
+        assert df.limit(1).count() == 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -712,6 +712,7 @@ def test_bloom_prune_sink_matches_batch(spark, tmp_path):
     spark.createDataFrame([(1, 1), (2, 2), (3, 3)], EV).write.mode("append").parquet(src)
     spark.createDataFrame([(4, 5), (5, 6), (6, 8)], EV).write.mode("append").parquet(src)
 
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     stream = S.read_event_stream(spark, src, EV)
     out = str(tmp_path / "bloom_out")
     q = S.bloom_prune_sink(
@@ -722,6 +723,20 @@ def test_bloom_prune_sink_matches_batch(spark, tmp_path):
 
     got = {r["event_id"] for r in spark.read.parquet(out).collect()}
     assert got == {2, 3, 4, 6}
+
+    # lifecycle: the termination listener released the cached words/keys
+    # frames -- nothing the sink persisted may outlive its query.
+    import time
+
+    deadline = time.time() + 30  # listener bus delivery is async
+    while time.time() < deadline:
+        if spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= cached_before:
+            break
+        time.sleep(0.5)
+    leftovers = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert leftovers <= cached_before, (
+        f"bloom_prune_sink left {leftovers - cached_before} frames cached"
+    )
 
     from aws_glue_cdc_metrics_job_spark.operators.bloom import (
         bloom_load, bloom_save, bloom_semi_join, bloom_words, might_contain,
