@@ -60,6 +60,8 @@ GRADE_FIRST: list[str] = [
     "parts_affinity_pagerank",
     "events_dow_seasonality",
     # -- NEW in round 6 (inserted here as they land)
+    "supply_pagerank_directed",
+    "parts_copurchase_pagerank_bucketed",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The reference's gold-mart set (BASELINE.md) + representative operator and
 # training-data-pipeline queries.
 HEADLINE = [
+    # round-6 additions
+    "supply_pagerank_directed",
+    "parts_copurchase_pagerank_bucketed",
     # round-5 additions
     "parts_copurchase_pagerank",
     "parts_copurchase_triangles",

