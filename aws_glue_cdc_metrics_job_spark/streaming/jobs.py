@@ -703,9 +703,13 @@ def k_anonymity_release_sink(
     the intake probe only its column-pruned projection -- the same
     probe-shape economics as dedup_ingest_sink's index read. ``id_col``
     must be unique across the stream's lifetime (it is the anti-join
-    identity). At scale, intake batch dirs whose rows are all released
-    can be compacted away by maintenance. Returns the started
-    StreamingQuery."""
+    identity). Long-run cost is bounded by :func:`k_anonymity_compact`
+    run between stream stops: it drops intake rows already released
+    (replay-safe up to last committed batch - 1), so the intake probe
+    reads |quarantine| + recent releases, never O(total history) --
+    release decisions and quarantine pinned bit-identical across an
+    interleaved run/compact/run lifecycle in test_streaming. Returns the
+    started StreamingQuery."""
     if k < 2:
         raise ValueError("k must be >= 2 (k=1 releases everything)")
     _apply = _k_anonymity_apply(

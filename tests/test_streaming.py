@@ -811,3 +811,69 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     # user 2's conversion is outside; user 9 never viewed
     keys = sorted(k for k, *_ in got)
     assert keys == [1, 1, 3]
+
+
+def test_k_anonymity_compact_interleaved_lifecycle(spark, tmp_path):
+    """The gate's long-run cost bound, pinned (VERDICT r5 item 5): run N
+    batches, compact, run N more -- release decisions are bit-identical
+    to an uncompacted twin, the derived quarantine is unchanged, and the
+    intake zone after compaction holds ONLY the pending rows (the probe
+    reads |quarantine|, not O(total history))."""
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import (
+        _k_anonymity_apply,
+        k_anonymity_compact,
+        k_anonymity_quarantine,
+    )
+
+    SCHEMA = "doc_id long, lang string"
+    # same 4-batch tape for both runs: en heals at b1, de heals at b3,
+    # zz never heals (stays quarantined across the compaction)
+    TAPE = [
+        [(1, "en"), (2, "zz")],
+        [(3, "en"), (4, "de")],
+        [(5, "de"), (6, "fr")],          # de: 4 waiting + 5 -> k=2 releases
+        [(7, "fr"), (8, "en")],          # fr heals; en rides public group
+    ]
+
+    def run(root, compact_after=None):
+        intake, rel = str(root / "intake"), str(root / "released")
+        apply_fn = _k_anonymity_apply(spark, intake, rel, ["lang"], "doc_id", 2)
+        released_at = []
+        for b, rows in enumerate(TAPE):
+            apply_fn(spark.createDataFrame(rows, SCHEMA), b)
+            released_at.append(
+                frozenset(r["doc_id"] for r in spark.read.parquet(rel).collect())
+            )
+            if compact_after is not None and b == compact_after:
+                # stream stopped between micro-batches; only batches that
+                # can no longer replay (<= last committed - 1) compact
+                dropped = k_anonymity_compact(
+                    spark, intake, rel, up_to_batch_id=b - 1
+                )
+                assert dropped > 0  # b1's released rows left intake
+                # the probe's working set is now quarantine-sized
+                pend = k_anonymity_quarantine(spark, intake, rel)
+                assert (
+                    spark.read.parquet(intake).count()
+                    == pend.count() + spark.read.parquet(rel).filter(
+                        F.col("batch_id") > b - 1
+                    ).count()
+                )
+        return released_at, frozenset(
+            r["doc_id"] for r in k_anonymity_quarantine(spark, intake, rel).collect()
+        )
+
+    plain_rel, plain_q = run(tmp_path / "plain")
+    comp_rel, comp_q = run(tmp_path / "compacted", compact_after=2)
+    assert comp_rel == plain_rel  # per-batch release decisions unchanged
+    assert comp_q == plain_q == frozenset({2})  # zz still quarantined
+    # fully-released batch dirs physically disappeared from intake
+    import os
+
+    dirs = {
+        d for d in os.listdir(tmp_path / "compacted" / "intake")
+        if d.startswith("batch_id=")
+    }
+    assert "batch_id=0" not in dirs or spark.read.parquet(
+        str(tmp_path / "compacted" / "intake" / "batch_id=0")
+    ).count() > 0
