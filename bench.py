@@ -193,6 +193,44 @@ HEADLINE = [
 # is docs_minhash_lsh_pairs, which stays in the set).
 SCALE_EXCLUDE = {"docs_ngram_jaccard_pairs"}
 
+# Hot-key stress family (VERDICT r5 item 6): the queries that shuffle or
+# window on the skewed keys (user_id / event_type), measured against
+# .bench_sf1_skew where ONE user+type holds ~20% of all event rows. Judged
+# bar: no query superlinear vs its own uniform-10x number.
+SKEW_QUERIES = [
+    "events_salted_type_join",
+    "events_sessionize",
+    "events_session_transitions",
+    "events_sessionize_stats",
+    "events_inactivity_gaps",
+    "events_value_ntile",
+    "events_value_rank_percentiles",
+    "events_exact_distinct_users",
+    "events_retention_cohorts",
+    "events_activity_cohorts",
+    "events_funnel",
+    "events_tumbling_daily",
+    "events_hopping_6h",
+]
+
+# Decade-scaling evidence (VERDICT r5 item 7): the top-expensive queries
+# from the r5 10x detail, re-measured at 100x sf0.1 (.bench_sf10) to show
+# the sub-linear claims hold across TWO decades. One measured pass -- the
+# block exists for the scaling ratio, not for microsecond precision.
+SF10_QUERIES = [
+    "parts_copurchase_pagerank",
+    "parts_copurchase_pagerank_bucketed",
+    "parts_affinity_pagerank",
+    "parts_copurchase_triangles",
+    "emb_perceptron_train",
+    "emb_perceptron_step",
+    "docs_selection_pipeline",
+    "events_value_bootstrap_ci",
+    "events_value_bootstrap_ci_fast",
+    "docs_incremental_near_dedup",
+    "mart_customer_clv_segment",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -269,6 +307,76 @@ def main() -> int:
                       "detail": "bench_detail.json"}
         detail["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1,
                          "scale": "10x sf0.1"}
+
+        # Hot-key stress block (VERDICT r5 item 6): same row count as the
+        # uniform 10x point, one user+type at ~20% of rows. Reported as
+        # worst skew/uniform ratio; per-query detail in bench_detail.json.
+        skew_dir = os.environ.get(
+            "SPARK_GRAFT_SKEW_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1_skew"),
+        )
+        if os.path.isdir(skew_dir):
+            skew_names = [n for n in SKEW_QUERIES if n in qs]
+            for name in skew_names:
+                qs[name](spark, skew_dir).write.mode("overwrite").format("noop").save()
+            ts: dict[str, float] = {}
+            for _pass in range(2):
+                for name in skew_names:
+                    t0 = time.monotonic()
+                    qs[name](spark, skew_dir).write.mode("overwrite").format("noop").save()
+                    t = round(time.monotonic() - t0, 3)
+                    ts[name] = min(ts.get(name, t), t)
+                    print(f"# skew {name}: {t:.2f}s", file=sys.stderr)
+            ratios = {n: round(ts[n] / t1[n], 2) for n in skew_names if t1.get(n)}
+            worst = max(ratios, key=ratios.get) if ratios else None
+            out["sf1_skew"] = {
+                "value": round(sum(ts.values()), 3),
+                "worst_ratio_vs_uniform": ratios.get(worst),
+                "worst_query": worst,
+            }
+            detail["sf1_skew"] = {
+                "value": round(sum(ts.values()), 3),
+                "queries": ts,
+                "ratio_vs_uniform": ratios,
+                "scale": "10x sf0.1, one user/type at 20% of event rows",
+            }
+
+    # Decade point (VERDICT r5 item 7): 100x sf0.1 for the top-expensive
+    # queries only, ONE measured pass after warm-up -- the deliverable is
+    # the 10x->100x scaling ratio per query, not absolute precision.
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf10"),
+    )
+    if os.path.isdir(sf10_dir):
+        sf10_names = [n for n in SF10_QUERIES if n in qs]
+        for name in sf10_names:  # warm-up (plans + silver cache at this dir)
+            qs[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
+        t10: dict[str, float] = {}
+        for name in sf10_names:
+            t0 = time.monotonic()
+            qs[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
+            t10[name] = round(time.monotonic() - t0, 3)
+            print(f"# sf10 {name}: {t10[name]:.2f}s", file=sys.stderr)
+        d10 = {}
+        if os.path.isdir(sf1_dir):
+            d10 = {
+                n: round(t10[n] / detail["sf1"]["queries"][n], 2)
+                for n in sf10_names
+                if detail.get("sf1", {}).get("queries", {}).get(n)
+            }
+        worst10 = max(d10, key=d10.get) if d10 else None
+        out["sf10"] = {
+            "value": round(sum(t10.values()), 3),
+            "worst_ratio_vs_sf1": d10.get(worst10),
+            "worst_query": worst10,
+        }
+        detail["sf10"] = {
+            "value": round(sum(t10.values()), 3),
+            "queries": t10,
+            "ratio_vs_sf1": d10,
+            "scale": "100x sf0.1, top-expensive subset, single pass",
+        }
 
     detail_path = os.environ.get(
         "SPARK_GRAFT_DETAIL",

@@ -1,4 +1,4 @@
-"""Build a 10x bench-only scale point from the driver's sf0.1 tables.
+"""Build derived bench-only scale points from the driver's sf0.1 tables.
 
 VERDICT r1 item 8: the 2x-of-baseline criterion is judged at sf0.1, where
 several queries are fixed-overhead-bound; a 10x point exposes shuffle-volume
@@ -12,8 +12,22 @@ real dims. Document/embedding copies keep identical text/vectors -- at 10x
 every doc has 10 exact dups, which is precisely the workload the dedup
 operators exist for.
 
-Output: /root/repo/.bench_sf1/*.parquet (gitignored; ~170 MB). bench.py
-picks it up automatically when present. Usage: python tools/scale_up.py [K]
+Round-6 additions (VERDICT r5 items 6-7):
+
+- ``--skew``: hot-key mode. Derives ``.bench_sf1_skew`` from an existing
+  ``.bench_sf1``: ~20% of event rows (event_id % 5 == 0) are remapped to
+  ONE user (user_id=1) and ONE event type ('view'), producing a hot key
+  ~13000x heavier than the median user while total row count, schema and
+  all other tables stay identical (symlinked). This is the stress fixture
+  for the sessionize/window family and the salted-join playbook -- the
+  judged bar is "no query superlinear vs its uniform-10x number".
+- ``K`` is a CLI arg, so ``python tools/scale_up.py 100 .bench_sf10``
+  derives the 100x decade point used for the top-expensive-query scaling
+  evidence in bench.py's ``sf10`` block.
+
+Output dirs are gitignored. Usage:
+    python tools/scale_up.py [K] [DST]     # default K=10, DST=.bench_sf1
+    python tools/scale_up.py --skew        # .bench_sf1 -> .bench_sf1_skew
 """
 
 from __future__ import annotations
@@ -24,7 +38,7 @@ import sys
 import duckdb
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # key column -> offset name; offsets are max(key)+1 per source table so
 # shifted ranges never collide
@@ -40,10 +54,11 @@ SHIFTS: dict[str, list[tuple[str, str]]] = {
 }
 UNSCALED = ["region", "nation"]
 
+TABLES = UNSCALED + list(SHIFTS)
 
-def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    os.makedirs(DST, exist_ok=True)
+
+def build_scaled(k: int, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     offsets = {
         "c": con.execute(f"SELECT max(c_custkey)+1 FROM '{SRC}/customer.parquet'").fetchone()[0],
@@ -56,7 +71,7 @@ def main() -> int:
         "v": con.execute(f"SELECT max(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0],
     }
     for t in UNSCALED:
-        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         print(f"{t}: copied unscaled")
     for t, shifts in SHIFTS.items():
         cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
@@ -68,10 +83,56 @@ def main() -> int:
             ]
             selects.append(f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'")
         con.execute(
-            f"COPY ({' UNION ALL '.join(selects)}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
-        n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        n = con.execute(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows ({k}x)")
+
+
+def build_skew(src_dir: str, dst: str) -> None:
+    """Hot-key rewrite of the uniform 10x point: one user and one event
+    type absorb ~20% of all event rows; every other table is a symlink to
+    the uniform directory so only the skewed fact differs."""
+    if not os.path.isdir(src_dir):
+        raise SystemExit(f"build the uniform point first (missing {src_dir})")
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT event_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN 1 ELSE user_id END AS user_id,
+         CASE WHEN event_id % 5 = 0 THEN 'view' ELSE event_type END AS event_type,
+         value, props
+  FROM '{src_dir}/events.parquet'
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+    hot = con.execute(
+        f"SELECT count(*) FILTER (user_id = 1), count(*) FROM '{dst}/events.parquet'"
+    ).fetchone()
+    print(f"events: hot user holds {hot[0]}/{hot[1]} rows ({100 * hot[0] / hot[1]:.1f}%)")
+    for t in TABLES:
+        if t == "events":
+            continue
+        link = os.path.join(dst, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(os.path.abspath(src_dir), f"{t}.parquet"), link)
+    print(f"other tables symlinked to {src_dir}")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    if "--skew" in args:
+        args.remove("--skew")
+        src_dir = args[0] if args else os.path.join(ROOT, ".bench_sf1")
+        build_skew(src_dir, os.path.join(ROOT, ".bench_sf1_skew"))
+        return 0
+    k = int(args[0]) if args else 10
+    dst = args[1] if len(args) > 1 else os.path.join(
+        ROOT, ".bench_sf1" if k == 10 else f".bench_sf{k // 10}"
+    )
+    build_scaled(k, dst)
     return 0
 
 
