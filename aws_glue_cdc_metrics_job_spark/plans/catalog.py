@@ -64,6 +64,8 @@ GRADE_FIRST: list[str] = [
     "parts_copurchase_pagerank_bucketed",
     "emb_cosine_topk_fast",
     "emb_ivf_topk",
+    "parts_copurchase_communities",
+    "events_audience_overlap",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

@@ -1150,7 +1150,7 @@ def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str):
 
     li = read_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li, "l_orderkey", "l_partkey")
-    pr = pagerank(edges, iterations=3, scale=_PR_SCALE, damping_pct=85)
+    pr = pagerank(edges, iterations=3, scale=_PR_SCALE, damping_pct=85, symmetric=True)
     return (
         pr.select(
             F.col("NODE").alias("PART_ID"),
@@ -1282,7 +1282,7 @@ def q_parts_affinity_pagerank(spark: SparkSession, sf_dir: str):
         read_table(spark, sf_dir, "lineitem"), ["l_orderkey"], 0.25, seed="tri1"
     )
     edges = copurchase_edges(li, "l_orderkey", "l_partkey")
-    pr = personalized_pagerank(edges, seeds=[1, 2, 3], iterations=3)
+    pr = personalized_pagerank(edges, seeds=[1, 2, 3], iterations=3, symmetric=True)
     return (
         pr.where(F.col("RANK_PICOS") > 0)
         .select(F.col("NODE").alias("PART_ID"), "RANK_PICOS", "N_NEIGHBORS")
@@ -1403,6 +1403,7 @@ def q_parts_copurchase_pagerank_bucketed(spark: SparkSession, sf_dir: str):
         damping_pct=85,
         num_buckets=8,
         path=os.path.join(tempfile.gettempdir(), f"pr_edges_{h}"),
+        symmetric=True,
     )
     return (
         pr.select(
@@ -1412,4 +1413,125 @@ def q_parts_copurchase_pagerank_bucketed(spark: SparkSession, sf_dir: str):
         )
         .orderBy(F.col("RANK_PICOS").desc(), F.col("PART_ID"))
         .limit(50)
+    )
+
+
+def _lpa_oracle(iterations: int = 2) -> str:
+    """Unrolled replay of deterministic synchronous label propagation
+    (operators/graph.py label_propagation): per round, each node adopts
+    its in-neighbors' most frequent label (count desc, label asc
+    tie-break), keeping its own when it has no in-edges."""
+    cte = [
+        "bi AS (SELECT DISTINCT l_orderkey AS BKT, l_partkey AS I FROM lineitem "
+        "WHERE SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) || '|tri1'), 1, 8) < '40000000')",
+        "e AS (SELECT DISTINCT a.I AS SRC, b.I AS DST FROM bi a "
+        "JOIN bi b ON a.BKT = b.BKT AND a.I <> b.I)",
+        "nodes AS (SELECT SRC AS NODE FROM e UNION SELECT DST FROM e)",
+        "l0 AS (SELECT NODE, NODE AS L FROM nodes)",
+    ]
+    for t in range(iterations):
+        cte.append(
+            f"c{t} AS (SELECT e.DST AS NODE, l.L, COUNT(*) AS n "
+            f"FROM e JOIN l{t} l ON e.SRC = l.NODE GROUP BY 1, 2)"
+        )
+        cte.append(
+            f"b{t} AS (SELECT NODE, L FROM c{t} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY NODE ORDER BY n DESC, L) = 1)"
+        )
+        cte.append(
+            f"l{t + 1} AS (SELECT p.NODE, COALESCE(b.L, p.L) AS L "
+            f"FROM l{t} p LEFT JOIN b{t} b ON p.NODE = b.NODE)"
+        )
+    last = f"l{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT L AS COMMUNITY, CAST(COUNT(*) AS BIGINT) AS N_MEMBERS,
+       MIN(NODE) AS MIN_PART, MAX(NODE) AS MAX_PART
+FROM {last}
+GROUP BY L
+ORDER BY N_MEMBERS DESC, COMMUNITY"""
+    )
+
+
+@query("parts_copurchase_communities", oracle=_lpa_oracle(2))
+def q_parts_copurchase_communities(spark: SparkSession, sf_dir: str):
+    """Community detection over the co-purchase graph via DETERMINISTIC
+    synchronous label propagation (Raghavan et al. 2007, with the
+    random-order asynchrony replaced by a (count desc, label asc)
+    tie-break so the whole trajectory is a pure function of the edge set
+    and replays verbatim in the unrolled-CTE oracle). Two rounds on the
+    1/4 basket sample; the graded surface is the full community-size
+    rollup -- every node's final label feeds the value hash, a stronger
+    check than any top-k slice. Per round: one edge-sized join + one
+    map-side-combined (node, label) count + a node-keyed top-1 window on
+    that bounded frame; the same join+agg hop discipline as pagerank."""
+    from ..operators.graph import copurchase_edges, label_propagation
+    from ..operators.sampling import hash_sample
+
+    li = hash_sample(
+        read_table(spark, sf_dir, "lineitem"), ["l_orderkey"], 0.25, seed="tri1"
+    )
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    labels = label_propagation(edges, iterations=2)
+    return (
+        labels.groupBy(F.col("COMMUNITY"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("N_MEMBERS"),
+            F.min("NODE").alias("MIN_PART"),
+            F.max("NODE").alias("MAX_PART"),
+        )
+        .orderBy(F.col("N_MEMBERS").desc(), F.col("COMMUNITY"))
+    )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+WITH tu AS (SELECT DISTINCT event_type AS T, user_id AS U FROM events),
+sizes AS (SELECT T, CAST(COUNT(*) AS BIGINT) AS N FROM tu GROUP BY T),
+inter AS (
+  SELECT a.T AS TYPE_A, b.T AS TYPE_B, CAST(COUNT(*) AS BIGINT) AS N_BOTH
+  FROM tu a JOIN tu b ON a.U = b.U AND a.T < b.T
+  GROUP BY 1, 2
+)
+SELECT i.TYPE_A, i.TYPE_B, sa.N AS N_A, sb.N AS N_B, i.N_BOTH,
+       CAST((1000000 * i.N_BOTH) // (sa.N + sb.N - i.N_BOTH) AS BIGINT) AS JACCARD_PPM
+FROM inter i JOIN sizes sa ON i.TYPE_A = sa.T JOIN sizes sb ON i.TYPE_B = sb.T
+ORDER BY TYPE_A, TYPE_B
+""",
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str):
+    """Pairwise audience overlap between event types: exact Jaccard (ppm,
+    integer lattice) of the distinct-user sets of every type pair. The
+    set-similarity-across-groups primitive (campaign/channel overlap,
+    benchmark-contamination between dataset splits). Scale shape: one
+    distinct projection keyed by user, one self-equi-join ON USER (fanout
+    = per-user distinct-type count <= |types|, never a cross join), one
+    bounded |types|^2 aggregation, and the |types|-row size table joins
+    back broadcast-sized. Never materializes any user set."""
+    ev = read_table(spark, sf_dir, "events")
+    tu = ev.select(F.col("event_type").alias("T"), F.col("user_id").alias("U")).distinct()
+    sizes = tu.groupBy("T").agg(F.count(F.lit(1)).cast("long").alias("N"))
+    a = tu.select(F.col("T").alias("TYPE_A"), "U")
+    b = tu.select(F.col("T").alias("TYPE_B"), "U")
+    inter = (
+        a.join(b, "U")
+        .where(F.col("TYPE_A") < F.col("TYPE_B"))
+        .groupBy("TYPE_A", "TYPE_B")
+        .agg(F.count(F.lit(1)).cast("long").alias("N_BOTH"))
+    )
+    sa = sizes.select(F.col("T").alias("TYPE_A"), F.col("N").alias("N_A"))
+    sb = sizes.select(F.col("T").alias("TYPE_B"), F.col("N").alias("N_B"))
+    return (
+        inter.join(F.broadcast(sa), "TYPE_A")
+        .join(F.broadcast(sb), "TYPE_B")
+        .select(
+            "TYPE_A", "TYPE_B", "N_A", "N_B", "N_BOTH",
+            F.expr("(1000000 * N_BOTH) div (N_A + N_B - N_BOTH)")
+            .cast("long")
+            .alias("JACCARD_PPM"),
+        )
+        .orderBy("TYPE_A", "TYPE_B")
     )

@@ -51,7 +51,12 @@ def get_spark(
         # sources.read_table (lossless: the generator emits whole microseconds).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Single-JVM local mode: the driver heap IS the executor memory.
+        # 8g starved the 100x decade bench (SparkOutOfMemoryError inside a
+        # graph-edge localCheckpoint while 32 task threads shared execution
+        # memory); the sandbox has 128 GiB, so default to a heap that the
+        # 32-thread local runner can actually divide. Env-overridable.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

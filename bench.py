@@ -22,6 +22,8 @@ HEADLINE = [
     # round-6 additions
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
+    "parts_copurchase_communities",
+    "events_audience_overlap",
     # round-5 additions
     "parts_copurchase_pagerank",
     "parts_copurchase_triangles",

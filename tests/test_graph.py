@@ -275,3 +275,74 @@ def test_pagerank_bucketed_matches_plain_and_plan(spark, tmp_path):
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
     assert "Exchange hashpartitioning(SRC" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS pr_bkt_test")
+
+
+def _lpa_replay(edges, iterations):
+    """Pure-Python replay of deterministic synchronous label propagation
+    (most-frequent in-neighbor label, ties to the smallest label, keep own
+    label with no in-edges)."""
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    lab = {v: v for v in nodes}
+    for _ in range(iterations):
+        cnt = {}
+        for s, d in set(edges):
+            cnt.setdefault(d, {}).setdefault(lab[s], 0)
+            cnt[d][lab[s]] += 1
+        lab = {
+            v: (min(cnt[v].items(), key=lambda kv: (-kv[1], kv[0]))[0] if v in cnt else lab[v])
+            for v in nodes
+        }
+    return lab
+
+
+def test_label_propagation_matches_replay_and_converges(spark):
+    """Two cliques + a bridge: labels converge within each clique and the
+    whole trajectory equals the pure-Python deterministic recurrence."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    clique2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a != b]
+    bridge = [(3, 10), (10, 3)]
+    edges = clique1 + clique2 + bridge
+    df = spark.createDataFrame(edges, "SRC long, DST long")
+
+    for iters in (1, 2, 3):
+        got = {
+            r["NODE"]: r["COMMUNITY"]
+            for r in label_propagation(df, iterations=iters, checkpoint=False).collect()
+        }
+        assert got == _lpa_replay(edges, iters), iters
+
+    final = _lpa_replay(edges, 3)
+    assert len({final[v] for v in (1, 2, 3)}) == 1  # clique 1 agrees
+    assert len({final[v] for v in (10, 11, 12)}) == 1  # clique 2 agrees
+
+
+def test_label_propagation_no_in_edges_keeps_label(spark):
+    """A pure source keeps its own label; its target adopts it."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(7, 8)], "SRC long, DST long")
+    got = {
+        r["NODE"]: r["COMMUNITY"]
+        for r in label_propagation(df, iterations=2, checkpoint=False).collect()
+    }
+    assert got == {7: 7, 8: 7}
+
+
+def test_symmetric_flag_matches_autodetect(spark):
+    """symmetric=True is a pure fast path on a symmetric graph: identical
+    results to auto-detection, for both global and personalized ranks."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(EDGES, "SRC long, DST long")
+    auto = sorted(map(tuple, pagerank(df, iterations=3, checkpoint=False).collect()))
+    fast = sorted(map(tuple, pagerank(
+        df, iterations=3, checkpoint=False, symmetric=True).collect()))
+    assert auto == fast
+
+    pauto = sorted(map(tuple, personalized_pagerank(
+        df, seeds=[5], iterations=3, checkpoint=False).collect()))
+    pfast = sorted(map(tuple, personalized_pagerank(
+        df, seeds=[5], iterations=3, checkpoint=False, symmetric=True).collect()))
+    assert pauto == pfast
