@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**12  # rank unit = 1e-12 of total mass ("picos")
 
 
+def _ckpt_big(df: DataFrame) -> DataFrame:
+    """Lineage cut for EDGE-SIZED intermediates: localCheckpoint with
+    SERIALIZED memory+disk storage. The JVM default materializes
+    deserialized row objects, which inflate an edge table 3-5x and took
+    the 100x decade bench down with 'java.lang.OutOfMemoryError: Java
+    heap space' inside maybeCacheDiskValuesInMemory; serialized blocks
+    spill gracefully instead. Node-sized frames (ranks, labels, degree
+    tables) keep the default level -- they are small and hot."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
 def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Per-node triangle counts + exact clustering coefficient (ppm) via
     degree-ordered edge orientation (Schank & Wagner 2005; the MapReduce
@@ -63,7 +76,7 @@ def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
         .distinct()
     )
     if checkpoint:
-        und = und.localCheckpoint(eager=False)
+        und = _ckpt_big(und)
     deg = (
         und.select(F.col("A").alias("N"))
         .unionAll(und.select(F.col("B").alias("N")))
@@ -82,7 +95,7 @@ def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
         F.when(lo_first, F.col("DB")).otherwise(F.col("DA")).alias("DDEG"),
     )
     if checkpoint:
-        ori = ori.localCheckpoint(eager=False)
+        ori = _ckpt_big(ori)
     e1 = ori.select(F.col("SRC").alias("U"), F.col("DST").alias("V"), F.col("DDEG").alias("RV"))
     e2 = ori.select(F.col("SRC").alias("U"), F.col("DST").alias("W"), F.col("DDEG").alias("RW"))
     wedges = e1.join(e2, "U").where(
@@ -155,7 +168,7 @@ def _graph_prep(edges: DataFrame, checkpoint: bool, symmetric: bool = False):
     deg = edges.groupBy("SRC").agg(F.count(F.lit(1)).cast("long").alias("DEG"))
     ed = edges.join(deg, "SRC")
     if checkpoint:
-        ed = ed.localCheckpoint(eager=False)
+        ed = _ckpt_big(ed)
     if symmetric:
         nd = deg.select(F.col("SRC").alias("NODE"), "DEG")
         if checkpoint:
@@ -496,7 +509,7 @@ def label_propagation(
         nodes = nodes.localCheckpoint(eager=False)
     ed = edges.select("SRC", "DST").distinct()
     if checkpoint:
-        ed = ed.localCheckpoint(eager=False)
+        ed = _ckpt_big(ed)
     labels = nodes.select("NODE", F.col("NODE").alias("L"))
     from pyspark.sql import Window
 

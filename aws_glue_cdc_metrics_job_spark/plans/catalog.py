@@ -66,6 +66,7 @@ GRADE_FIRST: list[str] = [
     "emb_ivf_topk",
     "parts_copurchase_communities",
     "events_audience_overlap",
+    "events_aqe_skew_join",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

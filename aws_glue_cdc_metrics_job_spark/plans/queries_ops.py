@@ -1191,6 +1191,50 @@ def q_events_salted_type_join(spark: SparkSession, sf_dir: str):
     )
 
 
+_TYPE_JOIN_ORACLE = """
+WITH d AS (SELECT event_type, COUNT(*) AS TYPE_ROWS FROM events GROUP BY 1)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS N_EVENTS,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS N_USERS,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS TYPE_VALUE,
+       CAST(MAX(d.TYPE_ROWS) AS BIGINT) AS TYPE_ROWS
+FROM events e JOIN d ON e.event_type = d.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@query("events_aqe_skew_join", oracle=_TYPE_JOIN_ORACLE)
+def q_events_aqe_skew_join(spark: SparkSession, sf_dir: str):
+    """The AUTOMATIC half of the skew playbook, graded against the same
+    oracle as events_salted_type_join (both are result-neutral layouts of
+    the identical rollup): the fact-dim join is forced to sort-merge (the
+    5-row dim would otherwise broadcast and hide the shuffle), the fact
+    side hash-partitions on a 5-value key -- the canonical hot-partition
+    shape -- and spark.sql.adaptive.skewJoin splits oversized partitions
+    AT RUNTIME with no code changes; the distinct count is a plain
+    countDistinct whose partial aggregation absorbs the key skew
+    map-side. Benchmarked side by side with the salted twin on the
+    .bench_sf1_skew fixture (one user/type at ~20% of rows); the
+    runtime-split evidence (AQEShuffleRead skewed-partition counts) is
+    recorded in PLANS.md. Decimal-lattice sum keeps the value hash exact
+    under any partition order."""
+    ev = read_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("TYPE_ROWS"))
+    joined = ev.join(dim.hint("merge"), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("N_EVENTS"),
+            F.countDistinct("user_id").cast("long").alias("N_USERS"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("TYPE_VALUE"),
+            F.max("TYPE_ROWS").cast("long").alias("TYPE_ROWS"),
+        )
+        .select("event_type", "N_EVENTS", "N_USERS", "TYPE_VALUE", "TYPE_ROWS")
+        .orderBy("event_type")
+    )
+
+
 @query("events_hll_weekly_rollup")  # rows-only: HLL estimates engine-specific
 def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str):
     """Distinct users per week answered by UNIONING stored per-day HLL

@@ -24,6 +24,7 @@ HEADLINE = [
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",
     "events_audience_overlap",
+    "events_aqe_skew_join",
     # round-5 additions
     "parts_copurchase_pagerank",
     "parts_copurchase_triangles",
@@ -201,6 +202,7 @@ SCALE_EXCLUDE = {"docs_ngram_jaccard_pairs"}
 # bar: no query superlinear vs its own uniform-10x number.
 SKEW_QUERIES = [
     "events_salted_type_join",
+    "events_aqe_skew_join",
     "events_sessionize",
     "events_session_transitions",
     "events_sessionize_stats",
