@@ -16,6 +16,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The bench process drives two extra scale points (10x uniform+skew, 100x
+# decade) in ONE JVM; the 100x graph queries need more than the engine's
+# 24g default to hold an edge checkpoint while 32 task threads share the
+# execution pool. Scoped here, not in session.py: only bench pays it.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
 # The reference's gold-mart set (BASELINE.md) + representative operator and
 # training-data-pipeline queries.
 HEADLINE = [
@@ -223,16 +229,16 @@ SKEW_QUERIES = [
 # block exists for the scaling ratio, not for microsecond precision.
 SF10_QUERIES = [
     "parts_copurchase_pagerank",
-    "parts_copurchase_pagerank_bucketed",
-    "parts_affinity_pagerank",
-    "parts_copurchase_triangles",
-    "emb_perceptron_train",
-    "emb_perceptron_step",
-    "docs_selection_pipeline",
-    "events_value_bootstrap_ci",
-    "events_value_bootstrap_ci_fast",
-    "docs_incremental_near_dedup",
     "mart_customer_clv_segment",
+    "events_value_bootstrap_ci_fast",
+    "events_value_bootstrap_ci",
+    "docs_incremental_near_dedup",
+    "docs_selection_pipeline",
+    "emb_perceptron_step",
+    "emb_perceptron_train",
+    "parts_copurchase_triangles",
+    "parts_affinity_pagerank",
+    "parts_copurchase_pagerank_bucketed",
 ]
 
 
@@ -353,20 +359,38 @@ def main() -> int:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf10"),
     )
     if os.path.isdir(sf10_dir):
+        import gc
+
+        # Single COLD pass under a wall-clock budget: a warm-up pass would
+        # double a block whose heaviest query alone runs minutes, and cold
+        # numbers only bias the decade ratios UPWARD (conservative).
+        # Between queries, checkpointed edge RDDs from the previous query
+        # are released (driver+JVM gc -> ContextCleaner) -- at 100x they
+        # otherwise pin enough storage memory to OOM the next query's
+        # execution pool. Queries past the budget are SKIPPED AND NAMED
+        # (no silent caps); the full set lives in BASELINE.md's one-time
+        # dedicated run.
+        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "900"))
         sf10_names = [n for n in SF10_QUERIES if n in qs]
-        for name in sf10_names:  # warm-up (plans + silver cache at this dir)
-            qs[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
         t10: dict[str, float] = {}
+        skipped: list[str] = []
+        spent = 0.0
         for name in sf10_names:
+            if spent >= budget:
+                skipped.append(name)
+                continue
             t0 = time.monotonic()
             qs[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
             t10[name] = round(time.monotonic() - t0, 3)
+            spent += t10[name]
             print(f"# sf10 {name}: {t10[name]:.2f}s", file=sys.stderr)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         d10 = {}
         if os.path.isdir(sf1_dir):
             d10 = {
                 n: round(t10[n] / detail["sf1"]["queries"][n], 2)
-                for n in sf10_names
+                for n in t10
                 if detail.get("sf1", {}).get("queries", {}).get(n)
             }
         worst10 = max(d10, key=d10.get) if d10 else None
@@ -374,12 +398,14 @@ def main() -> int:
             "value": round(sum(t10.values()), 3),
             "worst_ratio_vs_sf1": d10.get(worst10),
             "worst_query": worst10,
+            "skipped_over_budget": skipped,
         }
         detail["sf10"] = {
             "value": round(sum(t10.values()), 3),
             "queries": t10,
             "ratio_vs_sf1": d10,
-            "scale": "100x sf0.1, top-expensive subset, single pass",
+            "skipped_over_budget": skipped,
+            "scale": "100x sf0.1, top-expensive subset, single cold pass",
         }
 
     detail_path = os.environ.get(
