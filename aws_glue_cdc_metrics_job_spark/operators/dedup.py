@@ -1211,3 +1211,92 @@ def minhash_jaccard_portable(
             rhu(F.col("N_MATCH") / F.lit(float(num_perm)), 6).alias("EST_JACCARD"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", 2021): flag every
+    ``k``-token window whose exact content occurs ``min_occurrences``+
+    times ANYWHERE in the corpus (other documents or elsewhere in the same
+    one), then merge each document's flagged windows -- overlapping or
+    back-to-back adjacent (next start <= previous start + k) -- into
+    maximal duplicated spans. The reference paper does this with a corpus
+    suffix array; distributed, the same report falls out of rolling
+    windows + a hash groupBy + gaps-and-islands, with the guarantee that
+    every duplicated substring of >= k tokens is covered by a reported
+    span and every reported span is genuinely duplicated at k-window
+    granularity.
+
+    Shape (linear end-to-end, no all-pairs stage anywhere): tokens explode
+    ONCE; each k-token window is assembled from lead() tokens over the
+    doc-keyed position sort (ONE Exchange+Sort serves window assembly);
+    window md5s meet in ONE corpus-wide hash-keyed groupBy -- uniform by
+    construction (md5), partial-aggregated map-side -- whose >= 2 survivors
+    semi-join back against the window stream on the same hash key; island
+    merging is doc-keyed window arithmetic. Skew bound: the longest single
+    document (position sort), never a hot content key (the semi-join
+    carries only hashes that DO repeat, and each flagged window row joins
+    one hash row). md5 (not xxhash) so the digest replays in any engine
+    for the oracle, as :func:`fingerprint` does.
+
+    Returns (id_col, SPAN_START, SPAN_END, N_TOKENS, N_WINDOWS) with
+    0-based inclusive token offsets into the normalized-whitespace token
+    stream; documents with no duplicated window are absent."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+    pos = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
+    order = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(order) for j in range(1, k)]
+    # lead() past the doc end is null; concat_ws would silently SKIP nulls
+    # and hash a short tail window, so full windows are gated on the LAST
+    # lead being present (positions are dense, so intermediate tokens
+    # cannot be null when the k-1'th is not).
+    wins = (
+        pos.select(
+            F.col(id_col),
+            F.col("__pos").cast("bigint").alias("__pos"),
+            F.lead("__tok", k - 1).over(order).alias("__last"),
+            F.concat_ws(" ", *parts).alias("__wt"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select(F.col(id_col), "__pos", F.md5("__wt").alias("__wh"))
+    )
+    wins = _scoped_persist(wins)
+    dup = (
+        wins.groupBy("__wh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_occurrences)
+        .select("__wh")
+    )
+    flagged = wins.join(dup, "__wh", "left_semi").select(F.col(id_col), "__pos")
+    w2 = Window.partitionBy(id_col).orderBy("__pos")
+    isl = flagged.withColumn(
+        "__brk",
+        F.when(F.col("__pos") - F.lag("__pos", 1).over(w2) > k, 1).otherwise(0),
+    ).withColumn(
+        "__isl", F.sum("__brk").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").cast("bigint").alias("SPAN_START"),
+            (F.max("__pos") + F.lit(k - 1)).cast("bigint").alias("SPAN_END"),
+            F.count(F.lit(1)).cast("bigint").alias("N_WINDOWS"),
+        )
+        .select(
+            F.col(id_col),
+            "SPAN_START",
+            "SPAN_END",
+            (F.col("SPAN_END") - F.col("SPAN_START") + 1).cast("bigint").alias("N_TOKENS"),
+            "N_WINDOWS",
+        )
+    )

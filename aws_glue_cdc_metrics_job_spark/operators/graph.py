@@ -532,3 +532,192 @@ def label_propagation(
         if checkpoint:
             labels = labels.localCheckpoint(eager=False)
     return labels.select("NODE", F.col("L").alias("COMMUNITY"))
+
+
+HITS_SCALE = 10**9  # hub/authority unit = 1e-9 of total mass ("nanos")
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = HITS_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM 1999) on an exact integer lattice:
+    scores are BIGINT nanos, each half-step L1-normalizes by rescaling to
+    ``scale`` total mass with floor division -- so the whole trajectory is
+    a pure function of the edge set, bit-identical at any partitioning and
+    replayed verbatim by the unrolled-CTE oracle (the pagerank
+    discipline). Authority(v) pools its in-neighbors' hub mass; hub(u)
+    pools its out-neighbors' authority mass; scores live on the FULL node
+    universe via left join + coalesce, so pure hubs keep authority 0 and
+    pure authorities keep hub 0 instead of vanishing.
+
+    Per half-step: ONE edge-sized shuffle join + one keyed aggregation
+    (partial-aggregated map-side), a node-sized left join, and a 1-row
+    broadcast of the global mass -- no driver state beyond the node count.
+    Lineage is cut per half-step with localCheckpoint.
+
+    Overflow bound: every post-normalization score is <= scale, so a
+    node's pooled mass is <= scale and pooled * scale <= 1e18 < 2^63 at
+    the default; the GLOBAL pre-normalization mass is <= |E| * scale, so
+    the default nanos lattice is exact up to ~9e9 edges -- lower ``scale``
+    beyond that. ``scale`` must also exceed the node count or the uniform
+    init floors to zero.
+
+    Returns (NODE, AUTH_NANOS, HUB_NANOS, IN_DEGREE, OUT_DEGREE)."""
+    ed = edges.select("SRC", "DST").distinct()
+    if checkpoint:
+        ed = _ckpt_big(ed)
+    nodes = (
+        ed.select(F.col("SRC").alias("NODE"))
+        .unionAll(ed.select(F.col("DST").alias("NODE")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()  # the one bounded driver scalar
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "NODE long, AUTH_NANOS long, HUB_NANOS long, IN_DEGREE long, OUT_DEGREE long"
+        )
+    hubs = nodes.select("NODE", F.lit(scale // n).cast("long").alias("H"))
+    auth = nodes.select("NODE", F.lit(scale // n).cast("long").alias("A"))
+    for _ in range(iterations):
+        ap = (
+            ed.join(hubs, ed["SRC"] == hubs["NODE"])
+            .groupBy(F.col("DST").alias("NODE"))
+            .agg(F.sum("H").cast("long").alias("__S"))
+        )
+        at = ap.agg(F.sum("__S").cast("long").alias("__T"))
+        auth = (
+            nodes.join(ap, "NODE", "left")
+            .crossJoin(F.broadcast(at))
+            .select(
+                "NODE",
+                F.expr(f"(coalesce(__S, 0L) * {scale}) div __T").cast("long").alias("A"),
+            )
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=False)
+        hp = (
+            ed.join(auth, ed["DST"] == auth["NODE"])
+            .groupBy(F.col("SRC").alias("NODE"))
+            .agg(F.sum("A").cast("long").alias("__S"))
+        )
+        ht = hp.agg(F.sum("__S").cast("long").alias("__T"))
+        hubs = (
+            nodes.join(hp, "NODE", "left")
+            .crossJoin(F.broadcast(ht))
+            .select(
+                "NODE",
+                F.expr(f"(coalesce(__S, 0L) * {scale}) div __T").cast("long").alias("H"),
+            )
+        )
+        if checkpoint:
+            hubs = hubs.localCheckpoint(eager=False)
+    indeg = ed.groupBy(F.col("DST").alias("NODE")).agg(
+        F.count(F.lit(1)).cast("long").alias("IN_DEGREE")
+    )
+    outdeg = ed.groupBy(F.col("SRC").alias("NODE")).agg(
+        F.count(F.lit(1)).cast("long").alias("OUT_DEGREE")
+    )
+    return (
+        auth.join(hubs, "NODE")
+        .join(indeg, "NODE", "left")
+        .join(outdeg, "NODE", "left")
+        .select(
+            "NODE",
+            F.col("A").alias("AUTH_NANOS"),
+            F.col("H").alias("HUB_NANOS"),
+            F.coalesce(F.col("IN_DEGREE"), F.lit(0)).cast("long").alias("IN_DEGREE"),
+            F.coalesce(F.col("OUT_DEGREE"), F.lit(0)).cast("long").alias("OUT_DEGREE"),
+        )
+    )
+
+
+def common_neighbor_link_prediction(
+    edges: DataFrame,
+    max_middle_degree: int | None = None,
+    min_common: int = 1,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg,
+    "The Link Prediction Problem for Social Networks", CIKM 2003): score
+    every UNCONNECTED node pair that shares at least ``min_common``
+    neighbors by the exact Jaccard of their neighborhoods, in integer ppm
+    (1e6 * common div (degA + degB - common)) so the ranking replays
+    bit-identically in SQL.
+
+    Shape: wedges are enumerated through their MIDDLE node (one self-join
+    of the adjacency list on the middle key), so the fan-out is
+    sum(deg(m)^2) -- the classic graph-join hazard that orientation fixes
+    for triangles but CANNOT fix here, because every common neighbor of a
+    pair must be seen no matter how the edge points. The scale control is
+    ``max_middle_degree``: middles above the cap are excluded BEFORE the
+    self-join (a deterministic, oracle-replayable filter), bounding the
+    blowup at cap^2 per middle -- the MOSS-stoplist discipline. A
+    super-hub middle is also the right thing to drop semantically: sharing
+    a neighbor that everyone shares carries no link signal (the same
+    reason IDF down-weights stop words). Degrees and the Jaccard
+    denominator always use the FULL graph's degrees; only wedge
+    enumeration is capped.
+
+    Candidate pairs already connected by an edge are anti-joined away
+    (link PREDICTION scores absent edges only). Returns
+    (NODE_A, NODE_B, N_COMMON, DEG_A, DEG_B, JACCARD_PPM) with
+    NODE_A < NODE_B."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    und = (
+        edges.select(
+            F.least("SRC", "DST").alias("A"), F.greatest("SRC", "DST").alias("B")
+        )
+        .where(F.col("A") != F.col("B"))
+        .distinct()
+    )
+    if checkpoint:
+        und = _ckpt_big(und)
+    nbr = und.select(F.col("A").alias("N"), F.col("B").alias("M")).unionAll(
+        und.select(F.col("B").alias("N"), F.col("A").alias("M"))
+    )
+    deg = nbr.groupBy("N").agg(F.count(F.lit(1)).cast("long").alias("DEG"))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=False)
+    mid = nbr.select(F.col("M"), F.col("N"))
+    if max_middle_degree is not None:
+        mdeg = deg.select(F.col("N").alias("M"), F.col("DEG").alias("__MD"))
+        mid = mid.join(mdeg, "M").where(F.col("__MD") <= max_middle_degree).select("M", "N")
+    if checkpoint:
+        mid = _ckpt_big(mid)
+    w1 = mid.select("M", F.col("N").alias("NODE_A"))
+    w2 = mid.select("M", F.col("N").alias("NODE_B"))
+    common = (
+        w1.join(w2, "M")
+        .where(F.col("NODE_A") < F.col("NODE_B"))
+        .groupBy("NODE_A", "NODE_B")
+        .agg(F.count(F.lit(1)).cast("long").alias("N_COMMON"))
+        .where(F.col("N_COMMON") >= min_common)
+    )
+    cand = common.join(
+        und.select(F.col("A").alias("NODE_A"), F.col("B").alias("NODE_B")),
+        ["NODE_A", "NODE_B"],
+        "left_anti",
+    )
+    da = deg.select(F.col("N").alias("NODE_A"), F.col("DEG").alias("DEG_A"))
+    db = deg.select(F.col("N").alias("NODE_B"), F.col("DEG").alias("DEG_B"))
+    return (
+        cand.join(da, "NODE_A")
+        .join(db, "NODE_B")
+        .select(
+            "NODE_A",
+            "NODE_B",
+            "N_COMMON",
+            "DEG_A",
+            "DEG_B",
+            F.expr("(1000000 * N_COMMON) div (DEG_A + DEG_B - N_COMMON)")
+            .cast("long")
+            .alias("JACCARD_PPM"),
+        )
+    )

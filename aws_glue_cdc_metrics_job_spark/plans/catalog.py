@@ -67,6 +67,9 @@ GRADE_FIRST: list[str] = [
     "parts_copurchase_communities",
     "events_audience_overlap",
     "events_aqe_skew_join",
+    "docs_dup_substring_spans",
+    "supply_hits_scores",
+    "parts_link_prediction",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

@@ -1535,3 +1535,146 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str):
         )
         .orderBy("TYPE_A", "TYPE_B")
     )
+
+
+# --- round-6: HITS hubs & authorities on the integer nanos lattice, the
+# eigenvector companion to PageRank -- the oracle unrolls both half-steps
+# of every iteration (pool, then L1-renormalize by the 1-row global mass).
+_HITS_SCALE = 10**9
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    s = _HITS_SCALE
+    cte = [
+        "e AS (SELECT DISTINCT l_partkey AS SRC, "
+        "CAST(1000000000 + l_suppkey AS BIGINT) AS DST FROM lineitem)",
+        "nodes AS (SELECT SRC AS NODE FROM e UNION SELECT DST FROM e)",
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM nodes)",
+        f"h0 AS (SELECT NODE, CAST({s} // c.N AS BIGINT) AS H FROM nodes, c)",
+    ]
+    for t in range(iterations):
+        cte.append(
+            f"ap{t} AS (SELECT e.DST AS NODE, CAST(SUM(h.H) AS BIGINT) AS S "
+            f"FROM e JOIN h{t} h ON e.SRC = h.NODE GROUP BY e.DST)"
+        )
+        cte.append(f"at{t} AS (SELECT CAST(SUM(S) AS BIGINT) AS T FROM ap{t})")
+        cte.append(
+            f"a{t + 1} AS (SELECT n.NODE, "
+            f"CAST((COALESCE(p.S, 0) * {s}) // t.T AS BIGINT) AS A "
+            f"FROM nodes n LEFT JOIN ap{t} p ON n.NODE = p.NODE, at{t} t)"
+        )
+        cte.append(
+            f"hp{t} AS (SELECT e.SRC AS NODE, CAST(SUM(a.A) AS BIGINT) AS S "
+            f"FROM e JOIN a{t + 1} a ON e.DST = a.NODE GROUP BY e.SRC)"
+        )
+        cte.append(f"ht{t} AS (SELECT CAST(SUM(S) AS BIGINT) AS T FROM hp{t})")
+        cte.append(
+            f"h{t + 1} AS (SELECT n.NODE, "
+            f"CAST((COALESCE(p.S, 0) * {s}) // t.T AS BIGINT) AS H "
+            f"FROM nodes n LEFT JOIN hp{t} p ON n.NODE = p.NODE, ht{t} t)"
+        )
+    cte.append(
+        "ind AS (SELECT DST AS NODE, CAST(COUNT(*) AS BIGINT) AS IN_DEGREE "
+        "FROM e GROUP BY DST)"
+    )
+    cte.append(
+        "outd AS (SELECT SRC AS NODE, CAST(COUNT(*) AS BIGINT) AS OUT_DEGREE "
+        "FROM e GROUP BY SRC)"
+    )
+    la, lh = f"a{iterations}", f"h{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT {la}.NODE AS NODE_ID, {la}.A AS AUTH_NANOS, {lh}.H AS HUB_NANOS,
+       COALESCE(ind.IN_DEGREE, 0) AS IN_DEGREE,
+       COALESCE(outd.OUT_DEGREE, 0) AS OUT_DEGREE
+FROM {la} JOIN {lh} ON {la}.NODE = {lh}.NODE
+LEFT JOIN ind ON {la}.NODE = ind.NODE
+LEFT JOIN outd ON {la}.NODE = outd.NODE
+ORDER BY AUTH_NANOS DESC, NODE_ID
+LIMIT 50"""
+    )
+
+
+@query("supply_hits_scores", oracle=_hits_oracle(2))
+def q_supply_hits_scores(spark: SparkSession, sf_dir: str):
+    """HITS hubs & authorities (operators/graph.hits) on the directed
+    part -> supplier supply graph: suppliers are pure authorities (rank =
+    pooled hub mass of the parts that feed them), parts are pure hubs
+    (rank = pooled authority of the suppliers they reach) -- the
+    eigenvector companion to supply_pagerank_directed on the same edges.
+    Both half-steps of each iteration renormalize to the 1e9-nanos
+    lattice by a 1-row broadcast global sum, so the full trajectory
+    floor-divides identically in any engine and the top-50 authorities
+    value-hash exactly against the unrolled-CTE oracle."""
+    from ..operators.graph import hits
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("SRC"),
+        (F.lit(1000000000) + F.col("l_suppkey")).cast("long").alias("DST"),
+    ).distinct()
+    out = hits(edges, iterations=2)
+    return (
+        out.select(
+            F.col("NODE").alias("NODE_ID"),
+            "AUTH_NANOS",
+            "HUB_NANOS",
+            "IN_DEGREE",
+            "OUT_DEGREE",
+        )
+        .orderBy(F.col("AUTH_NANOS").desc(), F.col("NODE_ID"))
+        .limit(50)
+    )
+
+
+@query(
+    "parts_link_prediction",
+    oracle="""
+WITH bi AS (SELECT DISTINCT l_orderkey AS BKT, l_partkey AS I FROM lineitem
+            WHERE SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) || '|tri1'), 1, 8) < '40000000'),
+und AS (SELECT DISTINCT LEAST(a.I, b.I) AS A, GREATEST(a.I, b.I) AS B
+        FROM bi a JOIN bi b ON a.BKT = b.BKT AND a.I <> b.I),
+nbr AS (SELECT A AS N, B AS M FROM und UNION ALL SELECT B, A FROM und),
+deg AS (SELECT N, CAST(COUNT(*) AS BIGINT) AS DEG FROM nbr GROUP BY N),
+mid AS (SELECT nbr.M, nbr.N FROM nbr JOIN deg ON nbr.M = deg.N WHERE deg.DEG <= 80),
+common AS (
+  SELECT w1.N AS NODE_A, w2.N AS NODE_B, CAST(COUNT(*) AS BIGINT) AS N_COMMON
+  FROM mid w1 JOIN mid w2 ON w1.M = w2.M AND w1.N < w2.N
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+cand AS (
+  SELECT c.* FROM common c ANTI JOIN und u
+    ON c.NODE_A = u.A AND c.NODE_B = u.B
+)
+SELECT c.NODE_A, c.NODE_B, c.N_COMMON, da.DEG AS DEG_A, db.DEG AS DEG_B,
+       CAST((1000000 * c.N_COMMON) // (da.DEG + db.DEG - c.N_COMMON) AS BIGINT)
+         AS JACCARD_PPM
+FROM cand c JOIN deg da ON c.NODE_A = da.N JOIN deg db ON c.NODE_B = db.N
+ORDER BY JACCARD_PPM DESC, NODE_A, NODE_B
+LIMIT 40
+""",
+)
+def q_parts_link_prediction(spark: SparkSession, sf_dir: str):
+    """Link prediction by exact neighborhood Jaccard (operators/graph.
+    common_neighbor_link_prediction) on the deterministic 1/4-basket
+    co-purchase sample: the top-40 part pairs that are NOT directly
+    co-purchased but share >= 2 co-purchase neighbors, ranked by integer
+    ppm Jaccard -- the people-also-bought candidate generator. Wedges are
+    enumerated through middles capped at degree 80 (the oracle replays
+    the same deterministic cap), bounding the self-join fan-out at cap^2
+    per middle while degrees and denominators stay full-graph exact."""
+    from ..operators.graph import common_neighbor_link_prediction, copurchase_edges
+    from ..operators.sampling import hash_sample
+
+    li = hash_sample(
+        read_table(spark, sf_dir, "lineitem"), ["l_orderkey"], 0.25, seed="tri1"
+    )
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    out = common_neighbor_link_prediction(
+        edges, max_middle_degree=80, min_common=2
+    )
+    return out.orderBy(
+        F.col("JACCARD_PPM").desc(), F.col("NODE_A"), F.col("NODE_B")
+    ).limit(40)

@@ -2970,3 +2970,55 @@ def q_docs_head_vocab_drift(spark: SparkSession, sf_dir: str):
 
     docs = read_table(spark, sf_dir, "documents")
     return head_vocab_drift(docs, "source", "text", top_k=300).orderBy("SOURCE")
+
+
+@query(
+    "docs_dup_substring_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+w AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+7], ' ')) AS wh
+  FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
+),
+d AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
+f AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (wh)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM f
+),
+i2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+)
+SELECT doc_id AS DOC_ID,
+       CAST(MIN(pos) AS BIGINT) AS SPAN_START,
+       CAST(MAX(pos) + 7 AS BIGINT) AS SPAN_END,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS N_TOKENS,
+       CAST(COUNT(*) AS BIGINT) AS N_WINDOWS
+FROM i2 GROUP BY doc_id, isl
+""",
+)
+def q_docs_dup_substring_spans(spark: SparkSession, sf_dir: str):
+    """Exact substring-duplication spans (the suffix-array dedup report of
+    Lee et al. 2021, re-expressed distributed): every 8-token window
+    repeated anywhere in the corpus, merged per document into maximal
+    spans via gaps-and-islands. Rolling windows ride ONE doc-keyed
+    position sort; repeated windows meet in one md5-keyed groupBy + a
+    semi-join back on the same key; no suffix array, no all-pairs stage.
+    The span remover's input: cutting [SPAN_START, SPAN_END] from each doc
+    is exactly the paper's dedup step."""
+    from ..operators.dedup import duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = duplicated_spans(docs, k=8)
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"),
+        "SPAN_START",
+        "SPAN_END",
+        "N_TOKENS",
+        "N_WINDOWS",
+    )

@@ -617,3 +617,72 @@ def test_minhash_portable_estimates_track_true_jaccard(spark, sf_dir):
         if ga == gb:
             assert (m, j) == (32, 1.0)
         assert abs(j - true_j) <= 0.35, (a, b, j, true_j)
+
+
+# --- round-6b: exact substring-duplication spans ----------------------------
+
+
+def test_duplicated_spans_merges_overlaps(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import duplicated_spans
+
+    # 12-token boilerplate shared by docs a and b: with k=4, windows at
+    # positions 0..8 are all duplicated and must merge into ONE maximal
+    # span [0, 11] in each doc
+    boiler = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"
+    rows = [
+        ("a", boiler + " unique tail for doc a here"),
+        ("b", "fresh lead text then " + boiler),
+        ("c", "totally different words with no repeats at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["SPAN_START"], r["SPAN_END"], r["N_TOKENS"], r["N_WINDOWS"])
+        for r in duplicated_spans(df, k=4).collect()
+    }
+    assert got["a"] == (0, 11, 12, 9)
+    assert got["b"] == (4, 15, 12, 9)  # boilerplate starts after 4 lead tokens
+    assert "c" not in got
+
+
+def test_duplicated_spans_splits_distant_islands(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import duplicated_spans
+
+    # two 4-token duplicated phrases separated by >k unique tokens stay
+    # SEPARATE spans
+    p1, p2 = "p1a p1b p1c p1d", "p2a p2b p2c p2d"
+    gap = "g1 g2 g3 g4 g5 g6 g7 g8"
+    rows = [
+        ("a", f"{p1} {gap} {p2}"),
+        ("b", f"{p1} other words entirely here now {p2}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    spans_a = sorted(
+        (r["SPAN_START"], r["SPAN_END"])
+        for r in duplicated_spans(df, k=4).where("doc_id = 'a'").collect()
+    )
+    assert spans_a == [(0, 3), (12, 15)]
+
+
+def test_duplicated_spans_intra_doc_repeat_counts(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import duplicated_spans
+
+    # the SAME doc repeating a phrase twice is a duplication too
+    rows = [("a", "x1 x2 x3 x4 mid1 mid2 mid3 mid4 mid5 x1 x2 x3 x4")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    spans = sorted(
+        (r["SPAN_START"], r["SPAN_END"])
+        for r in duplicated_spans(df, k=4).collect()
+    )
+    assert spans == [(0, 3), (9, 12)]
+
+
+def test_duplicated_spans_validation(spark):
+    import pytest as _pytest
+
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with _pytest.raises(ValueError):
+        duplicated_spans(df, k=0)
+    with _pytest.raises(ValueError):
+        duplicated_spans(df, min_occurrences=1)

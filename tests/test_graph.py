@@ -346,3 +346,128 @@ def test_symmetric_flag_matches_autodetect(spark):
     pfast = sorted(map(tuple, personalized_pagerank(
         df, seeds=[5], iterations=3, checkpoint=False, symmetric=True).collect()))
     assert pauto == pfast
+
+
+# --- round-6b: HITS hubs & authorities -------------------------------------
+
+
+def _hits_replay(edges, iterations, scale=10**9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    es = sorted(set(edges))
+    n = len(nodes)
+    h = {v: scale // n for v in nodes}
+    a = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        ap = defaultdict(int)
+        for s, d in es:
+            ap[d] += h[s]
+        t = sum(ap.values())
+        a = {v: ap.get(v, 0) * scale // t for v in nodes}
+        hp = defaultdict(int)
+        for s, d in es:
+            hp[s] += a[d]
+        t = sum(hp.values())
+        h = {v: hp.get(v, 0) * scale // t for v in nodes}
+    return a, h
+
+
+def test_hits_matches_pure_python_replay(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import hits
+
+    # bipartite-ish directed graph with a pure hub (10), a pure authority
+    # (20), and mixed nodes
+    edges = [(10, 20), (10, 21), (11, 20), (11, 22), (21, 22), (12, 20)]
+    df = spark.createDataFrame(edges, "SRC long, DST long")
+    got = {
+        r["NODE"]: (r["AUTH_NANOS"], r["HUB_NANOS"], r["IN_DEGREE"], r["OUT_DEGREE"])
+        for r in hits(df, iterations=3, checkpoint=False).collect()
+    }
+    a, h = _hits_replay(edges, 3)
+    for v in a:
+        assert got[v][0] == a[v], (v, got[v], a[v])
+        assert got[v][1] == h[v], (v, got[v], h[v])
+    # pure hub has zero authority, pure authority has zero hub score
+    assert got[10][0] == 0 and got[10][1] > 0
+    assert got[20][0] > 0 and got[20][1] == 0
+    # degrees: node 20 has 3 in-edges and no out-edges
+    assert got[20][2] == 3 and got[20][3] == 0
+
+
+def test_hits_empty_graph(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "SRC long, DST long")
+    assert hits(df, checkpoint=False).count() == 0
+
+
+def test_hits_mass_conserved(spark):
+    """Each half-step renormalizes to <= scale total (floor division only
+    loses sub-node units)."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import hits
+
+    ring = [(i, (i + 1) % 20) for i in range(20)]
+    df = spark.createDataFrame(ring, "SRC long, DST long")
+    row = (
+        hits(df, iterations=2, checkpoint=False)
+        .agg(
+            F.sum("AUTH_NANOS").alias("a"),
+            F.sum("HUB_NANOS").alias("h"),
+        )
+        .collect()[0]
+    )
+    assert 10**9 - 20 <= row["a"] <= 10**9
+    assert 10**9 - 20 <= row["h"] <= 10**9
+
+
+# --- round-6b: common-neighbor link prediction ------------------------------
+
+
+def test_link_prediction_hand_checked(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import (
+        common_neighbor_link_prediction,
+    )
+
+    # 4-cycle 1-2-3-4: the two diagonals (1,3) and (2,4) are unconnected
+    # and each shares BOTH its middles -- jaccard 2/(2+2-2) = 1.0
+    edges = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "SRC long, DST long")
+    rows = sorted(
+        common_neighbor_link_prediction(df, min_common=2, checkpoint=False).collect(),
+        key=lambda r: (r["NODE_A"], r["NODE_B"]),
+    )
+    assert [(r["NODE_A"], r["NODE_B"]) for r in rows] == [(1, 3), (2, 4)]
+    for r in rows:
+        assert r["N_COMMON"] == 2
+        assert r["DEG_A"] == 2 and r["DEG_B"] == 2
+        assert r["JACCARD_PPM"] == 1_000_000
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import (
+        common_neighbor_link_prediction,
+    )
+
+    # triangle: every pair is connected -> no predictions
+    edges = [(1, 2), (2, 3), (1, 3)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "SRC long, DST long")
+    assert common_neighbor_link_prediction(df, checkpoint=False).count() == 0
+
+
+def test_link_prediction_middle_cap(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import (
+        common_neighbor_link_prediction,
+    )
+
+    # star: center 0 with leaves 1..5 -- every leaf pair shares only the
+    # hub middle, so capping the middle degree below 5 removes all pairs
+    star = [(0, i) for i in range(1, 6)]
+    sym = star + [(b, a) for a, b in star]
+    df = spark.createDataFrame(sym, "SRC long, DST long")
+    uncapped = common_neighbor_link_prediction(df, checkpoint=False)
+    assert uncapped.count() == 10  # C(5,2) leaf pairs
+    capped = common_neighbor_link_prediction(
+        df, max_middle_degree=4, checkpoint=False
+    )
+    assert capped.count() == 0
