@@ -721,3 +721,62 @@ def common_neighbor_link_prediction(
             .alias("JACCARD_PPM"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source breadth-first hop distance: the minimum number of
+    directed hops from ANY source to each reachable node, capped at
+    ``max_hops`` -- the reachability/blast-radius primitive (which parts
+    does a recall touch within k supply steps; which docs sit within k
+    citation hops of a contaminated set).
+
+    Frontier iteration, the textbook distributed BFS: each round joins the
+    CURRENT FRONTIER ONLY (never the full visited set) against the edge
+    table, dedups the targets, and anti-joins away already-visited nodes,
+    so every node enters the frontier at most once and total join work
+    across all rounds is bounded by one traversal of each edge from its
+    first-reached source side. Frontier and visited sets are node-sized;
+    lineage is cut per round with localCheckpoint; the only driver signal
+    is the per-round empty check (a bounded scalar) that stops early once
+    the reachable set is exhausted.
+
+    Sources are taken literally: a source absent from the edge set is
+    still reported at HOPS 0 (the caller asked about it), matching the
+    VALUES-seeded recursive-CTE oracle replay. Returns (NODE, HOPS) with
+    HOPS in [0, max_hops]."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame(
+        [(int(s),) for s in sorted(set(sources))], "NODE long"
+    )
+    visited = seeds.select("NODE", F.lit(0).cast("long").alias("HOPS"))
+    frontier = visited.select("NODE")
+    ed = edges.select("SRC", "DST").distinct()
+    if checkpoint:
+        ed = _ckpt_big(ed)
+    for h in range(1, max_hops + 1):
+        nxt = (
+            ed.join(frontier, ed["SRC"] == frontier["NODE"])
+            .select(F.col("DST").alias("NODE"))
+            .distinct()
+            .join(visited, "NODE", "left_anti")
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=False)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("NODE", F.lit(h).cast("long").alias("HOPS"))
+        )
+        if checkpoint:
+            visited = visited.localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

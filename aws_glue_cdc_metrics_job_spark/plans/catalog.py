@@ -70,6 +70,7 @@ GRADE_FIRST: list[str] = [
     "docs_dup_substring_spans",
     "supply_hits_scores",
     "parts_link_prediction",
+    "parts_bfs_reach",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

@@ -1678,3 +1678,39 @@ def q_parts_link_prediction(spark: SparkSession, sf_dir: str):
     return out.orderBy(
         F.col("JACCARD_PPM").desc(), F.col("NODE_A"), F.col("NODE_B")
     ).limit(40)
+
+
+@query(
+    "parts_bfs_reach",
+    oracle="""
+WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS BKT, l_partkey AS I FROM lineitem
+            WHERE SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) || '|tri1'), 1, 8) < '40000000'),
+e AS (SELECT DISTINCT a.I AS SRC, b.I AS DST FROM bi a
+      JOIN bi b ON a.BKT = b.BKT AND a.I <> b.I),
+r AS (
+  SELECT CAST(s AS BIGINT) AS NODE, CAST(0 AS BIGINT) AS HOPS
+  FROM (VALUES (1), (2), (3)) v(s)
+  UNION
+  SELECT e.DST, r.HOPS + 1 FROM r JOIN e ON e.SRC = r.NODE WHERE r.HOPS < 2
+)
+SELECT NODE AS PART_ID, CAST(MIN(HOPS) AS BIGINT) AS HOPS
+FROM r GROUP BY NODE
+""",
+)
+def q_parts_bfs_reach(spark: SparkSession, sf_dir: str):
+    """Multi-source BFS reachability (operators/graph.bfs_hops): every
+    part within 2 co-purchase hops of the seed set {1,2,3} on the
+    deterministic 1/4-basket sample, with its minimum hop count -- the
+    blast-radius primitive. Frontier-only joins (never the visited set),
+    per-round anti-join dedup, early exit on an exhausted frontier; the
+    oracle is a genuine depth-bounded recursive CTE whose UNION dedup
+    bounds replay at nodes x hops rows."""
+    from ..operators.graph import bfs_hops, copurchase_edges
+    from ..operators.sampling import hash_sample
+
+    li = hash_sample(
+        read_table(spark, sf_dir, "lineitem"), ["l_orderkey"], 0.25, seed="tri1"
+    )
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
+    out = bfs_hops(edges, sources=[1, 2, 3], max_hops=2)
+    return out.select(F.col("NODE").alias("PART_ID"), "HOPS")

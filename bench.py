@@ -26,6 +26,10 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 # training-data-pipeline queries.
 HEADLINE = [
     # round-6 additions
+    "docs_dup_substring_spans",
+    "supply_hits_scores",
+    "parts_link_prediction",
+    "parts_bfs_reach",
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",

@@ -471,3 +471,49 @@ def test_link_prediction_middle_cap(spark):
         df, max_middle_degree=4, checkpoint=False
     )
     assert capped.count() == 0
+
+
+# --- round-6b: multi-source BFS hop distance --------------------------------
+
+
+def test_bfs_hops_chain_and_min_distance(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import bfs_hops
+
+    # chain 1->2->3->4 plus shortcut 1->3: node 3 is MIN(2 via chain, 1
+    # via shortcut) = 1
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    df = spark.createDataFrame(edges, "SRC long, DST long")
+    got = {
+        r["NODE"]: r["HOPS"]
+        for r in bfs_hops(df, sources=[1], max_hops=2, checkpoint=False).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hops_multi_source_and_absent_seed(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2), (10, 11)]
+    df = spark.createDataFrame(edges, "SRC long, DST long")
+    got = {
+        r["NODE"]: r["HOPS"]
+        for r in bfs_hops(df, sources=[1, 10, 99], max_hops=3, checkpoint=False).collect()
+    }
+    # 99 is absent from the graph but still reported at hop 0
+    assert got == {1: 0, 10: 0, 99: 0, 2: 1, 11: 1}
+
+
+def test_bfs_hops_early_exit_and_validation(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame([(1, 2)], "SRC long, DST long")
+    # max_hops far beyond the diameter: early exit, same answer
+    got = {
+        r["NODE"]: r["HOPS"]
+        for r in bfs_hops(df, sources=[1], max_hops=50, checkpoint=False).collect()
+    }
+    assert got == {1: 0, 2: 1}
+    with pytest.raises(ValueError):
+        bfs_hops(df, sources=[], max_hops=1)
+    with pytest.raises(ValueError):
+        bfs_hops(df, sources=[1], max_hops=-1)
