@@ -71,6 +71,7 @@ GRADE_FIRST: list[str] = [
     "supply_hits_scores",
     "parts_link_prediction",
     "parts_bfs_reach",
+    "lineitem_zorder_buckets",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

@@ -907,3 +907,61 @@ def q_orders_lineitem_revenue_bucketed(spark: SparkSession, sf_dir: str):
         spark.table(f"bkt_ord_{h}"), "ORDER_KEY"
     )
     return _bkt_finish(joined)
+
+
+# --- round-6b: Z-order (Morton) clustering keys -- the multi-dimensional
+# layout primitive. The oracle re-emits the IDENTICAL integer expression
+# with DuckDB's // division, bounds riding the same 1-row cross join.
+
+
+def _zorder_oracle() -> str:
+    from ..functions.zorder import zorder_sql
+
+    expr = zorder_sql(
+        ["l_partkey", "l_suppkey"], [("b.lo0", "b.hi0"), ("b.lo1", "b.hi1")],
+        bits=8, div="//",
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(MIN(l_partkey) AS BIGINT) AS lo0, CAST(MAX(l_partkey) AS BIGINT) AS hi0,
+         CAST(MIN(l_suppkey) AS BIGINT) AS lo1, CAST(MAX(l_suppkey) AS BIGINT) AS hi1
+  FROM lineitem
+),
+k AS (SELECT {expr} AS ZKEY, l_partkey, l_suppkey FROM lineitem, b)
+SELECT CAST(ZKEY // 4096 AS BIGINT) AS ZBUCKET,
+       CAST(COUNT(*) AS BIGINT) AS N_ROWS,
+       CAST(MIN(l_partkey) AS BIGINT) AS PART_LO,
+       CAST(MAX(l_partkey) AS BIGINT) AS PART_HI,
+       CAST(MIN(l_suppkey) AS BIGINT) AS SUPP_LO,
+       CAST(MAX(l_suppkey) AS BIGINT) AS SUPP_HI
+FROM k GROUP BY 1
+"""
+
+
+@query("lineitem_zorder_buckets", oracle=_zorder_oracle())
+def q_lineitem_zorder_buckets(spark: SparkSession, sf_dir: str):
+    """Z-order clustering profile (functions/zorder): every lineitem row
+    gets a Morton key interleaving 8 normalized bits of l_partkey with 8
+    of l_suppkey (bounds ride a 1-row broadcast aggregate, never the
+    driver), then the key space is cut into 16 contiguous buckets -- the
+    file layout write_zordered produces -- and each bucket reports its
+    min/max RECTANGLE in both dimensions. The rectangles are the whole
+    point: a contiguous Z range is bounded in EVERY interleaved dimension
+    (a linear sort is bounded in one), which is what lets parquet min/max
+    stats prune reads for filters on either column. The key expression is
+    a static integer sum inside whole-stage codegen; the oracle re-emits
+    the identical expression, so every row's key and every rectangle
+    value-hash across engines."""
+    from ..functions.zorder import add_zorder_key
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    keyed = add_zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    return keyed.groupBy(
+        F.expr("ZKEY div 4096").cast("bigint").alias("ZBUCKET")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_ROWS"),
+        F.min("l_partkey").cast("bigint").alias("PART_LO"),
+        F.max("l_partkey").cast("bigint").alias("PART_HI"),
+        F.min("l_suppkey").cast("bigint").alias("SUPP_LO"),
+        F.max("l_suppkey").cast("bigint").alias("SUPP_HI"),
+    )

@@ -30,6 +30,7 @@ HEADLINE = [
     "supply_hits_scores",
     "parts_link_prediction",
     "parts_bfs_reach",
+    "lineitem_zorder_buckets",
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",

@@ -353,3 +353,87 @@ def test_spread_survives_suffixed_conf(spark, sf_dir):
         assert df.limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# --- round-6b: Z-order clustering layout ------------------------------------
+
+
+def test_zorder_key_corners(spark):
+    from aws_glue_cdc_metrics_job_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (255, 255), (0, 255), (255, 0), (1, 0), (0, 1)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key(["a", "b"], [(0, 255), (0, 255)], bits=8).alias("z")
+        ).collect()
+    }
+    # interleaved bits: a owns the odd (higher) positions, b the even
+    assert got[(0, 0)] == 0
+    assert got[(255, 255)] == 65535
+    assert got[(255, 0)] == 43690  # 0b1010...10
+    assert got[(0, 255)] == 21845  # 0b0101...01
+    assert got[(1, 0)] == 2 and got[(0, 1)] == 1
+
+
+def test_zorder_constant_dimension_and_validation(spark):
+    from aws_glue_cdc_metrics_job_spark.functions.zorder import add_zorder_key
+
+    # a constant dimension normalizes to 0 everywhere instead of dividing
+    # by zero
+    df = spark.createDataFrame([(5, i) for i in range(4)], "a long, b long")
+    rows = add_zorder_key(df, ["a", "b"], bits=4).collect()
+    # constant a contributes 0 at every odd bit position; b in 0..3
+    # normalizes onto {0, 5, 10, 15}, spread across the even positions
+    assert {r["ZKEY"] for r in rows} == {0, 17, 68, 85}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        add_zorder_key(df, [], bits=8)
+    with _pytest.raises(ValueError):
+        add_zorder_key(df, ["a", "b"], bits=32)  # 64 bits > signed ceiling
+
+
+def test_write_zordered_bounds_every_dimension(spark, tmp_path):
+    """The layout claim, measured: on a 64x64 grid cut into 16 files, a
+    Z-ordered write bounds BOTH dimensions per file (quadrant-ish
+    rectangles), while a linear sort on x leaves each file spanning the
+    full y range -- so min/max pruning on y skips nothing."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.functions.zorder import write_zordered
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    )
+    zdir = str(tmp_path / "zorder")
+    write_zordered(grid, zdir, ["x", "y"], bits=6, num_files=16)
+    spans = (
+        spark.read.parquet(zdir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("y") - F.min("y")).alias("ys"), (F.max("x") - F.min("x")).alias("xs"))
+        .collect()
+    )
+    assert len(spans) == 16
+    # ideal quadrant span is 15; range-partition boundary sampling can
+    # smear one quadrant into a neighbor, never past half the domain
+    assert max(r["ys"] for r in spans) <= 32
+    assert max(r["xs"] for r in spans) <= 32
+
+    ldir = str(tmp_path / "linear")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+    lin = (
+        spark.read.parquet(ldir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("y") - F.min("y")).alias("ys"))
+        .collect()
+    )
+    assert max(r["ys"] for r in lin) == 63  # linear layout: y unbounded per file
