@@ -72,6 +72,7 @@ GRADE_FIRST: list[str] = [
     "parts_link_prediction",
     "parts_bfs_reach",
     "lineitem_zorder_buckets",
+    "events_gini_best_split",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

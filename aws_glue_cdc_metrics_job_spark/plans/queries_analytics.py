@@ -1714,3 +1714,60 @@ def q_parts_bfs_reach(spark: SparkSession, sf_dir: str):
     edges = copurchase_edges(li, "l_orderkey", "l_partkey")
     out = bfs_hops(edges, sources=[1, 2, 3], max_hops=2)
     return out.select(F.col("NODE").alias("PART_ID"), "HOPS")
+
+
+@query(
+    "events_gini_best_split",
+    oracle="""
+WITH base AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT MIN(vc) AS lo, MAX(vc) AS hi FROM base),
+binned AS (
+  SELECT CASE WHEN b.hi > b.lo THEN ((vc - b.lo) * 64) // (b.hi - b.lo + 1)
+              ELSE 0 END AS bin,
+         pos, b.lo, b.hi
+  FROM base, b
+),
+g AS (SELECT bin, lo, hi, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM binned GROUP BY 1, 2, 3),
+cum AS (
+  SELECT bin, lo, hi,
+         CAST(SUM(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         CAST(SUM(p) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+  FROM g
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(p) AS BIGINT) AS pt FROM g)
+SELECT CAST(bin AS BIGINT) AS SPLIT_BIN,
+       CAST(lo + (((bin + 1) * (hi - lo + 1)) // 64) - 1 AS BIGINT) AS THRESHOLD_LATTICE,
+       nl AS N_LEFT, pl AS POS_LEFT,
+       CAST(nt - nl AS BIGINT) AS N_RIGHT, CAST(pt - pl AS BIGINT) AS POS_RIGHT,
+       CAST(
+         (2 * ((pt * 1000000) // nt) * (1000000 - ((pt * 1000000) // nt))) // 1000000
+         - ((nl * 1000000) // nt) * ((2 * ((pl * 1000000) // nl) * (1000000 - ((pl * 1000000) // nl))) // 1000000) // 1000000
+         - (((nt - nl) * 1000000) // nt) * ((2 * (((pt - pl) * 1000000) // (nt - nl)) * (1000000 - (((pt - pl) * 1000000) // (nt - nl)))) // 1000000) // 1000000
+       AS BIGINT) AS GAIN_PPM
+FROM cum, tot
+WHERE nl > 0 AND nl < nt
+""",
+)
+def q_events_gini_best_split(spark: SparkSession, sf_dir: str):
+    """Decision-stump split scoring (operators/stats.
+    gini_split_candidates): every candidate threshold on the event value
+    (64 equi-width bins on the exact centi lattice, bounds via a 1-row
+    broadcast) scored by Gini gain against the is-purchase label. All
+    gain arithmetic runs on ppm PROPORTIONS, so nothing overflows at any
+    row count and every floor division replays verbatim in the oracle;
+    the per-candidate frame is <= bins rows by construction, which is
+    what licenses its tiny single-partition prefix-sum window."""
+    from ..operators.stats import gini_split_candidates
+
+    ev = read_table(spark, sf_dir, "events")
+    return gini_split_candidates(
+        ev, "value", F.col("event_type") == "purchase", bins=64, decimals=2
+    )

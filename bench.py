@@ -31,6 +31,7 @@ HEADLINE = [
     "parts_link_prediction",
     "parts_bfs_reach",
     "lineitem_zorder_buckets",
+    "events_gini_best_split",
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",

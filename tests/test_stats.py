@@ -4,6 +4,7 @@ import hashlib
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from aws_glue_cdc_metrics_job_spark.operators.stats import (
     bootstrap_mean_ci,
@@ -188,3 +189,53 @@ def test_cusum_partitioning_invariance(spark):
     a = sorted(map(tuple, cusum_shifts(df.coalesce(1), ["g"], "t", "x", 5000, 9000).collect()))
     b = sorted(map(tuple, cusum_shifts(df.repartition(11), ["g"], "t", "x", 5000, 9000).collect()))
     assert a == b
+
+
+# --- round-6b: Gini decision-stump split scoring ----------------------------
+
+
+def test_gini_split_perfect_separator(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.stats import gini_split_candidates
+
+    # feature < 5.0 is all negative, >= 5.0 all positive: the best split
+    # recovers ~the full parent impurity (2 * 0.5 * 0.5 = 500000 ppm)
+    rows = [(float(v), v >= 5.0) for v in range(10)]
+    df = spark.createDataFrame(rows, "value double, y boolean")
+    out = gini_split_candidates(df, "value", F.col("y"), bins=8, decimals=2).collect()
+    best = max(out, key=lambda r: (r["GAIN_PPM"], -r["SPLIT_BIN"]))
+    assert best["GAIN_PPM"] >= 499_000  # parent gini minus ppm flooring
+    assert best["N_LEFT"] == 5 and best["POS_LEFT"] == 0
+    assert best["N_RIGHT"] == 5 and best["POS_RIGHT"] == 5
+    # threshold sits on the centi lattice between 4.00 and 5.00
+    assert 400 <= best["THRESHOLD_LATTICE"] < 500
+    # no split can beat the parent impurity
+    assert all(r["GAIN_PPM"] <= 500_000 for r in out)
+
+
+def test_gini_split_no_signal_and_degenerate(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.stats import gini_split_candidates
+
+    # label independent of feature: every gain is ~0 (flooring may dip
+    # slightly negative)
+    rows = [(float(v), v % 2 == 0) for v in range(100)]
+    df = spark.createDataFrame(rows, "value double, y boolean")
+    out = gini_split_candidates(df, "value", F.col("y"), bins=4).collect()
+    assert out and all(abs(r["GAIN_PPM"]) < 30_000 for r in out)
+
+    # constant feature: everything lands in bin 0 -> no valid split
+    const = spark.createDataFrame([(1.0, True), (1.0, False)], "value double, y boolean")
+    assert gini_split_candidates(const, "value", F.col("y")).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gini_split_candidates(df, "value", F.col("y"), bins=1)
+
+
+def test_gini_split_null_feature_rows_excluded(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.stats import gini_split_candidates
+
+    rows = [(1.0, True), (2.0, False), (None, True), (3.0, True), (4.0, False)]
+    df = spark.createDataFrame(rows, "value double, y boolean")
+    out = gini_split_candidates(df, "value", F.col("y"), bins=4).collect()
+    assert all(r["N_LEFT"] + r["N_RIGHT"] == 4 for r in out)
