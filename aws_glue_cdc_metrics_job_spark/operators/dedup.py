@@ -1252,15 +1252,31 @@ def duplicated_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_occurrences < 2:
         raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    wins = _scoped_persist(_window_hashes(df, k, id_col, text_col))
+    dup = (
+        wins.groupBy("__wh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_occurrences)
+        .select("__wh")
+    )
+    flagged = wins.join(dup, "__wh", "left_semi").select(F.col(id_col), "__pos")
+    return _merge_spans(flagged, k, id_col)
+
+
+def _window_hashes(
+    df: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, __pos, __wh): the md5 of each FULL k-token rolling window,
+    assembled from lead() tokens over one doc-keyed position sort.
+    lead() past the doc end is null; concat_ws would silently SKIP nulls
+    and hash a short tail window, so full windows are gated on the LAST
+    lead being present (positions are dense, so intermediate tokens
+    cannot be null when the k-1'th is not)."""
     toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
     pos = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
     order = Window.partitionBy(id_col).orderBy("__pos")
     parts = [F.col("__tok")] + [F.lead("__tok", j).over(order) for j in range(1, k)]
-    # lead() past the doc end is null; concat_ws would silently SKIP nulls
-    # and hash a short tail window, so full windows are gated on the LAST
-    # lead being present (positions are dense, so intermediate tokens
-    # cannot be null when the k-1'th is not).
-    wins = (
+    return (
         pos.select(
             F.col(id_col),
             F.col("__pos").cast("bigint").alias("__pos"),
@@ -1270,14 +1286,11 @@ def duplicated_spans(
         .where(F.col("__last").isNotNull())
         .select(F.col(id_col), "__pos", F.md5("__wt").alias("__wh"))
     )
-    wins = _scoped_persist(wins)
-    dup = (
-        wins.groupBy("__wh")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") >= min_occurrences)
-        .select("__wh")
-    )
-    flagged = wins.join(dup, "__wh", "left_semi").select(F.col(id_col), "__pos")
+
+
+def _merge_spans(flagged: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of flagged window starts into maximal spans
+    (windows at p < q overlap or touch iff q - p <= k)."""
     w2 = Window.partitionBy(id_col).orderBy("__pos")
     isl = flagged.withColumn(
         "__brk",
@@ -1300,3 +1313,55 @@ def duplicated_spans(
             "N_WINDOWS",
         )
     )
+
+
+def substring_hash_index(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persistable corpus state for :func:`duplicated_spans_incremental`:
+    the DISTINCT md5s of every k-token window in the corpus, one column
+    (WHASH). Mergeable across deliveries by union + distinct (or stored
+    bucketed on WHASH so both the merge and every probe are co-located
+    joins). At 100 TB this is the substring analogue of the MinHash band
+    index: the indexed corpus is never re-tokenized."""
+    return (
+        _window_hashes(df, k, id_col, text_col)
+        .select(F.col("__wh").alias("WHASH"))
+        .distinct()
+    )
+
+
+def duplicated_spans_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delivery-sized :func:`duplicated_spans`: report the spans of each
+    BATCH document that duplicate either the indexed corpus (window md5
+    present in ``index``.WHASH, built by :func:`substring_hash_index`) or
+    the batch itself (window content occurring twice+ within the
+    delivery). The production shape of the Lee-et-al dedup: per delivery
+    the cost is tokenizing the BATCH plus one hash-keyed probe join
+    against the stored index -- the corpus is never re-read. Unlike the
+    MinHash incremental path this is fully deterministic (exact md5
+    membership), so the whole report is oracle-checkable. The caller
+    appends the admitted/cleaned batch's :func:`substring_hash_index`
+    to the store (distinct union, associative).
+
+    Returns the :func:`duplicated_spans` schema over batch documents."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wins = _scoped_persist(_window_hashes(batch, k, id_col, text_col))
+    dup_in_batch = (
+        wins.groupBy("__wh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("__wh")
+    )
+    hit = dup_in_batch.unionByName(
+        index.select(F.col("WHASH").alias("__wh"))
+    ).distinct()
+    flagged = wins.join(hit, "__wh", "left_semi").select(F.col(id_col), "__pos")
+    return _merge_spans(flagged, k, id_col)

@@ -73,6 +73,7 @@ GRADE_FIRST: list[str] = [
     "parts_bfs_reach",
     "lineitem_zorder_buckets",
     "events_gini_best_split",
+    "docs_incremental_dup_spans",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

@@ -3022,3 +3022,58 @@ def q_docs_dup_substring_spans(spark: SparkSession, sf_dir: str):
         "N_TOKENS",
         "N_WINDOWS",
     )
+
+
+@query(
+    "docs_incremental_dup_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+w AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+7], ' ')) AS wh
+  FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
+),
+ix AS (SELECT DISTINCT wh FROM w WHERE doc_id % 3 = 0),
+bw AS (SELECT doc_id, pos, wh FROM w WHERE doc_id % 3 <> 0),
+dup AS (SELECT wh FROM bw GROUP BY wh HAVING COUNT(*) >= 2),
+hit AS (SELECT wh FROM dup UNION SELECT wh FROM ix),
+f AS (SELECT bw.doc_id, bw.pos FROM bw JOIN hit USING (wh)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM f
+),
+i2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+)
+SELECT doc_id AS DOC_ID,
+       CAST(MIN(pos) AS BIGINT) AS SPAN_START,
+       CAST(MAX(pos) + 7 AS BIGINT) AS SPAN_END,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS N_TOKENS,
+       CAST(COUNT(*) AS BIGINT) AS N_WINDOWS
+FROM i2 GROUP BY doc_id, isl
+""",
+)
+def q_docs_incremental_dup_spans(spark: SparkSession, sf_dir: str):
+    """Incremental substring-duplication spans (dedup.
+    duplicated_spans_incremental): docs with doc_id%3==0 play the
+    persisted window-hash index (dedup.substring_hash_index); the rest
+    arrive as the delivery and report every span duplicating the index or
+    the delivery itself. The production shape of Lee-et-al substring
+    dedup -- the corpus is never re-tokenized, the probe is one
+    hash-keyed join -- and, unlike the MinHash incremental path, fully
+    deterministic, so the whole report value-hashes against the oracle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ix = dedup.substring_hash_index(docs.filter(F.col("doc_id") % 3 == 0), k=8)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.duplicated_spans_incremental(batch, ix, k=8)
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"),
+        "SPAN_START",
+        "SPAN_END",
+        "N_TOKENS",
+        "N_WINDOWS",
+    )

@@ -686,3 +686,54 @@ def test_duplicated_spans_validation(spark):
         duplicated_spans(df, k=0)
     with _pytest.raises(ValueError):
         duplicated_spans(df, min_occurrences=1)
+
+
+def test_duplicated_spans_incremental_probe_and_batch(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import (
+        duplicated_spans_incremental,
+        substring_hash_index,
+    )
+
+    boiler = "b1 b2 b3 b4"
+    corpus = spark.createDataFrame(
+        [("old1", f"{boiler} corpus filler words here")],
+        "doc_id string, text string",
+    )
+    ix = substring_hash_index(corpus, k=4)
+    # batch doc 'a' repeats the INDEXED phrase; 'b' and 'c' share a phrase
+    # only WITHIN the batch; 'd' is clean
+    p = "q1 q2 q3 q4"
+    batch = spark.createDataFrame(
+        [
+            ("a", f"lead words then {boiler}"),
+            ("b", f"{p} more unique text follows"),
+            ("c", f"totally different opening then {p}"),
+            ("d", "no duplication anywhere in this one at all"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["SPAN_START"], r["SPAN_END"])
+        for r in duplicated_spans_incremental(batch, ix, k=4).collect()
+    }
+    assert got["a"] == (3, 6)   # the indexed boilerplate, found via the probe
+    assert got["b"] == (0, 3)   # batch-internal duplication
+    assert got["c"] == (4, 7)
+    assert "d" not in got
+
+
+def test_substring_hash_index_mergeable(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import substring_hash_index
+
+    d1 = spark.createDataFrame([("x", "a b c d e")], "doc_id string, text string")
+    d2 = spark.createDataFrame([("y", "c d e f g")], "doc_id string, text string")
+    both = d1.unionByName(d2)
+    merged = (
+        substring_hash_index(d1, k=3)
+        .unionByName(substring_hash_index(d2, k=3))
+        .distinct()
+    )
+    direct = substring_hash_index(both, k=3)
+    assert sorted(r["WHASH"] for r in merged.collect()) == sorted(
+        r["WHASH"] for r in direct.collect()
+    )
