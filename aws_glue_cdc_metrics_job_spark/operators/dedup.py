@@ -1365,3 +1365,64 @@ def duplicated_spans_incremental(
     ).distinct()
     flagged = wins.join(hit, "__wh", "left_semi").select(F.col(id_col), "__pos")
     return _merge_spans(flagged, k, id_col)
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut duplicated spans out of each document -- the actual DEDUP step
+    of Lee et al. 2021, applied to a span report from
+    :func:`duplicated_spans` / :func:`duplicated_spans_incremental`:
+    every token whose position falls inside any of the document's
+    [SPAN_START, SPAN_END] ranges is dropped and the survivors are
+    reassembled in order (the :func:`dedup_segments_within_doc`
+    reassembly discipline, same normalized-whitespace token stream as the
+    span reports, so offsets line up exactly).
+
+    Shape: everything is doc-keyed -- the token stream left-joins the
+    (small, per-doc) span list on the doc key with a range residual, and
+    reassembly is one per-doc aggregation ordered by position. Documents
+    with no spans pass through with their normalized text; documents
+    whose EVERY token is covered (pure duplicates) are dropped entirely,
+    as are documents with no tokens (the dedup_segments_within_doc
+    convention). Returns (id_col, CLEAN_TEXT, N_TOKENS_KEPT,
+    N_TOKENS_DROPPED)."""
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+    pos = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
+    sp = spans.select(
+        F.col(id_col), F.col("SPAN_START").alias("__s"), F.col("SPAN_END").alias("__e")
+    )
+    covered = (
+        pos.join(
+            sp,
+            (pos[id_col] == sp[id_col])
+            & (pos["__pos"] >= sp["__s"])
+            & (pos["__pos"] <= sp["__e"]),
+            "left_semi",
+        )
+    )
+    kept = pos.join(covered, [id_col, "__pos"], "left_anti")
+    dropped_n = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_TOKENS_DROPPED")
+    )
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__tok"))), lambda s: s["__tok"])
+            ).alias("CLEAN_TEXT"),
+            F.count(F.lit(1)).cast("bigint").alias("N_TOKENS_KEPT"),
+        )
+    )
+    return (
+        out.join(dropped_n, id_col, "left")
+        .select(
+            F.col(id_col),
+            "CLEAN_TEXT",
+            "N_TOKENS_KEPT",
+            F.coalesce(F.col("N_TOKENS_DROPPED"), F.lit(0)).cast("bigint").alias("N_TOKENS_DROPPED"),
+        )
+    )

@@ -3077,3 +3077,72 @@ def q_docs_incremental_dup_spans(spark: SparkSession, sf_dir: str):
         "N_TOKENS",
         "N_WINDOWS",
     )
+
+
+@query(
+    "docs_scrubbed_text",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+w AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+7], ' ')) AS wh
+  FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
+),
+d AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
+f AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (wh)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM f
+),
+i2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM i2 GROUP BY doc_id, isl
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tk
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+),
+cov AS (
+  SELECT DISTINCT tok.doc_id, tok.pos
+  FROM tok JOIN spans ON tok.doc_id = spans.doc_id
+                     AND tok.pos BETWEEN spans.s AND spans.e
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tk
+  FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+)
+SELECT k.doc_id AS DOC_ID,
+       string_agg(k.tk, ' ' ORDER BY k.pos) AS CLEAN_TEXT,
+       CAST(COUNT(*) AS BIGINT) AS N_TOKENS_KEPT,
+       CAST(COALESCE(MAX(c.nd), 0) AS BIGINT) AS N_TOKENS_DROPPED
+FROM kept k
+LEFT JOIN (SELECT doc_id, COUNT(*) AS nd FROM cov GROUP BY 1) c
+  ON k.doc_id = c.doc_id
+GROUP BY k.doc_id
+""",
+)
+def q_docs_scrubbed_text(spark: SparkSession, sf_dir: str):
+    """The full Lee-et-al substring dedup applied end-to-end
+    (dedup.duplicated_spans -> dedup.remove_spans): every duplicated
+    8-token span is cut from its document and the survivors reassembled
+    in token order -- CLEAN_TEXT is the training-ready corpus. Span
+    detection is the hash-meet pipeline; removal is a doc-keyed range
+    semi-join (spans per doc are few) and one ordered per-doc
+    reassembly. Pure duplicates (all tokens covered) drop out entirely;
+    the oracle replays detection, coverage, and reassembly verbatim."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dedup.duplicated_spans(docs, k=8)
+    out = dedup.remove_spans(docs, spans)
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"),
+        "CLEAN_TEXT",
+        "N_TOKENS_KEPT",
+        "N_TOKENS_DROPPED",
+    )

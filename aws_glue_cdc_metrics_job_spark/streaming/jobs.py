@@ -973,3 +973,85 @@ def stream_stream_attribution(
         ).alias("LAG_MICROS"),
     )
     return out
+
+
+def span_scrub_sink(
+    doc_stream: DataFrame,
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+):
+    """Streaming substring-scrub ingestion (the Lee-et-al dedup run
+    continuously): per micro-batch, detect every span duplicating the
+    persisted window-hash index or the batch itself (the SAME batch
+    operator, dedup.duplicated_spans_incremental), write the SCRUBBED
+    batch (dedup.remove_spans) to the corpus zone, and append the
+    ORIGINAL batch's window hashes to the index zone -- original, not
+    scrubbed, so boilerplate keeps matching after its first occurrence
+    was (by design) admitted verbatim. Completes the dedup ladder's
+    streaming end at sub-document granularity: exact doc dedup
+    (dedup_ingest_sink) drops whole duplicates, this cuts duplicated
+    REGIONS while keeping the novel remainder.
+
+    State is the on-disk index zone (distinct window md5s partitioned by
+    batch_id), not streaming state: per-batch cost is tokenize(batch) +
+    one hash-keyed probe, the corpus is never re-read. Retry semantics:
+    both deltas are pure functions of (batch, index zone minus this
+    batch's own delta), so a replay after a failure between the two
+    writes recomputes byte-identical deltas and overwrites them in place
+    (pinned in tests/test_streaming.py)."""
+    _apply = _span_scrub_apply(spark, corpus_path, index_path, id_col, text_col, k)
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _span_scrub_apply(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+):
+    """span_scrub_sink's per-batch body, factored out so tests can replay
+    a micro-batch with the same batch_id and assert idempotence."""
+    from ..operators.dedup import (
+        duplicated_spans_incremental,
+        remove_spans,
+        substring_hash_index,
+    )
+    from ..sources.parquet_io import path_exists
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if path_exists(spark, index_path):
+            # exclude THIS batch's own index delta: a retry after a
+            # fully-successful first attempt would otherwise see its own
+            # hashes as "corpus" and scrub every batch document to
+            # nothing (partition pruning makes the exclusion free).
+            index = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("WHASH")
+            )
+        else:
+            index = spark.createDataFrame([], "WHASH string")
+        spans = duplicated_spans_incremental(
+            batch, index, k=k, id_col=id_col, text_col=text_col
+        )
+        clean = remove_spans(batch, spans, id_col=id_col, text_col=text_col)
+        clean.write.mode("overwrite").parquet(f"{corpus_path}/batch_id={batch_id}")
+        substring_hash_index(batch, k=k, id_col=id_col, text_col=text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/batch_id={batch_id}")
+
+    return _apply

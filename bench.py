@@ -27,6 +27,8 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 HEADLINE = [
     # round-6 additions
     "docs_dup_substring_spans",
+    "docs_incremental_dup_spans",
+    "docs_scrubbed_text",
     "supply_hits_scores",
     "parts_link_prediction",
     "parts_bfs_reach",

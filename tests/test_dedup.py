@@ -737,3 +737,28 @@ def test_substring_hash_index_mergeable(spark):
     assert sorted(r["WHASH"] for r in merged.collect()) == sorted(
         r["WHASH"] for r in direct.collect()
     )
+
+
+def test_remove_spans_cuts_and_reassembles(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import (
+        duplicated_spans,
+        remove_spans,
+    )
+
+    boiler = "b1 b2 b3 b4"
+    rows = [
+        ("a", f"{boiler} keep1 keep2 keep3"),
+        ("b", f"keepx {boiler} keepy"),
+        ("c", "all unique words stay exactly as they are"),
+        ("d", boiler),  # pure duplicate: fully covered, dropped entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    spans = duplicated_spans(df, k=4)
+    got = {
+        r["doc_id"]: (r["CLEAN_TEXT"], r["N_TOKENS_KEPT"], r["N_TOKENS_DROPPED"])
+        for r in remove_spans(df, spans).collect()
+    }
+    assert got["a"] == ("keep1 keep2 keep3", 3, 4)
+    assert got["b"] == ("keepx keepy", 2, 4)
+    assert got["c"] == ("all unique words stay exactly as they are", 8, 0)
+    assert "d" not in got

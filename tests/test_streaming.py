@@ -877,3 +877,77 @@ def test_k_anonymity_compact_interleaved_lifecycle(spark, tmp_path):
     assert "batch_id=0" not in dirs or spark.read.parquet(
         str(tmp_path / "compacted" / "intake" / "batch_id=0")
     ).count() > 0
+
+
+def test_span_scrub_sink_matches_batch_operator(spark, tmp_path):
+    import time as _time
+
+    DOC_SCHEMA = "doc_id long, text string"
+    src = str(tmp_path / "scrub_in")
+    boiler = "b1 b2 b3 b4"
+    # batch 1 introduces the boilerplate (admitted verbatim -- nothing to
+    # match yet) plus a clean doc. ONE file per delivery +
+    # maxFilesPerTrigger=1 below forces two separate micro-batches (the
+    # stepwise semantics under test); the mtime gap keeps file order.
+    spark.createDataFrame(
+        [(1, f"{boiler} novel tail one"), (2, "totally unique words here")],
+        DOC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    # batch 2: doc 3 repeats the indexed boilerplate, doc 4 is clean
+    spark.createDataFrame(
+        [(3, f"fresh lead {boiler} fresh tail"), (4, "still clean content")],
+        DOC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    corpus, index = str(tmp_path / "scrub_corpus"), str(tmp_path / "wh_index")
+    q = S.span_scrub_sink(
+        stream, spark, corpus, index, checkpoint=str(tmp_path / "ckpt_scrub"), k=4
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["CLEAN_TEXT"] for r in spark.read.parquet(corpus).collect()
+    }
+    # batch-1 docs pass through untouched (index was empty, no intra-batch dup)
+    assert got[1] == f"{boiler} novel tail one"
+    assert got[2] == "totally unique words here"
+    # batch-2 doc 3 had the indexed boilerplate cut; doc 4 untouched
+    assert got[3] == "fresh lead fresh tail"
+    assert got[4] == "still clean content"
+    # the index holds batch hashes from BOTH batches (original text, so
+    # boilerplate stays matchable)
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import substring_hash_index
+
+    all_docs = spark.read.parquet(src)
+    expect_ix = {r["WHASH"] for r in substring_hash_index(all_docs, k=4).collect()}
+    assert {r["WHASH"] for r in spark.read.parquet(index).collect()} == expect_ix
+
+
+def test_span_scrub_replay_idempotent(spark, tmp_path):
+    """A foreachBatch retry with the same batch_id must not scrub against
+    the batch's own index delta (which would cut every doc to nothing)."""
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import _span_scrub_apply
+
+    corpus, index = str(tmp_path / "scrub_corpus"), str(tmp_path / "wh_index")
+    apply_fn = _span_scrub_apply(spark, corpus, index, k=4)
+    DOC_SCHEMA = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "b1 b2 b3 b4 novel tail one"), (2, "totally unique words here")],
+        DOC_SCHEMA,
+    )
+    apply_fn(b0, 0)
+    first = sorted(
+        (r["doc_id"], r["CLEAN_TEXT"]) for r in spark.read.parquet(corpus).collect()
+    )
+    apply_fn(b0, 0)  # simulated retry
+    second = sorted(
+        (r["doc_id"], r["CLEAN_TEXT"]) for r in spark.read.parquet(corpus).collect()
+    )
+    assert first == second
+    assert first[0][1] == "b1 b2 b3 b4 novel tail one"  # NOT scrubbed to nothing
