@@ -258,3 +258,64 @@ def benford_report(df: DataFrame, value_col: Column | str) -> DataFrame:
         )
         .orderBy("DIGIT")
     )
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Bidirectional referential-integrity audit -- the schema-wide
+    health report :func:`referential_violations` is the single-relation
+    primitive of. For each (name, child, fk, parent, pk) relation, one
+    row counting both directions of the relationship: orphan CHILD rows
+    (FK matches no parent; NULL FKs count as orphans, SQL join
+    semantics) and UNREFERENCED parent rows (no child points at them --
+    not a violation, but the fan-in profile capacity planning and
+    join-selectivity estimation need).
+
+    Shape per relation: the child collapses to its DISTINCT FK tally
+    first (one map-combined groupBy -- child row counts ride that
+    aggregate, so the full-outer join against the parent keys is
+    key-cardinality-sized on both inputs, never row-sized), then ONE
+    full-outer join + ONE global aggregate produce the row. The
+    relation list is a bounded plan-construction loop, not driver data.
+
+    Returns (RELATION, N_CHILD, N_DISTINCT_FK, N_ORPHAN_ROWS,
+    N_PARENT, N_PARENT_UNREFERENCED) with one row per relation.
+    N_DISTINCT_FK counts distinct NON-NULL FK values (COUNT semantics);
+    rows with a NULL FK still count in N_CHILD and N_ORPHAN_ROWS."""
+    if not relations:
+        raise ValueError("relations must be non-empty")
+    outs = []
+    for name, child, fk, parent, pk in relations:
+        ck = child.groupBy(F.col(fk).alias("__k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__cn")
+        )
+        pkeys = parent.select(F.col(pk).alias("__p")).dropDuplicates()
+        # plain equality (NOT null-safe): a NULL FK matches nothing and
+        # therefore counts as orphan, per the docstring contract
+        j = ck.join(pkeys, ck["__k"] == pkeys["__p"], "full_outer")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("RELATION"),
+                F.coalesce(F.sum("__cn"), F.lit(0)).cast("bigint").alias("N_CHILD"),
+                F.count("__k").cast("bigint").alias("N_DISTINCT_FK"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__p").isNull(), F.col("__cn"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("N_ORPHAN_ROWS"),
+                F.count("__p").cast("bigint").alias("N_PARENT"),
+                # a NULL-FK child group also lands with BOTH sides null
+                # (plain equality never matched it) -- require a real
+                # parent key so it is not miscounted as unreferenced
+                F.sum(
+                    F.when(F.col("__k").isNull() & F.col("__p").isNotNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("N_PARENT_UNREFERENCED"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

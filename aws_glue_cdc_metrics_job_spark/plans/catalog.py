@@ -75,6 +75,7 @@ GRADE_FIRST: list[str] = [
     "events_gini_best_split",
     "docs_incremental_dup_spans",
     "docs_scrubbed_text",
+    "dq_referential_audit",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

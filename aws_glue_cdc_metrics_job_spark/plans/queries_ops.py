@@ -1846,3 +1846,50 @@ def q_events_dow_seasonality(spark: SparkSession, sf_dir: str):
         .select("event_type", "DOW", "N_DAYS", "AVG_CENTS", "RATIO_PPM")
         .orderBy("event_type", "DOW")
     )
+
+
+# --- round-6b: schema-wide referential-integrity audit ----------------------
+
+_REF_RELATIONS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _ref_audit_oracle() -> str:
+    arms = []
+    for name, ct, fk, pt, pk in _REF_RELATIONS:
+        arms.append(f"""
+SELECT '{name}' AS RELATION,
+       CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS N_CHILD,
+       CAST(COUNT(k) AS BIGINT) AS N_DISTINCT_FK,
+       CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN cn END), 0) AS BIGINT) AS N_ORPHAN_ROWS,
+       CAST(COUNT(p) AS BIGINT) AS N_PARENT,
+       CAST(SUM(CASE WHEN k IS NULL AND p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS N_PARENT_UNREFERENCED
+FROM (SELECT {fk} AS k, CAST(COUNT(*) AS BIGINT) AS cn FROM {ct} GROUP BY 1) ck
+FULL OUTER JOIN (SELECT DISTINCT {pk} AS p FROM {pt}) pk ON ck.k = pk.p""")
+    return "\nUNION ALL\n".join(arms)
+
+
+@query("dq_referential_audit", oracle=_ref_audit_oracle())
+def q_dq_referential_audit(spark: SparkSession, sf_dir: str):
+    """Schema-wide bidirectional referential-integrity audit
+    (quality.referential_audit): one row per FK relation counting orphan
+    child rows AND unreferenced parents across six star-schema edges
+    (including the loosely-coupled events.user_id -> customer edge the
+    warehouse inherits from the app). Each relation collapses the child
+    to its distinct-FK tally BEFORE the full-outer join, so the join is
+    key-cardinality-sized on both inputs regardless of fact-table row
+    count -- the audit's cost profile at 100 TB is six map-combined
+    groupBys, not six fact scans' worth of shuffle."""
+    from ..operators.quality import referential_audit
+
+    rels = [
+        (name, read_table(spark, sf_dir, ct), fk, read_table(spark, sf_dir, pt), pk)
+        for name, ct, fk, pt, pk in _REF_RELATIONS
+    ]
+    return referential_audit(rels)

@@ -34,6 +34,7 @@ HEADLINE = [
     "parts_bfs_reach",
     "lineitem_zorder_buckets",
     "events_gini_best_split",
+    "dq_referential_audit",
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",

@@ -186,3 +186,38 @@ def test_table_profile_hostile_column_names(spark):
     dotted = rows["path\\dot.ted"]
     assert (dotted["N_ROWS"], dotted["N_NULL"], dotted["N_DISTINCT"]) == (3, 0, 2)
     assert (dotted["MIN_VALUE"], dotted["MAX_VALUE"]) == ("x", "y")
+
+
+# --- round-6b: bidirectional referential audit -------------------------------
+
+
+def test_referential_audit_counts_both_directions(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.quality import referential_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    rows = referential_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["RELATION"] == "c->p"
+    assert r["N_CHILD"] == 5
+    assert r["N_DISTINCT_FK"] == 3  # 10, 20, 99 (NULL is not a key value)
+    # 99 matches nothing; NULL never matches -> 2 orphan rows
+    assert r["N_ORPHAN_ROWS"] == 2
+    assert r["N_PARENT"] == 3
+    assert r["N_PARENT_UNREFERENCED"] == 1  # 30
+
+
+def test_referential_audit_multiple_relations_and_validation(spark):
+    import pytest as _pytest
+
+    from aws_glue_cdc_metrics_job_spark.operators.quality import referential_audit
+
+    a = spark.createDataFrame([(1, 1)], "id long, fk long")
+    p = spark.createDataFrame([(1,)], "pk long")
+    out = referential_audit([("r1", a, "fk", p, "pk"), ("r2", a, "fk", p, "pk")])
+    assert [r["RELATION"] for r in out.collect()] == ["r1", "r2"]
+    with _pytest.raises(ValueError):
+        referential_audit([])
