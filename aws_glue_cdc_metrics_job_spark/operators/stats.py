@@ -335,21 +335,22 @@ def gini_split_candidates(
             F.first("__hi").alias("__hi"),
         )
     )
-    # everything below runs on <= bins rows
+    # everything below runs on <= bins rows; grand totals ride an
+    # unbounded frame over the SAME tiny ordered window (a crossJoin with
+    # a separate aggregate would re-expand the whole scan subtree --
+    # measured as a second full input scan in the executed plan)
     w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = binned.select(
         "__bin",
         "__lo",
         "__hi",
         F.sum("__n").over(w).alias("NL"),
         F.sum("__p").over(w).alias("PL"),
-    ).crossJoin(
-        F.broadcast(
-            binned.agg(
-                F.sum("__n").cast("bigint").alias("NT"),
-                F.sum("__p").cast("bigint").alias("PT"),
-            )
-        )
+        F.sum("__n").over(wall).cast("bigint").alias("NT"),
+        F.sum("__p").over(wall).cast("bigint").alias("PT"),
     )
 
     def gini(p, n):

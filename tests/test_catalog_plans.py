@@ -78,6 +78,10 @@ BOUNDED_BROADCAST_OK = {
     "docs_df_table": (1, "1-row corpus doc-count frame (text.df_table)"),
     # Q11 shape: per-part values cross the ONE-ROW global total/count frame
     "part_value_concentration": (1, "1-row global-total frame (queries_warehouse)"),
+    # the split scorer crosses every row with the ONE-ROW min/max bounds
+    "events_gini_best_split": (1, "1-row bounds frame (stats.gini_split_candidates)"),
+    # the Morton key crosses every row with the ONE-ROW min/max bounds
+    "lineitem_zorder_buckets": (1, "1-row bounds frame (functions/zorder.add_zorder_key)"),
     # Q15 shape: per-supplier revenue crosses the ONE-ROW max-revenue frame
     "top_supplier_revenue": (1, "1-row max-of-aggregate frame (queries_warehouse)"),
     # Q22 shape: customers cross the ONE-ROW global average-balance frame
@@ -98,3 +102,16 @@ def test_no_all_pairs_join_shapes(spark, sf_dir, name):
         + (f" ({why})" if why else "")
         + f":\n{plan[:3000]}"
     )
+
+
+def test_grade_first_names_all_exist():
+    """ordered_queries() silently SKIPS GRADE_FIRST names missing from the
+    catalog -- a typo in the rotation list would silently demote a query
+    out of the driver's 50-slot grading window. Pin the invariant."""
+    from aws_glue_cdc_metrics_job_spark.plans import catalog
+
+    catalog.load_all()
+    missing = [n for n in catalog.GRADE_FIRST if n not in catalog.QUERIES]
+    assert missing == [], f"GRADE_FIRST names not in the catalog: {missing}"
+    dupes = [n for n in set(catalog.GRADE_FIRST) if catalog.GRADE_FIRST.count(n) > 1]
+    assert dupes == [], f"GRADE_FIRST repeats (wastes window slots): {dupes}"
