@@ -76,6 +76,7 @@ GRADE_FIRST: list[str] = [
     "docs_incremental_dup_spans",
     "docs_scrubbed_text",
     "dq_referential_audit",
+    "parts_copurchase_pagerank_weighted",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

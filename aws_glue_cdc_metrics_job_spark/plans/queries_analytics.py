@@ -1771,3 +1771,84 @@ def q_events_gini_best_split(spark: SparkSession, sf_dir: str):
     return gini_split_candidates(
         ev, "value", F.col("event_type") == "purchase", bins=64, decimals=2
     )
+
+
+def _wpr_oracle(iterations: int = 3) -> str:
+    """Unrolled replay of the WEIGHTED universe recurrence (operators/
+    graph.pagerank_weighted): contributions proportional to co-purchase
+    counts, dangling term carried verbatim (zero on this symmetric
+    graph, but replayed so the recurrence matches term-for-term)."""
+    cte = [
+        "bi AS (SELECT DISTINCT l_orderkey AS BKT, l_partkey AS I FROM lineitem "
+        "WHERE SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR) || '|tri1'), 1, 8) < '40000000')",
+        "e AS (SELECT a.I AS SRC, b.I AS DST, CAST(COUNT(*) AS BIGINT) AS W "
+        "FROM bi a JOIN bi b ON a.BKT = b.BKT AND a.I <> b.I GROUP BY 1, 2)",
+        "st AS (SELECT SRC, CAST(SUM(W) AS BIGINT) AS S FROM e GROUP BY 1)",
+        "nodes AS (SELECT SRC AS NODE FROM e UNION SELECT DST FROM e)",
+        "nd AS (SELECT n.NODE, CAST(COALESCE(st.S, 0) AS BIGINT) AS S "
+        "FROM nodes n LEFT JOIN st ON n.NODE = st.SRC)",
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM nd)",
+        f"r0 AS (SELECT NODE, CAST({_PR_SCALE} // c.N AS BIGINT) AS R FROM nd, c)",
+    ]
+    for t in range(iterations):
+        cte.append(
+            f"s{t} AS (SELECT e.DST AS NODE, "
+            f"CAST(SUM(CAST((85 * r.R * e.W) // (100 * st.S) AS BIGINT)) AS BIGINT) AS C "
+            f"FROM e JOIN r{t} r ON e.SRC = r.NODE JOIN st ON e.SRC = st.SRC "
+            f"GROUP BY e.DST)"
+        )
+        cte.append(
+            f"d{t} AS (SELECT CAST(COALESCE(SUM(r.R), 0) AS BIGINT) AS DM "
+            f"FROM r{t} r JOIN nd ON r.NODE = nd.NODE WHERE nd.S = 0)"
+        )
+        cte.append(
+            f"r{t + 1} AS (SELECT nd.NODE, "
+            f"CAST((SELECT CAST((15 * {_PR_SCALE}) // (100 * N) AS BIGINT) FROM c) "
+            f"+ (SELECT CAST((85 * DM) // (100 * (SELECT N FROM c)) AS BIGINT) FROM d{t}) "
+            f"+ COALESCE(s.C, 0) AS BIGINT) AS R "
+            f"FROM nd LEFT JOIN s{t} s ON nd.NODE = s.NODE)"
+        )
+    last = f"r{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT {last}.NODE AS PART_ID, {last}.R AS RANK_PICOS, nd.S AS OUT_STRENGTH
+FROM {last} JOIN nd ON {last}.NODE = nd.NODE
+ORDER BY RANK_PICOS DESC, PART_ID
+LIMIT 50"""
+    )
+
+
+@query("parts_copurchase_pagerank_weighted", oracle=_wpr_oracle(3))
+def q_parts_copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str):
+    """WEIGHTED PageRank (operators/graph.pagerank_weighted) on the
+    co-purchase graph where each edge carries its co-occurrence COUNT:
+    a part splits its rank across neighbors in proportion to how often
+    they are actually bought together, not uniformly -- the
+    recommendation-strength form of the walk. Same integer picos lattice
+    and per-hop cost as the unweighted operator (the weight is a column,
+    not extra rows); the oracle unrolls the weighted universe recurrence
+    term-for-term, dangling term included."""
+    from ..operators.graph import pagerank_weighted
+    from ..operators.sampling import hash_sample
+
+    li = hash_sample(
+        read_table(spark, sf_dir, "lineitem"), ["l_orderkey"], 0.25, seed="tri1"
+    )
+    bi = li.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("__i")
+    ).distinct()
+    edges = (
+        bi.alias("a")
+        .join(bi.alias("b"), "__b")
+        .where(F.col("a.__i") != F.col("b.__i"))
+        .groupBy(F.col("a.__i").alias("SRC"), F.col("b.__i").alias("DST"))
+        .agg(F.count(F.lit(1)).cast("long").alias("WEIGHT"))
+    )
+    pr = pagerank_weighted(edges, iterations=3)
+    return (
+        pr.select(F.col("NODE").alias("PART_ID"), "RANK_PICOS", "OUT_STRENGTH")
+        .orderBy(F.col("RANK_PICOS").desc(), F.col("PART_ID"))
+        .limit(50)
+    )

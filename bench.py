@@ -35,6 +35,7 @@ HEADLINE = [
     "lineitem_zorder_buckets",
     "events_gini_best_split",
     "dq_referential_audit",
+    "parts_copurchase_pagerank_weighted",
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",

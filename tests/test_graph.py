@@ -517,3 +517,55 @@ def test_bfs_hops_early_exit_and_validation(spark):
         bfs_hops(df, sources=[], max_hops=1)
     with pytest.raises(ValueError):
         bfs_hops(df, sources=[1], max_hops=-1)
+
+
+# --- round-6b: weighted PageRank ---------------------------------------------
+
+
+def test_weighted_pagerank_reduces_to_unweighted(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import pagerank, pagerank_weighted
+
+    df = spark.createDataFrame(EDGES, "SRC long, DST long")
+    w1 = df.withColumn("WEIGHT", F.lit(1))
+    a = {
+        r["NODE"]: r["RANK_PICOS"]
+        for r in pagerank_weighted(w1, iterations=3, checkpoint=False).collect()
+    }
+    b = {
+        r["NODE"]: r["RANK_PICOS"]
+        for r in pagerank(df, iterations=3, checkpoint=False).collect()
+    }
+    assert a == b
+
+
+def test_weighted_pagerank_matches_replay_and_drops_bad_weights(spark):
+    from collections import defaultdict
+
+    from aws_glue_cdc_metrics_job_spark.operators.graph import pagerank_weighted
+
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5), (4, 1, 2)]
+    df = spark.createDataFrame(
+        edges + [(9, 1, 0), (9, 2, -5)],  # non-positive weights: dropped
+        "SRC long, DST long, WEIGHT long",
+    )
+    got = {
+        r["NODE"]: (r["RANK_PICOS"], r["OUT_STRENGTH"])
+        for r in pagerank_weighted(df, iterations=3, checkpoint=False).collect()
+    }
+    assert 9 not in got  # all its edges were invalid
+
+    strength = defaultdict(int)
+    for s, _, w in edges:
+        strength[s] += w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    tele = 15 * 10**12 // (100 * n)
+    r = {v: 10**12 // n for v in nodes}
+    for _ in range(3):
+        nxt = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            nxt[d] += 85 * r[s] * w // (100 * strength[s])
+        dm = sum(r[v] for v in nodes if strength[v] == 0)
+        r = {v: nxt[v] + tele + 85 * dm // (100 * n) for v in nodes}
+    assert {v: got[v][0] for v in nodes} == r
+    assert got[1][1] == 4 and got[4][1] == 2  # strengths
