@@ -1360,9 +1360,10 @@ def duplicated_spans_incremental(
         .where(F.col("__n") >= 2)
         .select("__wh")
     )
-    hit = dup_in_batch.unionByName(
-        index.select(F.col("WHASH").alias("__wh"))
-    ).distinct()
+    # NO distinct on the union: a left-semi probe tolerates duplicate keys,
+    # and de-duplicating would shuffle the ENTIRE stored index every
+    # delivery -- the exact cost the incremental path exists to avoid
+    hit = dup_in_batch.unionByName(index.select(F.col("WHASH").alias("__wh")))
     flagged = wins.join(hit, "__wh", "left_semi").select(F.col(id_col), "__pos")
     return _merge_spans(flagged, k, id_col)
 
