@@ -79,3 +79,60 @@ def rolling_zscore(
         z.alias("ZSCORE"),
         F.when(F.abs(z) > z_threshold, 1).otherwise(0).cast("int").alias("IS_ANOMALY"),
     )
+
+
+def independence_matrix(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Deviation-from-independence matrix over two categorical columns:
+    for EVERY (a, b) cell of the full marginal grid -- including cells
+    with zero observations -- the observed joint proportion minus the
+    product of the marginals, in exact ppm. The drift/interaction
+    monitor behind a chi-square test, kept on the integer lattice so it
+    replays verbatim in any engine: a cell's |DEV_PPM| is its
+    contribution direction and magnitude, and a drift alarm is a
+    threshold on it.
+
+    Scale-safe at ANY row count (the gini discipline): marginal
+    proportions are ppm (<= 1e6), the expected value is their ppm
+    product div 1e6, so no intermediate exceeds ~1e12 regardless of n.
+    The grand total rides an unbounded window over the BOUNDED marginal
+    frame (distinct-value-sized), not a re-expanding cross join; the
+    grid itself is a cross join of the TWO MARGINAL FRAMES -- bounded at
+    |distinct a| x |distinct b| by construction, the documented
+    exception to the no-cartesian rule.
+
+    Returns (A, B, N_OBSERVED, EXPECTED_PPM, DEV_PPM)."""
+    base = df.select(F.col(col_a).alias("A"), F.col(col_b).alias("B"))
+    o = base.groupBy("A", "B").agg(F.count(F.lit(1)).cast("bigint").alias("N_AB"))
+    wall = Window.orderBy("A").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ma = (
+        base.groupBy("A")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("N_A"))
+        .withColumn("__N", F.sum("N_A").over(wall).cast("bigint"))
+    )
+    mb = base.groupBy("B").agg(F.count(F.lit(1)).cast("bigint").alias("N_B"))
+    grid = ma.crossJoin(mb)
+    return (
+        grid.join(o, ["A", "B"], "left")
+        .select(
+            "A",
+            "B",
+            F.coalesce(F.col("N_AB"), F.lit(0)).cast("bigint").alias("N_OBSERVED"),
+            F.expr(
+                "(((N_A * 1000000) div __N) * ((N_B * 1000000) div __N)) div 1000000"
+            )
+            .cast("bigint")
+            .alias("EXPECTED_PPM"),
+            (
+                F.expr("(coalesce(N_AB, 0) * 1000000) div __N")
+                - F.expr(
+                    "(((N_A * 1000000) div __N) * ((N_B * 1000000) div __N)) div 1000000"
+                )
+            )
+            .cast("bigint")
+            .alias("DEV_PPM"),
+        )
+    )

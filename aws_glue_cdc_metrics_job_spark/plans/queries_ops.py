@@ -1893,3 +1893,51 @@ def q_dq_referential_audit(spark: SparkSession, sf_dir: str):
         for name, ct, fk, pt, pk in _REF_RELATIONS
     ]
     return referential_audit(rels)
+
+
+@query(
+    "events_type_dow_independence",
+    oracle="""
+WITH base AS (
+  SELECT event_type AS a, CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS b
+  FROM events
+),
+o AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM base GROUP BY 1, 2),
+ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_a FROM base GROUP BY 1),
+mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM base GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+SELECT ma.a AS EVENT_TYPE, mb.b AS DOW,
+       CAST(COALESCE(o.n_ab, 0) AS BIGINT) AS N_OBSERVED,
+       CAST((((ma.n_a * 1000000) // t.n) * ((mb.n_b * 1000000) // t.n)) // 1000000
+            AS BIGINT) AS EXPECTED_PPM,
+       CAST((COALESCE(o.n_ab, 0) * 1000000) // t.n
+            - (((ma.n_a * 1000000) // t.n) * ((mb.n_b * 1000000) // t.n)) // 1000000
+            AS BIGINT) AS DEV_PPM
+FROM ma CROSS JOIN mb CROSS JOIN t
+LEFT JOIN o ON o.a = ma.a AND o.b = mb.b
+ORDER BY 1, 2
+""",
+)
+def q_events_type_dow_independence(spark: SparkSession, sf_dir: str):
+    """Deviation-from-independence matrix (operators/monitoring.
+    independence_matrix) over event type x ISO weekday: every cell of
+    the full 5x7 grid (zero-observation cells included) with observed
+    count, expected ppm under independence (product of marginal ppms),
+    and the signed ppm deviation -- the chi-square-style interaction /
+    drift monitor, exact on the ppm lattice at any row count. The grid
+    is a cross join of the two BOUNDED marginal frames; the grand total
+    rides an unbounded window over the marginal frame, never a
+    re-expanding aggregate cross join."""
+    from ..operators.monitoring import independence_matrix
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.weekday(F.col("ts").cast("date")).cast("bigint").alias("dow")
+    )
+    out = independence_matrix(ev, "event_type", "dow")
+    return out.select(
+        F.col("A").alias("EVENT_TYPE"),
+        F.col("B").alias("DOW"),
+        "N_OBSERVED",
+        "EXPECTED_PPM",
+        "DEV_PPM",
+    ).orderBy("EVENT_TYPE", "DOW")
