@@ -36,6 +36,7 @@ HEADLINE = [
     "events_gini_best_split",
     "dq_referential_audit",
     "parts_copurchase_pagerank_weighted",
+    "events_type_dow_independence",
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",

@@ -82,6 +82,9 @@ BOUNDED_BROADCAST_OK = {
     "events_gini_best_split": (1, "1-row bounds frame (stats.gini_split_candidates)"),
     # the Morton key crosses every row with the ONE-ROW min/max bounds
     "lineitem_zorder_buckets": (1, "1-row bounds frame (functions/zorder.add_zorder_key)"),
+    # the full deviation grid is a cross join of the TWO MARGINAL frames,
+    # each bounded at its column's distinct-value count by construction
+    "events_type_dow_independence": (1, "bounded marginal grid (monitoring.independence_matrix)"),
     # Q15 shape: per-supplier revenue crosses the ONE-ROW max-revenue frame
     "top_supplier_revenue": (1, "1-row max-of-aggregate frame (queries_warehouse)"),
     # Q22 shape: customers cross the ONE-ROW global average-balance frame

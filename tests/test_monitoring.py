@@ -60,3 +60,39 @@ def test_min_periods(series):
 def test_single_window_operator(series):
     plan = _score(series)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window [") == 1, plan
+
+
+# --- round-6b: deviation-from-independence matrix ----------------------------
+
+
+def test_independence_matrix_hand_checked(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.monitoring import independence_matrix
+
+    # perfectly independent 2x2: every deviation is ~0 (ppm flooring only)
+    rows = [("x", 1)] * 4 + [("x", 2)] * 4 + [("y", 1)] * 4 + [("y", 2)] * 4
+    df = spark.createDataFrame(rows, "a string, b long")
+    out = independence_matrix(df, "a", "b").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["N_OBSERVED"] == 4
+        assert abs(r["DEV_PPM"]) <= 2  # 250000*250000 flooring residue
+        assert abs(r["EXPECTED_PPM"] - 250_000) <= 2
+
+
+def test_independence_matrix_zero_cells_and_association(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.monitoring import independence_matrix
+
+    # perfectly ASSOCIATED: x only with 1, y only with 2 -> the grid still
+    # carries the zero cells, with strongly negative deviations
+    rows = [("x", 1)] * 5 + [("y", 2)] * 5
+    df = spark.createDataFrame(rows, "a string, b long")
+    got = {
+        (r["A"], r["B"]): (r["N_OBSERVED"], r["DEV_PPM"])
+        for r in independence_matrix(df, "a", "b").collect()
+    }
+    assert len(got) == 4
+    assert got[("x", 1)][0] == 5 and got[("x", 2)][0] == 0
+    # observed 500000 ppm vs expected 250000 -> +250000; zero cells -250000
+    assert got[("x", 1)][1] == 250_000
+    assert got[("x", 2)][1] == -250_000
+    assert got[("y", 1)][1] == -250_000
