@@ -1427,3 +1427,47 @@ def remove_spans(
             F.coalesce(F.col("N_TOKENS_DROPPED"), F.lit(0)).cast("bigint").alias("N_TOKENS_DROPPED"),
         )
     )
+
+
+def substring_novelty(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the ppm share of
+    a document's k-token windows NOT present in ``index`` (a
+    :func:`substring_hash_index` of the reference). The
+    freshness/memorization-risk score: 1e6 = entirely novel text, 0 =
+    every window already exists verbatim in the reference -- the scoring
+    complement of :func:`duplicated_spans_incremental` (which reports
+    WHERE the overlap is, this reports HOW MUCH per doc).
+
+    Same probe shape and cost as the incremental span report: tokenize
+    the batch once, ONE hash-keyed left-semi probe against the stored
+    index (never re-reading the reference), then a doc-keyed count
+    rollup. Documents with fewer than k tokens have no windows and are
+    absent. Returns (id_col, N_WINDOWS, N_SEEN, NOVELTY_PPM)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wins = _scoped_persist(_window_hashes(batch, k, id_col, text_col))
+    seen = wins.join(
+        index.select(F.col("WHASH").alias("__wh")), "__wh", "left_semi"
+    ).groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("N_SEEN"))
+    tot = wins.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_WINDOWS")
+    )
+    return (
+        tot.join(seen, id_col, "left")
+        .select(
+            F.col(id_col),
+            "N_WINDOWS",
+            F.coalesce(F.col("N_SEEN"), F.lit(0)).cast("bigint").alias("N_SEEN"),
+            F.expr(
+                "((N_WINDOWS - coalesce(N_SEEN, 0)) * 1000000) div N_WINDOWS"
+            )
+            .cast("bigint")
+            .alias("NOVELTY_PPM"),
+        )
+    )

@@ -78,6 +78,7 @@ GRADE_FIRST: list[str] = [
     "dq_referential_audit",
     "parts_copurchase_pagerank_weighted",
     "events_type_dow_independence",
+    "docs_substring_novelty",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

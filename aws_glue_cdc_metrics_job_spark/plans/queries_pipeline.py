@@ -3146,3 +3146,41 @@ def q_docs_scrubbed_text(spark: SparkSession, sf_dir: str):
         "N_TOKENS_KEPT",
         "N_TOKENS_DROPPED",
     )
+
+
+@query(
+    "docs_substring_novelty",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
+w AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS wh
+  FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
+),
+ix AS (SELECT DISTINCT wh FROM w WHERE doc_id % 3 = 0),
+bw AS (SELECT doc_id, wh FROM w WHERE doc_id % 3 <> 0),
+agg AS (
+  SELECT bw.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS N_WINDOWS,
+         CAST(SUM(CASE WHEN ix.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS N_SEEN
+  FROM bw LEFT JOIN ix ON bw.wh = ix.wh
+  GROUP BY 1
+)
+SELECT doc_id AS DOC_ID, N_WINDOWS, N_SEEN,
+       CAST(((N_WINDOWS - N_SEEN) * 1000000) // N_WINDOWS AS BIGINT) AS NOVELTY_PPM
+FROM agg
+""",
+)
+def q_docs_substring_novelty(spark: SparkSession, sf_dir: str):
+    """Per-document novelty score (dedup.substring_novelty): the ppm
+    share of each delivery document's 8-token windows absent from the
+    reference corpus's window-hash index (docs with doc_id%3==0 play the
+    reference) -- the freshness/memorization-risk complement of the
+    incremental span report, with the identical probe cost: batch
+    tokenization + one hash-keyed join, reference never re-read."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ix = dedup.substring_hash_index(docs.filter(F.col("doc_id") % 3 == 0), k=8)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.substring_novelty(batch, ix, k=8)
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"), "N_WINDOWS", "N_SEEN", "NOVELTY_PPM"
+    )

@@ -37,6 +37,7 @@ HEADLINE = [
     "dq_referential_audit",
     "parts_copurchase_pagerank_weighted",
     "events_type_dow_independence",
+    "docs_substring_novelty",
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",

@@ -762,3 +762,32 @@ def test_remove_spans_cuts_and_reassembles(spark):
     assert got["b"] == ("keepx keepy", 2, 4)
     assert got["c"] == ("all unique words stay exactly as they are", 8, 0)
     assert "d" not in got
+
+
+def test_substring_novelty_scores(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import (
+        substring_hash_index,
+        substring_novelty,
+    )
+
+    ref = spark.createDataFrame(
+        [("r", "a b c d e f")], "doc_id string, text string"
+    )
+    ix = substring_hash_index(ref, k=3)
+    batch = spark.createDataFrame(
+        [
+            ("x", "a b c d e f"),          # fully seen -> novelty 0
+            ("y", "p q r s t"),            # fully novel -> 1e6
+            ("z", "a b c d z2 z3 z4"),     # windows: abc,bcd seen; cdz2..z4 novel
+            ("w", "a b"),                  # < k tokens: absent
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["N_WINDOWS"], r["N_SEEN"], r["NOVELTY_PPM"])
+        for r in substring_novelty(batch, ix, k=3).collect()
+    }
+    assert got["x"] == (4, 4, 0)
+    assert got["y"] == (3, 0, 1_000_000)
+    assert got["z"] == (5, 2, 600_000)
+    assert "w" not in got
