@@ -59,7 +59,10 @@ GRADE_FIRST: list[str] = [
     "docs_head_vocab_drift",
     "parts_affinity_pagerank",
     "events_dow_seasonality",
-    # -- NEW in round 6 (inserted here as they land)
+    # -- NEW in round 6 (first the early-round items, then the 12
+    # round-6b additions: the substring-dedup family, graph extensions,
+    # layout/supervised/audit/drift operators -- every one oracle-equipped
+    # and locally green at sf0.001 AND sf0.01 under --vanilla)
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "emb_cosine_topk_fast",
