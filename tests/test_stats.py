@@ -239,3 +239,57 @@ def test_gini_split_null_feature_rows_excluded(spark):
     df = spark.createDataFrame(rows, "value double, y boolean")
     out = gini_split_candidates(df, "value", F.col("y"), bins=4).collect()
     assert all(r["N_LEFT"] + r["N_RIGHT"] == 4 for r in out)
+
+
+@pytest.mark.slow
+def test_gini_split_matches_brute_force_replay(spark):
+    """Pure-Python replay of the full lattice pipeline (centi rounding,
+    equi-width binning, prefix sums, ppm gain) on a deterministic
+    pseudo-random sample -- every row of the candidate table must match."""
+    rows = [
+        (round(((i * 37) % 100) / 7.0, 3), (i * 13) % 3 == 0) for i in range(500)
+    ]
+    bins = 16
+    df = spark.createDataFrame(rows, "value double, y boolean")
+    from aws_glue_cdc_metrics_job_spark.operators.stats import gini_split_candidates
+
+    got = {
+        r["SPLIT_BIN"]: (
+            r["THRESHOLD_LATTICE"], r["N_LEFT"], r["POS_LEFT"],
+            r["N_RIGHT"], r["POS_RIGHT"], r["GAIN_PPM"],
+        )
+        for r in gini_split_candidates(df, "value", F.col("y"), bins=bins).collect()
+    }
+
+    import math
+
+    vcs = [(math.floor(v * 100 + 0.5), y) for v, y in rows]
+    lo, hi = min(v for v, _ in vcs), max(v for v, _ in vcs)
+    cells = {}
+    for v, y in vcs:
+        b = (v - lo) * bins // (hi - lo + 1)
+        n, p = cells.get(b, (0, 0))
+        cells[b] = (n + 1, p + (1 if y else 0))
+    nt = sum(n for n, _ in cells.values())
+    pt = sum(p for _, p in cells.values())
+
+    def g(p, n):
+        pr = p * 1_000_000 // n
+        return 2 * pr * (1_000_000 - pr) // 1_000_000
+
+    want = {}
+    nl = pl = 0
+    for b in sorted(cells):
+        n, p = cells[b]
+        nl, pl = nl + n, pl + p
+        if 0 < nl < nt:
+            gain = (
+                g(pt, nt)
+                - (nl * 1_000_000 // nt) * g(pl, nl) // 1_000_000
+                - ((nt - nl) * 1_000_000 // nt) * g(pt - pl, nt - nl) // 1_000_000
+            )
+            want[b] = (
+                lo + (b + 1) * (hi - lo + 1) // bins - 1,
+                nl, pl, nt - nl, pt - pl, gain,
+            )
+    assert got == want
