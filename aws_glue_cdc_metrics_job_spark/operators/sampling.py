@@ -605,3 +605,43 @@ def materialize_epochs(
         )
         .drop("__copies", "EPOCHS_MILLI")
     )
+
+
+def rendezvous_assign(
+    df: DataFrame, key_col: str, shards: list[str]
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar, 1998): each key goes to the shard with the highest
+    md5(key|shard) score. The stable-sharding primitive a 100 TB corpus
+    needs for reshard-tolerant placement: when a shard is ADDED, a key
+    either keeps its shard or moves to the NEW one (never between old
+    shards), so exactly ~1/(N+1) of keys move -- against consistent
+    hashing's ring this needs no virtual nodes to balance, and against
+    plain ``hash(key) % N`` (which moves ~all keys on any N change) it is
+    the difference between a reshard and a full rewrite. Pinned as an
+    exact invariant in tests, not a probabilistic claim.
+
+    Shape: a pure scan-stage expression -- the |shards|-element score
+    array and its max are computed per row with ZERO shuffle and no
+    driver state; md5 (not xxhash) so every assignment replays verbatim
+    in any engine. Ties (2^-128 per pair) break toward the
+    lexicographically larger shard name in both engines. ``shards`` is a
+    bounded literal list by construction (it is a cluster's shard
+    catalog, not data). Returns df + (SHARD, SHARD_SCORE)."""
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("shards must be distinct")
+    arr = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat_ws("|", F.col(key_col).cast("string"), F.lit(s))
+                ).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in shards
+        ]
+    )
+    best = F.array_max(arr)
+    return df.withColumn("SHARD", best["s"]).withColumn("SHARD_SCORE", best["h"])

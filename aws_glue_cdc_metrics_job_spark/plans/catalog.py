@@ -82,6 +82,7 @@ GRADE_FIRST: list[str] = [
     "parts_copurchase_pagerank_weighted",
     "events_type_dow_independence",
     "docs_substring_novelty",
+    "docs_rendezvous_shards",
     # -- insurance re-grades: plan/oracle/input path touched in round 6
     "docs_selection_pipeline",
     "docs_bigram_ppx_scored",

@@ -3184,3 +3184,38 @@ def q_docs_substring_novelty(spark: SparkSession, sf_dir: str):
     return out.select(
         F.col("doc_id").alias("DOC_ID"), "N_WINDOWS", "N_SEEN", "NOVELTY_PPM"
     )
+
+
+_RDV_SHARDS = [f"shard-{i}" for i in range(8)]
+
+
+@query(
+    "docs_rendezvous_shards",
+    oracle=f"""
+WITH s AS (SELECT UNNEST(ARRAY[{", ".join(repr(s) for s in _RDV_SHARDS)}]) AS sh),
+sc AS (
+  SELECT d.doc_id, s.sh,
+         md5(CAST(d.doc_id AS VARCHAR) || '|' || s.sh) AS h
+  FROM documents d CROSS JOIN s
+),
+r AS (
+  SELECT doc_id, sh, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rn
+  FROM sc
+)
+SELECT doc_id AS DOC_ID, sh AS SHARD, h AS SHARD_SCORE FROM r WHERE rn = 1
+""",
+)
+def q_docs_rendezvous_shards(spark: SparkSession, sf_dir: str):
+    """Rendezvous shard assignment (sampling.rendezvous_assign) of every
+    document to one of 8 named shards -- highest md5(key|shard) wins, a
+    pure scan-stage expression with zero shuffle, replayed exactly by the
+    oracle's unnest + row_number. The reshard-stability invariant (adding
+    a shard moves keys ONLY to the new shard, ~1/(N+1) of them) is
+    pinned exactly in tests/test_sampling.py."""
+    from ..operators.sampling import rendezvous_assign
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_assign(docs, "doc_id", _RDV_SHARDS).select(
+        F.col("doc_id").alias("DOC_ID"), "SHARD", "SHARD_SCORE"
+    )

@@ -38,6 +38,7 @@ HEADLINE = [
     "parts_copurchase_pagerank_weighted",
     "events_type_dow_independence",
     "docs_substring_novelty",
+    "docs_rendezvous_shards",
     "supply_pagerank_directed",
     "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_communities",

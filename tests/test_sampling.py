@@ -497,3 +497,37 @@ def test_hash_sample_cross_table_referential_completeness(spark, sf_dir):
     joined = samp_counts.join(full_counts, "l_orderkey")
     assert joined.filter(F.col("count") != F.col("n_full")).count() == 0
     assert 0 < li.count() < li_full.count()
+
+
+# --- round-6b: rendezvous shard assignment -----------------------------------
+
+
+def test_rendezvous_reshard_stability_exact(spark):
+    """The rendezvous invariant, pinned exactly: adding a shard moves a
+    key ONLY to the new shard -- no key ever migrates between old
+    shards -- and balance is roughly uniform."""
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    old = {r["k"]: r["SHARD"] for r in rendezvous_assign(df, "k", ["a", "b", "c"]).collect()}
+    new = {r["k"]: r["SHARD"] for r in rendezvous_assign(df, "k", ["a", "b", "c", "d"]).collect()}
+    moved = {k for k in old if old[k] != new[k]}
+    assert all(new[k] == "d" for k in moved)  # moves go ONLY to the new shard
+    # expected ~100 of 400 move; generous deterministic bounds
+    assert 60 <= len(moved) <= 140
+    from collections import Counter
+
+    c = Counter(old.values())
+    assert set(c) == {"a", "b", "c"} and min(c.values()) > 70
+
+
+def test_rendezvous_validation(spark):
+    import pytest as _pytest
+
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import rendezvous_assign
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        rendezvous_assign(df, "k", [])
+    with _pytest.raises(ValueError):
+        rendezvous_assign(df, "k", ["a", "a"])
