@@ -26,11 +26,21 @@ from pyspark.sql import functions as F
 def _norm(col: str, lo: str, hi: str, bits: int, div: str = "DIV") -> str:
     """SQL for min-max normalization of ``col`` onto [0, 2^bits). ``div``
     is the engine's integer-division operator: Spark spells it DIV,
-    DuckDB //."""
+    DuckDB //.
+
+    Out-of-bounds values are CLAMPED to the lattice ends (ADVICE r6):
+    without the clamp, values above ``hi`` alias modulo 2^bits through the
+    interleave (norm 256 at bits=8 sorts like 0), and values below ``lo``
+    hit the one place Spark's DIV (truncate toward zero) and DuckDB's //
+    (floor) disagree. Clamping restores both properties: every negative
+    quotient maps to 0 under either division convention, and positive
+    quotients are engine-identical -- so the replay holds for ALL inputs,
+    and out-of-range rows genuinely sort to an end."""
     top = (1 << bits) - 1
+    raw = f"((CAST({col} AS BIGINT) - ({lo})) * {top}) {div} (({hi}) - ({lo}))"
     return (
         f"(CASE WHEN ({hi}) > ({lo}) "
-        f"THEN ((CAST({col} AS BIGINT) - ({lo})) * {top}) {div} (({hi}) - ({lo})) "
+        f"THEN LEAST(GREATEST({raw}, 0), {top}) "
         f"ELSE 0 END)"
     )
 
@@ -74,10 +84,9 @@ def zorder_sql(
 def zorder_key(cols: list[str], bounds: list[tuple[int, int]], bits: int = 8) -> Column:
     """Z-order key Column over integer columns with LITERAL bounds (use
     :func:`add_zorder_key` to derive bounds from the data without a
-    driver collect). Values outside the bounds clamp implicitly via the
-    normalization's floor division only when above; callers own clamping
-    below -- for layout purposes out-of-range rows merely sort to an end.
-    """
+    driver collect). Values outside the bounds clamp to the lattice ends
+    inside :func:`_norm`, so out-of-range rows sort to an end of that
+    dimension and the key replays identically in Spark and DuckDB."""
     return F.expr(zorder_sql(cols, bounds, bits))
 
 

@@ -582,6 +582,11 @@ def hits(
         return edges.sparkSession.createDataFrame(
             [], "NODE long, AUTH_NANOS long, HUB_NANOS long, IN_DEGREE long, OUT_DEGREE long"
         )
+    if scale <= n:
+        # the docstring constraint, enforced (ADVICE r6): scale <= n floors
+        # the uniform init to 0, making the first half-step total 0 and
+        # silently NULLing every score through `div __T`
+        raise ValueError(f"scale ({scale}) must exceed the node count ({n})")
     hubs = nodes.select("NODE", F.lit(scale // n).cast("long").alias("H"))
     auth = nodes.select("NODE", F.lit(scale // n).cast("long").alias("A"))
     for _ in range(iterations):

@@ -362,7 +362,13 @@ def gini_split_candidates(
         cum.where((F.col("NL") > 0) & (F.col("NL") < F.col("NT")))
         .select(
             F.col("__bin").cast("bigint").alias("SPLIT_BIN"),
-            F.expr(f"__lo + (((__bin + 1) * (__hi - __lo + 1)) div {bins}) - 1")
+            # inclusive upper bound of bin b: the largest lattice x with
+            # (x - lo) * bins div R == b is lo + ceil((b+1)*R/bins) - 1;
+            # ceil(a/b)-1 == (a-1) div b on positive ints. (A plain
+            # floor((b+1)*R/bins)-1 under-reports whenever bins does not
+            # divide (b+1)*R, excluding the top lattice value the counts
+            # actually include.)
+            F.expr(f"__lo + ((((__bin + 1) * (__hi - __lo + 1)) - 1) div {bins})")
             .cast("bigint")
             .alias("THRESHOLD_LATTICE"),
             F.col("NL").cast("bigint").alias("N_LEFT"),

@@ -1722,7 +1722,7 @@ def q_parts_bfs_reach(spark: SparkSession, sf_dir: str):
 WITH base AS (
   SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ),
 b AS (SELECT MIN(vc) AS lo, MAX(vc) AS hi FROM base),
 binned AS (
@@ -1744,7 +1744,7 @@ cum AS (
 ),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(p) AS BIGINT) AS pt FROM g)
 SELECT CAST(bin AS BIGINT) AS SPLIT_BIN,
-       CAST(lo + (((bin + 1) * (hi - lo + 1)) // 64) - 1 AS BIGINT) AS THRESHOLD_LATTICE,
+       CAST(lo + ((((bin + 1) * (hi - lo + 1)) - 1) // 64) AS BIGINT) AS THRESHOLD_LATTICE,
        nl AS N_LEFT, pl AS POS_LEFT,
        CAST(nt - nl AS BIGINT) AS N_RIGHT, CAST(pt - pl AS BIGINT) AS POS_RIGHT,
        CAST(

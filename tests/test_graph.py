@@ -400,6 +400,20 @@ def test_hits_empty_graph(spark):
     assert hits(df, checkpoint=False).count() == 0
 
 
+def test_hits_rejects_scale_not_exceeding_node_count(spark):
+    """scale <= n floors the uniform init to 0 and would silently NULL every
+    score through the `div __T` renormalization -- fail fast instead
+    (ADVICE r6)."""
+    import pytest as _pytest
+
+    from aws_glue_cdc_metrics_job_spark.operators.graph import hits
+
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    df = spark.createDataFrame(ring, "SRC long, DST long")
+    with _pytest.raises(ValueError, match="scale"):
+        hits(df, scale=10, checkpoint=False)
+
+
 def test_hits_mass_conserved(spark):
     """Each half-step renormalizes to <= scale total (floor division only
     loses sub-node units)."""

@@ -378,6 +378,34 @@ def test_zorder_key_corners(spark):
     assert got[(1, 0)] == 2 and got[(0, 1)] == 1
 
 
+def test_zorder_out_of_range_clamps_and_replays(spark):
+    """Out-of-bounds values clamp to the lattice ends (ADVICE r6): above-hi
+    must sort to the TOP (not alias modulo 2^bits back to 0) and below-lo to
+    the bottom, and the key must replay bit-identically in DuckDB even for
+    negative normalized values (where unclamped DIV/truncate vs //-floor
+    would diverge)."""
+    import duckdb
+
+    from aws_glue_cdc_metrics_job_spark.functions.zorder import zorder_key, zorder_sql
+
+    rows = [(-50, 10), (0, 10), (255, 10), (400, 10), (999, 10), (-1, 10)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    key = zorder_key(["a", "b"], [(0, 255), (0, 255)], bits=8)
+    got = {r["a"]: r["z"] for r in df.select("a", key.alias("z")).collect()}
+    # below-lo clamps to a=0's key; above-hi clamps to a=255's key
+    assert got[-50] == got[0] == got[-1]
+    assert got[400] == got[255] == got[999]
+    sql = zorder_sql(["a", "b"], [(0, 255), (0, 255)], bits=8, div="//")
+    con = duckdb.connect()
+    want = {
+        a: z
+        for a, z in con.execute(
+            f"SELECT a, {sql} FROM (VALUES {', '.join(map(str, rows))}) t(a, b)"
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_zorder_constant_dimension_and_validation(spark):
     from aws_glue_cdc_metrics_job_spark.functions.zorder import add_zorder_key
 

@@ -241,6 +241,27 @@ def test_gini_split_null_feature_rows_excluded(spark):
     assert all(r["N_LEFT"] + r["N_RIGHT"] == 4 for r in out)
 
 
+def test_gini_threshold_reproduces_left_counts(spark):
+    """THRESHOLD_LATTICE is the left child's INCLUSIVE upper bound: applying
+    `vc <= THRESHOLD_LATTICE` must reproduce N_LEFT/POS_LEFT exactly for
+    every candidate (ADVICE r6: the old floor formula excluded the bin's top
+    lattice value whenever bins did not divide (b+1)*R)."""
+    import math
+
+    from aws_glue_cdc_metrics_job_spark.operators.stats import gini_split_candidates
+
+    rows = [(round(((i * 53) % 97) / 9.0, 3), (i * 7) % 5 < 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "value double, y boolean")
+    bins = 64  # deliberately not dividing most (b+1)*R values
+    out = gini_split_candidates(df, "value", F.col("y"), bins=bins, decimals=2).collect()
+    assert out
+    vcs = [(math.floor(v * 100 + 0.5), y) for v, y in rows]
+    for r in out:
+        nl = sum(1 for v, _ in vcs if v <= r["THRESHOLD_LATTICE"])
+        pl = sum(1 for v, y in vcs if v <= r["THRESHOLD_LATTICE"] and y)
+        assert (nl, pl) == (r["N_LEFT"], r["POS_LEFT"]), r["SPLIT_BIN"]
+
+
 @pytest.mark.slow
 def test_gini_split_matches_brute_force_replay(spark):
     """Pure-Python replay of the full lattice pipeline (centi rounding,
@@ -289,7 +310,7 @@ def test_gini_split_matches_brute_force_replay(spark):
                 - ((nt - nl) * 1_000_000 // nt) * g(pt - pl, nt - nl) // 1_000_000
             )
             want[b] = (
-                lo + (b + 1) * (hi - lo + 1) // bins - 1,
+                lo + ((b + 1) * (hi - lo + 1) - 1) // bins,
                 nl, pl, nt - nl, pt - pl, gain,
             )
     assert got == want
