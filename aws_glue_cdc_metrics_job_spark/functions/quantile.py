@@ -4,26 +4,130 @@ The reference collects the whole LTV snapshot to the driver as pandas and
 runs ``pd.qcut(q=[0, .2, .8, 1.0], labels=[Low, Medium, High])``
 (scripts/cdc_metrics_job.py:256-266) -- a driver-memory cliff at scale.
 
-Native replacement: exact ``percentile`` (linear interpolation, same as
-pandas/DuckDB ``quantile_cont``) for the cut values, cross-joined (broadcast,
-1 row) back onto the frame, then right-closed CASE ranges matching qcut's
-``(lo, hi]`` bins. Distributed end-to-end; the only driver traffic is the
-cut-value row.
+Native replacement: exact interpolated quantiles (same semantics as
+pandas/DuckDB ``quantile_cont`` and Spark ``percentile``) for the cut
+values, then right-closed CASE ranges matching qcut's ``(lo, hi]`` bins.
+The exact cuts come from the distributed-ranking shape
+(:func:`ranked_quantile_cuts`): range-bucketed order statistics with
+bounded driver collects -- NOT from ``percentile``, whose aggregation
+state buffers every value in a single reducer (the 100 TB OOM VERDICT r6
+flagged). Distributed end-to-end; driver traffic is <= buckets split
+points + <= buckets counts + <= 2 neighbor rows per cut.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def exact_quantile_cuts(df: DataFrame, value_col: str, probs: list[float]) -> DataFrame:
-    """One-row frame of exact interpolated quantiles named q0..qN."""
+    """One-row frame of exact interpolated quantiles named q0..qN.
+
+    Single-pass but SINGLE-STATE: ``percentile`` buffers every input value
+    in one reducer's aggregation buffer -- fine for bounded frames, a
+    straight OOM at billions of rows. The scale path with identical
+    results is :func:`ranked_quantile_cuts`."""
     aggs = [
         F.expr(f"percentile({value_col}, {p!r})").alias(f"q{i}")
         for i, p in enumerate(probs)
     ]
     return df.agg(*aggs)
+
+
+def ranked_quantile_cuts(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    buckets: int = 64,
+    rel_err: float = 0.001,
+) -> list[float | None]:
+    """Exact interpolated quantiles, bit-identical to Spark's
+    ``percentile`` (and hence to the DuckDB ``quantile_cont`` oracles),
+    computed with the distributed-ranking shape instead of percentile's
+    single aggregation state (VERDICT r6 item 1, the last scale-killer).
+
+    ``percentile()`` buffers EVERY input value in ONE reducer -- at 100 TB
+    (billions of entity rows) that is a guaranteed OOM. Here every job has
+    bounded driver output and buckets-way parallelism (the
+    operators/ranking.py discipline):
+
+    1. ``approxQuantile`` split points: <= buckets-1 doubles collected;
+    2. per-range-bucket counts: <= buckets longs collected -> global rank
+       offsets and total N via a driver prefix sum;
+    3. the exact quantile at prob p is interpolated from the order
+       statistics at 0-based positions floor/ceil(p*(N-1)); each maps to
+       (bucket, bucket-local rank), so the job filters to ONLY the buckets
+       holding target ranks, row_numbers within them (a PARTITIONED
+       window), and keeps <= 2*len(probs) rows -- the third and last
+       bounded collect;
+    4. the driver interpolates with percentile's own formula
+       ``(hi - pos) * v_lo + (pos - lo) * v_hi`` on IEEE doubles, so the
+       returned cuts equal ``percentile(col, p)`` to the last bit (pinned
+       against the built-in in test_quantile.py).
+
+    NULL values are excluded (as ``percentile`` does); returns
+    ``[None] * len(probs)`` on an all-NULL/empty input. Ties need no
+    tiebreak: any rank assignment among equal values yields the same
+    order statistic."""
+    import bisect
+    import math
+
+    from ..operators.ranking import _bucket_expr
+
+    base = df.select(F.col(value_col).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    qs = [i / buckets for i in range(1, buckets)]
+    # bounded collect #1: <= buckets-1 split-point doubles
+    boundaries = sorted(set(base.stat.approxQuantile("__v", qs, rel_err)))
+    b = _bucket_expr("__v", boundaries, desc=False)
+    # bounded collect #2: <= buckets (bucket, count) rows
+    counts = dict(base.select(b.alias("__rb")).groupBy("__rb").count().collect())
+    offsets, acc = [], 0
+    for i in range(len(boundaries) + 1):
+        offsets.append(acc)
+        acc += int(counts.get(i, 0))
+    total = acc
+    if total == 0:
+        return [None] * len(probs)
+    # percentile's positions: p * (N - 1), 0-based into the sorted values
+    pos_parts: list[tuple[float, int, int]] = []
+    need: set[int] = set()  # global 1-based target ranks
+    for p in probs:
+        position = p * (total - 1)
+        lo, hi = math.floor(position), math.ceil(position)
+        pos_parts.append((position, lo, hi))
+        need.update((lo + 1, hi + 1))
+    # global rank r lives in the last bucket whose offset is < r (equal
+    # offsets mean empty buckets; bisect lands past them), at local rank
+    # r - offsets[bucket]
+    by_bucket: dict[int, dict[int, int]] = {}
+    for r in need:
+        bi = bisect.bisect_right(offsets, r - 1) - 1
+        by_bucket.setdefault(bi, {})[r - offsets[bi]] = r
+    w = Window.partitionBy("__rb").orderBy(F.col("__v").asc())
+    sub = (
+        base.select("__v", b.alias("__rb"))
+        .where(F.col("__rb").isin(list(by_bucket)))
+        .withColumn("__rr", F.row_number().over(w))
+    )
+    keep = None
+    for bi, locs in by_bucket.items():
+        c = (F.col("__rb") == bi) & F.col("__rr").isin(list(locs))
+        keep = c if keep is None else (keep | c)
+    # bounded collect #3: <= 2 * len(probs) neighbor rows
+    val_at: dict[int, float] = {}
+    for row in sub.where(keep).select("__rb", "__rr", "__v").collect():
+        val_at[by_bucket[row["__rb"]][row["__rr"]]] = row["__v"]
+    cuts: list[float | None] = []
+    for position, lo, hi in pos_parts:
+        v_lo = val_at[lo + 1]
+        if hi == lo:
+            cuts.append(v_lo)
+        else:
+            cuts.append((hi - position) * v_lo + (position - lo) * val_at[hi + 1])
+    return cuts
 
 
 def approx_quantile_cuts(
@@ -59,16 +163,31 @@ def quantile_bucket(
     """Label rows by right-closed quantile bins: value <= q(probs[0]) ->
     labels[0], ... else labels[-1]. len(labels) == len(probs) + 1.
 
-    ``exact=False`` swaps the exact interpolated percentile for the
-    sketch-based ``approx_percentile`` (see approx_quantile_cuts) -- the
-    scale path when the input is raw-event-sized rather than one row per
-    entity. Graded queries keep the exact default for oracle parity."""
+    The exact default computes its cuts with the distributed-ranking
+    machinery (:func:`ranked_quantile_cuts` -- no single-reducer
+    percentile buffer anywhere in the plan) and labels with LITERAL cut
+    values, so the input lineage is materialized ONCE (localCheckpoint)
+    and the final plan is a pure scan-stage CASE -- no join at all. The
+    cuts are bit-identical to ``percentile``'s, so oracles keep matching
+    DuckDB's ``quantile_cont``.
+
+    ``exact=False`` swaps in the sketch-based ``approx_percentile`` (see
+    approx_quantile_cuts): ONE mergeable-aggregate pass whose cut is a
+    real data value within the sketch's rank error -- the even-cheaper
+    path when a near-by-rank cut is acceptable."""
     if len(labels) != len(probs) + 1:
         raise ValueError("need len(labels) == len(probs) + 1")
     if exact:
-        cuts = exact_quantile_cuts(df, value_col, probs)
-    else:
-        cuts = approx_quantile_cuts(df, value_col, probs, accuracy)
+        # one materialization of the (possibly expensive) input lineage;
+        # the ranking passes and the labeled output all reuse it
+        snap = df.localCheckpoint(eager=True)
+        cut_vals = ranked_quantile_cuts(snap, value_col, probs)
+        expr = None
+        for i, c in enumerate(cut_vals):
+            cond = F.col(value_col) <= F.lit(c).cast("double")
+            expr = F.when(cond, labels[i]) if expr is None else expr.when(cond, labels[i])
+        return snap.withColumn(out_col, expr.otherwise(labels[-1]))
+    cuts = approx_quantile_cuts(df, value_col, probs, accuracy)
     expr = None
     for i in range(len(probs)):
         cond = F.col(value_col) <= F.col(f"q{i}")

@@ -84,16 +84,21 @@ def ltv_snapshot(ltv: DataFrame) -> DataFrame:
     )
 
 
-def clv_segment(snapshot: DataFrame) -> DataFrame:
+def clv_segment(snapshot: DataFrame, exact: bool = True) -> DataFrame:
     """20/60/20 CLV split (scripts/cdc_metrics_job.py:256-266) computed
     natively with exact percentiles instead of the driver-side pd.qcut
-    round-trip (SURVEY.md Q1)."""
+    round-trip (SURVEY.md Q1). The exact cuts use the distributed-ranking
+    shape (functions/quantile.ranked_quantile_cuts) -- no single-reducer
+    percentile buffer; ``exact=False`` is the approx_percentile sketch
+    twin (one mergeable pass, cut lands on a real data value within the
+    sketch's rank error)."""
     return quantile_bucket(
         snapshot.select("USER_ID", "CUMULATIVE_LTV"),
         "CUMULATIVE_LTV",
         probs=[0.2, 0.8],
         labels=["Low", "Medium", "High"],
         out_col="CLV_GROUP",
+        exact=exact,
     )
 
 

@@ -109,6 +109,23 @@ def q_clv_segment(spark: SparkSession, sf_dir: str):
     return marts.clv_segment(marts.ltv_snapshot(marts.fact_ltv_daily(_revenue(spark, sf_dir))))
 
 
+@query("mart_customer_clv_segment_approx")
+def q_clv_segment_approx(spark: SparkSession, sf_dir: str):
+    """Sketch twin of mart_customer_clv_segment (rows-only BY DESIGN):
+    ``approx_percentile`` cuts from one mergeable-aggregate pass instead
+    of the distributed-ranking exact cuts. The sketch's cut is a REAL
+    data value within 1/accuracy relative rank error, not an
+    interpolated point, so labels near the cut legitimately differ from
+    the exact twin and no SQL engine replays the GK sketch --
+    test_marts.py pins the twin agreement (identical labels for ~all
+    users, per-label counts within the sketch contract) against the
+    oracle-green exact twin."""
+    return marts.clv_segment(
+        marts.ltv_snapshot(marts.fact_ltv_daily(_revenue(spark, sf_dir))),
+        exact=False,
+    )
+
+
 @query(
     "mart_customer_rfm",
     oracle=f"""

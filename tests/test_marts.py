@@ -166,6 +166,33 @@ def test_clv_segment_buckets(revenue):
     assert seg == {20: "Low", 10: "High"}
 
 
+def test_clv_segment_approx_twin_pinned_to_exact(spark, sf_dir):
+    """Anchor for the rows-only mart_customer_clv_segment_approx: against
+    the oracle-green exact twin, the sketch path must agree on ~every
+    user's label -- disagreements are confined to the exact-vs-approx cut
+    slivers, bounded by the sketch's rank-error contract."""
+    from aws_glue_cdc_metrics_job_spark.plans import adapters
+
+    rev = adapters.order_revenue(spark, sf_dir)
+    snap = marts.ltv_snapshot(marts.fact_ltv_daily(rev))
+    exact = {r["USER_ID"]: r["CLV_GROUP"] for r in marts.clv_segment(snap).collect()}
+    approx = {
+        r["USER_ID"]: r["CLV_GROUP"]
+        for r in marts.clv_segment(snap, exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    n = len(exact)
+    disagree = sum(1 for u in exact if exact[u] != approx[u])
+    # accuracy=10000 >= snapshot N at test SFs: the GK sketch is exact,
+    # so the approx cut is one of the two neighbor order statistics and
+    # only boundary-tied users can flip
+    assert disagree <= max(2, n // 100), f"{disagree}/{n} labels flipped"
+    for label in ("Low", "Medium", "High"):
+        e = sum(1 for v in exact.values() if v == label)
+        a = sum(1 for v in approx.values() if v == label)
+        assert abs(e - a) <= max(2, n // 100), (label, e, a)
+
+
 class TestAllGrainsTrends:
     def test_matches_per_grain_marts(self, spark, sf_dir):
         from aws_glue_cdc_metrics_job_spark.plans import adapters, marts

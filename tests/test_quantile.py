@@ -70,6 +70,57 @@ def test_approx_buckets_bounded_drift_vs_exact(spark, values):
     assert len(disagreements) < len(values) / 2
 
 
+def test_ranked_cuts_bit_identical_to_percentile(spark, values):
+    """ranked_quantile_cuts must equal the built-in percentile() to the
+    LAST BIT (VERDICT r6 item 1: same oracles, no single-reducer buffer) --
+    hostile inputs: irrational spreads, heavy ties, tiny N, exact-rank
+    probs (frac == 0), negatives."""
+    import math
+
+    from aws_glue_cdc_metrics_job_spark.functions.quantile import ranked_quantile_cuts
+
+    cases = [
+        values,
+        [math.sqrt(i) * 1e3 + 1 / 7 for i in range(1, 48)],
+        [1.0] * 9 + [2.0] * 3 + [-5.5] * 4,  # heavy ties + negatives
+        [42.0],  # N = 1
+        [3.0, 1.0],  # N = 2
+        [0.1 * i for i in range(11)],  # frac == 0 at p in {0.2, 0.8}
+    ]
+    probs = [0.0, 0.2, 0.37, 0.5, 0.8, 1.0]
+    for i, vals in enumerate(cases):
+        df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(5)
+        got = ranked_quantile_cuts(df, "x", probs, buckets=4)
+        want = list(exact_quantile_cuts(df, "x", probs).collect()[0])
+        assert got == want, f"case {i}: {got} != {want}"
+
+
+def test_ranked_cuts_null_and_empty(spark):
+    from aws_glue_cdc_metrics_job_spark.functions.quantile import ranked_quantile_cuts
+
+    df = spark.createDataFrame([(None,), (1.0,), (None,), (3.0,)], "x double")
+    # NULLs excluded, like percentile()
+    assert ranked_quantile_cuts(df, "x", [0.5]) == [2.0]
+    empty = spark.createDataFrame([], "x double")
+    assert ranked_quantile_cuts(empty, "x", [0.2, 0.8]) == [None, None]
+    # all-NULL behaves like empty, and quantile_bucket then labels
+    # everything with the last label (NULL <= NULL cut is never true)
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    assert ranked_quantile_cuts(nulls, "x", [0.5]) == [None]
+    out = quantile_bucket(nulls, "x", [0.5], ["lo", "hi"], "B").collect()
+    assert [r["B"] for r in out] == ["hi", "hi"]
+
+
+def test_exact_bucket_plan_has_no_join(spark, values):
+    """The exact path labels with LITERAL cuts over a checkpointed input:
+    the executed plan must contain no join of any kind (the old shape
+    cross-joined a 1-row cut frame, re-expanding the input lineage)."""
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    out = quantile_bucket(df, "x", [0.2, 0.8], ["Low", "Medium", "High"], "CLV")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+
+
 def test_label_arity_validated(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "x double")
     with pytest.raises(ValueError):
