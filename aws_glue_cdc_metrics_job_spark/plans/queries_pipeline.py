@@ -504,10 +504,41 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str):
     return out.orderBy("doc_id", "FRAME_IDX")
 
 
-@query("multimodal_features")  # no oracle: mapInPandas decode stage (stubbed decode)
+@query(
+    "multimodal_features",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         least(octet_length(encode(text)), 64) AS n
+  FROM documents
+),
+s AS (
+  SELECT b.doc_id, b.nb, b.n,
+         COALESCE(SUM(
+           (strpos('0123456789ABCDEF', substring(b.hx, g.i * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF', substring(b.hx, g.i * 2 + 2, 1)) - 1)
+         ), 0) AS tot
+  FROM b LEFT JOIN LATERAL (SELECT unnest(range(0, b.n)) AS i) g ON true
+  GROUP BY b.doc_id, b.nb, b.n
+)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+       CASE WHEN nb = 0 THEN 0.0 ELSE CAST(tot AS DOUBLE) / n END AS feat_mean,
+       CAST(64 AS INT) AS feat_dim
+FROM s
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str):
-    """Arrow-batched feature extraction over binary payloads (rows-only
-    driver check; determinism unit-tested)."""
+    """Arrow-batched feature extraction over binary payloads -- the
+    multimodal decode hot path's plumbing (mapInPandas, narrow, no
+    shuffle), with decode_stub standing in for the media decoder.
+    Graduated to a FULL oracle in round 7: the stub is a deterministic
+    pure function of the bytes (n_bytes = len, feat_mean = mean of the
+    first 64 byte values as an exact int/int -> double division), so the
+    SQL replays it on the hex plane exactly as
+    multimodal_decode_roundtrip already replays the PNG pixel sum. A
+    real decoder (PIL/pyav) slots into the same signature and would
+    flip this back to rows-only."""
     from ..operators.multimodal import map_in_pandas_features
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1745,14 +1776,58 @@ def q_emb_cross_contamination(spark: SparkSession, sf_dir: str):
     return similarity.semantic_cross_pairs(corpus, bench, centroids, threshold=0.3)
 
 
-@query("emb_ivf_pq_topk")  # rows-only: doubly-approximate (IVF recall x PQ distance)
+@query(
+    "emb_ivf_pq_topk",
+    oracle=f"""
+WITH {_pq_enc_cte()},
+cents AS (SELECT vec_id AS CELL, v AS cv FROM e WHERE vec_id % 31 = 1),
+asg AS (
+  SELECT e.vec_id, cents.CELL,
+         FLOOR((list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS sim
+  FROM e, cents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY sim DESC, CELL) = 1
+),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+probes AS (
+  SELECT q.vec_id AS QUERY_ID, cents.CELL,
+         FLOOR((list_dot_product(q.v, cents.cv)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cents.cv, cents.cv))))
+            * 1000000 + 0.5) / 1000000 AS psim
+  FROM q, cents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY psim DESC, CELL) <= 2
+),
+lut AS (
+  SELECT q.vec_id AS QUERY_ID, cb.SUB, cb.CODE, {_pq_dist_sql("q.v")} AS part
+  FROM q, {_pq_cb_values()}
+),
+adc AS (
+  SELECT p.QUERY_ID, enc.vec_id,
+         {sql_rhu("CAST(SUM(CAST(part AS DECIMAL(27,15))) AS DOUBLE)", 6)} AS ADC_DIST
+  FROM probes p
+  JOIN asg a ON a.CELL = p.CELL
+  JOIN enc ON enc.vec_id = a.vec_id
+  JOIN lut ON lut.QUERY_ID = p.QUERY_ID AND lut.SUB = enc.SUB AND lut.CODE = enc.CODE
+  GROUP BY p.QUERY_ID, enc.vec_id
+)
+SELECT QUERY_ID, vec_id, ADC_DIST FROM adc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY ADC_DIST, vec_id) <= 5
+""",
+)
 def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str):
     """IVF-PQ search (similarity.ivf_pq_topk): coarse cells restrict each
     query to nprobe=2 probed cells, PQ codes + ADC score the members --
-    the FAISS index architecture end-to-end. Rows-only: the result is
-    approximate by design on both axes; tests/test_pq.py pins that it
-    EXACTLY equals ADC over the probed-cell subset (PQ never drops a
-    candidate within a probed cell)."""
+    the FAISS index architecture end-to-end. Graduated to a FULL oracle
+    in round 7 (VERDICT r6 item 5) by the emb_ivf_topk pattern: the
+    centroid rule (vec_id % 31 == 1) and the pq_constants codebook are
+    deterministic, so the SQL replays every stage -- nearest-cell
+    assignment (6-dp sim, cell tie-break), each query's top-2 probe
+    cells, the shared-literal LUT, and the exact integer-image ADC sum
+    already proven in emb_pq_adc_topk's oracle. tests/test_pq.py
+    additionally pins that the result EXACTLY equals ADC over the
+    probed-cell subset (PQ never drops a candidate within a probed
+    cell)."""
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 31 == 1).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
