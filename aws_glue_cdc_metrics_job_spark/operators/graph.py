@@ -817,16 +817,34 @@ def pagerank_weighted(
     weights to ~9e6 -- rescale weights (only ratios matter) beyond that.
 
     Returns (NODE, RANK_PICOS, OUT_STRENGTH)."""
-    ew = (
+    ew = _weighted_edges(edges, weight_col)
+    st = ew.groupBy("SRC").agg(F.sum("__w").cast("long").alias("__S"))
+    ed = ew.join(st, "SRC")
+    if checkpoint:
+        ed = _ckpt_big(ed)
+    nd = _weighted_nodes(ew, st, checkpoint)
+    n = nd.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "NODE long, RANK_PICOS long, OUT_STRENGTH long"
+        )
+    return _pagerank_weighted_core(
+        ed, nd, n, iterations, scale, damping_pct, checkpoint
+    )
+
+
+def _weighted_edges(edges: DataFrame, weight_col: str) -> DataFrame:
+    """(SRC, DST, __w): positive long weights, parallel edges pre-summed."""
+    return (
         edges.select("SRC", "DST", F.col(weight_col).cast("long").alias("__w"))
         .where(F.col("__w") > 0)
         .groupBy("SRC", "DST")
         .agg(F.sum("__w").cast("long").alias("__w"))
     )
-    st = ew.groupBy("SRC").agg(F.sum("__w").cast("long").alias("__S"))
-    ed = ew.join(st, "SRC")
-    if checkpoint:
-        ed = _ckpt_big(ed)
+
+
+def _weighted_nodes(ew: DataFrame, st: DataFrame, checkpoint: bool) -> DataFrame:
+    """(NODE, __S): the full node universe with out-strength (0 = dangling)."""
     nodes = (
         ew.select(F.col("SRC").alias("NODE"))
         .unionAll(ew.select(F.col("DST").alias("NODE")))
@@ -835,19 +853,32 @@ def pagerank_weighted(
     nd = nodes.join(st, nodes["NODE"] == st["SRC"], "left").select(
         "NODE", F.coalesce(F.col("__S"), F.lit(0)).cast("long").alias("__S")
     )
-    if checkpoint:
-        nd = nd.localCheckpoint(eager=False)
-    n = nd.count()
-    if n == 0:
-        return edges.sparkSession.createDataFrame(
-            [], "NODE long, RANK_PICOS long, OUT_STRENGTH long"
-        )
+    return nd.localCheckpoint(eager=False) if checkpoint else nd
+
+
+def _pagerank_weighted_core(
+    ed: DataFrame,
+    nd: DataFrame,
+    n: int,
+    iterations: int,
+    scale: int,
+    damping_pct: int,
+    checkpoint: bool,
+    merge_hint: bool = False,
+) -> DataFrame:
+    """The weighted hop loop shared by :func:`pagerank_weighted`
+    (checkpointed in-memory edges) and :func:`pagerank_weighted_bucketed`
+    (catalog-bucketed edges; ``merge_hint`` forces SMJ so each hop's
+    executed plan has NO exchange above the bucketed edge scan -- the
+    same discipline as :func:`_pagerank_core`). ``ed`` carries
+    (SRC, DST, __w, __S); ``nd`` carries (NODE, __S)."""
     tele = ((100 - damping_pct) * scale) // (100 * n)
     dang = nd.where(F.col("__S") == 0).select("NODE")
     ranks = nd.select("NODE", F.lit(scale // n).cast("long").alias("R"))
     for _ in range(iterations):
+        e = ed.hint("merge") if merge_hint else ed
         contrib = (
-            ed.join(ranks, ed["SRC"] == ranks["NODE"])
+            e.join(ranks, e["SRC"] == ranks["NODE"])
             .select(
                 F.col("DST"),
                 F.expr(f"({damping_pct} * R * __w) div (100 * __S)")
@@ -880,4 +911,69 @@ def pagerank_weighted(
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.join(nd, "NODE").select(
         "NODE", F.col("R").alias("RANK_PICOS"), F.col("__S").alias("OUT_STRENGTH")
+    )
+
+
+def pagerank_weighted_bucketed(
+    edges: DataFrame,
+    table: str,
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+    damping_pct: int = 85,
+    weight_col: str = "WEIGHT",
+    num_buckets: int = 8,
+    path: str | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`pagerank_weighted` for long-running iterative deployments
+    (VERDICT r6 item 7): the weight- and strength-annotated edge table is
+    persisted ONCE, hash-bucketed + sorted on SRC
+    (sources.write_bucketed), and every hop's rank join is forced to
+    sort-merge -- the executed per-hop plan reads the edge side
+    bucket-local with ZERO exchange and zero sort above its scan (pinned
+    in tests/test_graph.py), only the node-sized rank table moves per
+    iteration. Exactly :func:`pagerank_bucketed`'s layout conversion
+    applied to the weighted walk: the per-hop edge reshuffle -- the
+    dominant iterative cost at 100 TB -- becomes a one-time ingest write.
+    Results are bit-identical to :func:`pagerank_weighted` (same lattice
+    recurrence, layout-only change; pinned in test_graph)."""
+    from ..sources.parquet_io import write_bucketed
+
+    spark = edges.sparkSession
+    ew = _weighted_edges(edges, weight_col)
+    st = ew.groupBy("SRC").agg(F.sum("__w").cast("long").alias("__S"))
+    # persist with catalog-friendly names; re-alias to the core's contract
+    write_bucketed(
+        ew.join(st, "SRC").select(
+            "SRC", "DST", F.col("__w").alias("W"), F.col("__S").alias("S")
+        ),
+        table,
+        ["SRC"],
+        num_buckets,
+        sort_cols=["SRC"],
+        path=path,
+    )
+    ed = spark.table(table).select(
+        "SRC", "DST", F.col("W").alias("__w"), F.col("S").alias("__S")
+    )
+    # derive the node universe from the BUCKETED table too (one cheap
+    # scan; strengths ride the persisted column, no recompute of ew)
+    st_b = ed.select("SRC", "__S").distinct()
+    nodes = (
+        ed.select(F.col("SRC").alias("NODE"))
+        .unionAll(ed.select(F.col("DST").alias("NODE")))
+        .distinct()
+    )
+    nd = nodes.join(st_b, nodes["NODE"] == st_b["SRC"], "left").select(
+        "NODE", F.coalesce(F.col("__S"), F.lit(0)).cast("long").alias("__S")
+    )
+    if checkpoint:
+        nd = nd.localCheckpoint(eager=False)
+    n = nd.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "NODE long, RANK_PICOS long, OUT_STRENGTH long"
+        )
+    return _pagerank_weighted_core(
+        ed, nd, n, iterations, scale, damping_pct, checkpoint, merge_hint=True
     )

@@ -583,3 +583,40 @@ def test_weighted_pagerank_matches_replay_and_drops_bad_weights(spark):
         r = {v: nxt[v] + tele + 85 * dm // (100 * n) for v in nodes}
     assert {v: got[v][0] for v in nodes} == r
     assert got[1][1] == 4 and got[4][1] == 2  # strengths
+
+
+def test_weighted_pagerank_bucketed_matches_plain_and_plan(spark, tmp_path):
+    """Layout-only twin (VERDICT r6 item 7): identical values to
+    pagerank_weighted(), and the hop join reads the bucketed edge table
+    with no exchange or sort above its scan -- only the rank side is
+    exchanged (plus the contribution agg)."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import (
+        pagerank_weighted,
+        pagerank_weighted_bucketed,
+    )
+
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5), (4, 1, 2), (5, 4, 7)]
+    df = spark.createDataFrame(edges, "SRC long, DST long, WEIGHT long")
+    want = sorted(
+        map(tuple, pagerank_weighted(df, iterations=3, checkpoint=False).collect())
+    )
+    got_df = pagerank_weighted_bucketed(
+        df, "wpr_bkt_test", iterations=3, num_buckets=4,
+        path=str(tmp_path / "wpr_bkt"), checkpoint=False,
+    )
+    assert sorted(map(tuple, got_df.collect())) == want
+
+    # plan pin on a single hop over the persisted table: bucketed scan,
+    # no exchange on the edge side (SRC), rank-side + agg exchanges only
+    ed = spark.table("wpr_bkt_test")
+    ranks = spark.createDataFrame([(1, 10**12)], "NODE long, R long")
+    hop = (
+        ed.hint("merge").join(ranks, ed["SRC"] == ranks["NODE"])
+        .select("DST", F.expr("(85 * R * W) div (100 * S)").alias("__c"))
+        .groupBy("DST").agg(F.sum("__c").alias("C"))
+    )
+    hop.collect()
+    plan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(SRC" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS wpr_bkt_test")
