@@ -25,6 +25,18 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 # The reference's gold-mart set (BASELINE.md) + representative operator and
 # training-data-pipeline queries.
 HEADLINE = [
+    # round-7 additions
+    "mart_customer_clv_segment_approx",
+    "parts_copurchase_pagerank_weighted_bucketed",
+    # BASELINE.md anchor queries restored in round 7 (VERDICT r6 item 1 of
+    # "what's wrong": the 2x-of-baseline gate must stay computable over all
+    # 34 anchors; these six cost <4 s total)
+    "events_asof_attribution",
+    "events_interval_join",
+    "customers_semi_urgent",
+    "customers_anti_urgent",
+    "lineitem_hash_sample",
+    "docs_train_split",
     # round-6 additions
     "docs_dup_substring_spans",
     "docs_incremental_dup_spans",
@@ -240,18 +252,22 @@ SKEW_QUERIES = [
 # from the r5 10x detail, re-measured at 100x sf0.1 (.bench_sf10) to show
 # the sub-linear claims hold across TWO decades. One measured pass -- the
 # block exists for the scaling ratio, not for microsecond precision.
+# Round-7 ordering (VERDICT r6 item 4): the two r6 budget-skips lead so
+# they get decade numbers; exact twins run BEFORE their fast/approx
+# twins; the tail queries already carry r6 numbers if the budget cuts.
 SF10_QUERIES = [
-    "parts_copurchase_pagerank",
+    "parts_affinity_pagerank",
+    "parts_copurchase_pagerank_bucketed",
     "mart_customer_clv_segment",
-    "events_value_bootstrap_ci_fast",
+    "mart_customer_clv_segment_approx",
     "events_value_bootstrap_ci",
+    "events_value_bootstrap_ci_fast",
+    "parts_copurchase_pagerank",
+    "parts_copurchase_triangles",
     "docs_incremental_near_dedup",
     "docs_selection_pipeline",
     "emb_perceptron_step",
     "emb_perceptron_train",
-    "parts_copurchase_triangles",
-    "parts_affinity_pagerank",
-    "parts_copurchase_pagerank_bucketed",
 ]
 
 
@@ -385,6 +401,17 @@ def main() -> int:
         # dedicated run.
         budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "900"))
         sf10_names = [n for n in SF10_QUERIES if n in qs]
+        # Warm the OS page cache + parquet footers with one cheap full
+        # scan of each input file BEFORE the block (seconds for ~2.3 GB at
+        # 32 threads; not charged to the budget): r6's fully-cold pass
+        # charged the disk read-in to whichever query ran first, inverting
+        # twin pairs (the xxhash bootstrap read slower than its md5 twin
+        # purely by position). Queries themselves stay single-pass.
+        for fn in sorted(os.listdir(sf10_dir)):
+            if fn.endswith(".parquet"):
+                spark.read.parquet(os.path.join(sf10_dir, fn)).write.mode(
+                    "overwrite"
+                ).format("noop").save()
         t10: dict[str, float] = {}
         skipped: list[str] = []
         spent = 0.0
