@@ -24,6 +24,8 @@ zero exchange (plan-pinned in tests/test_graph.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -587,11 +589,31 @@ def hits(
         # the uniform init to 0, making the first half-step total 0 and
         # silently NULLing every score through `div __T`
         raise ValueError(f"scale ({scale}) must exceed the node count ({n})")
+    return _hits_core(ed, ed, nodes, n, iterations, scale, checkpoint)
+
+
+def _hits_core(
+    ed_src: DataFrame,
+    ed_dst: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    iterations: int,
+    scale: int,
+    checkpoint: bool,
+    merge_hint: bool = False,
+) -> DataFrame:
+    """The half-step loop shared by :func:`hits` (one in-memory edge
+    frame for both joins) and :func:`hits_bucketed` (``ed_src`` bucketed
+    on SRC for the hub-pooling join, ``ed_dst`` bucketed on DST for the
+    auth-pooling join; ``merge_hint`` forces SMJ so each half-step's
+    executed plan has NO exchange above its co-located edge scan)."""
     hubs = nodes.select("NODE", F.lit(scale // n).cast("long").alias("H"))
     auth = nodes.select("NODE", F.lit(scale // n).cast("long").alias("A"))
+    es = ed_src.hint("merge") if merge_hint else ed_src
+    ed = ed_dst.hint("merge") if merge_hint else ed_dst
     for _ in range(iterations):
         ap = (
-            ed.join(hubs, ed["SRC"] == hubs["NODE"])
+            es.join(hubs, es["SRC"] == hubs["NODE"])
             .groupBy(F.col("DST").alias("NODE"))
             .agg(F.sum("H").cast("long").alias("__S"))
         )
@@ -622,10 +644,12 @@ def hits(
         )
         if checkpoint:
             hubs = hubs.localCheckpoint(eager=False)
-    indeg = ed.groupBy(F.col("DST").alias("NODE")).agg(
+    # each degree agg groups on its copy's bucket key: in the bucketed
+    # variant both are exchange-free map-side aggregations
+    indeg = ed_dst.groupBy(F.col("DST").alias("NODE")).agg(
         F.count(F.lit(1)).cast("long").alias("IN_DEGREE")
     )
-    outdeg = ed.groupBy(F.col("SRC").alias("NODE")).agg(
+    outdeg = ed_src.groupBy(F.col("SRC").alias("NODE")).agg(
         F.count(F.lit(1)).cast("long").alias("OUT_DEGREE")
     )
     return (
@@ -639,6 +663,56 @@ def hits(
             F.coalesce(F.col("IN_DEGREE"), F.lit(0)).cast("long").alias("IN_DEGREE"),
             F.coalesce(F.col("OUT_DEGREE"), F.lit(0)).cast("long").alias("OUT_DEGREE"),
         )
+    )
+
+
+def hits_bucketed(
+    edges: DataFrame,
+    table: str,
+    iterations: int = 2,
+    scale: int = HITS_SCALE,
+    num_buckets: int = 8,
+    path: str | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`hits` for long-running iterative deployments (the
+    pagerank_bucketed discipline applied to BOTH half-steps): HITS joins
+    the edge list on SRC in the hub-pooling half and on DST in the
+    auth-pooling half, so ONE bucketing cannot co-locate both. The
+    distinct edge list is persisted TWICE -- ``{table}_src`` bucketed +
+    sorted on SRC, ``{table}_dst`` on DST -- and each half-step
+    sort-merge-joins the node-sized score frame against its co-located
+    copy with ZERO exchange above the edge scan (plan-pinned in
+    test_graph); the degree aggregations group on their copy's bucket key
+    and are exchange-free too. 2x the ingest write and storage buys an
+    iterative workload in which no edge byte ever re-shuffles. Results
+    are bit-identical to :func:`hits` (same lattice trajectory,
+    layout-only change)."""
+    from ..sources.parquet_io import write_bucketed
+
+    spark = edges.sparkSession
+    ed = edges.select("SRC", "DST").distinct()
+    write_bucketed(ed, f"{table}_src", ["SRC"], num_buckets, sort_cols=["SRC"],
+                   path=os.path.join(path, "src") if path else None)
+    write_bucketed(ed, f"{table}_dst", ["DST"], num_buckets, sort_cols=["DST"],
+                   path=os.path.join(path, "dst") if path else None)
+    ed_src, ed_dst = spark.table(f"{table}_src"), spark.table(f"{table}_dst")
+    nodes = (
+        ed_src.select(F.col("SRC").alias("NODE"))
+        .unionAll(ed_src.select(F.col("DST").alias("NODE")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "NODE long, AUTH_NANOS long, HUB_NANOS long, IN_DEGREE long, OUT_DEGREE long"
+        )
+    if scale <= n:
+        raise ValueError(f"scale ({scale}) must exceed the node count ({n})")
+    return _hits_core(
+        ed_src, ed_dst, nodes, n, iterations, scale, checkpoint, merge_hint=True
     )
 
 

@@ -1629,6 +1629,47 @@ def q_supply_hits_scores(spark: SparkSession, sf_dir: str):
     )
 
 
+@query("supply_hits_scores_bucketed", oracle=_hits_oracle(2))
+def q_supply_hits_scores_bucketed(spark: SparkSession, sf_dir: str):
+    """Dual-bucketed layout twin of supply_hits_scores (SAME oracle, same
+    nanos trajectory): HITS joins edges on SRC in one half-step and DST
+    in the other, so the distinct edge list is persisted TWICE -- once
+    bucketed+sorted per join key -- and each half-step sort-merge-joins
+    its co-located copy with ZERO exchange above the edge scan
+    (plan-pinned in test_graph). 2x ingest storage buys an iterative
+    eigenvector workload in which no edge byte ever re-shuffles -- the
+    pagerank_bucketed recipe generalized to a two-key iteration."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.graph import hits_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("SRC"),
+        (F.lit(1000000000) + F.col("l_suppkey")).cast("long").alias("DST"),
+    ).distinct()
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = hits_bucketed(
+        edges,
+        f"hits_edges_{h}",
+        iterations=2,
+        path=os.path.join(tempfile.gettempdir(), f"hits_edges_{h}"),
+    )
+    return (
+        out.select(
+            F.col("NODE").alias("NODE_ID"),
+            "AUTH_NANOS",
+            "HUB_NANOS",
+            "IN_DEGREE",
+            "OUT_DEGREE",
+        )
+        .orderBy(F.col("AUTH_NANOS").desc(), F.col("NODE_ID"))
+        .limit(50)
+    )
+
+
 @query(
     "parts_link_prediction",
     oracle="""

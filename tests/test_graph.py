@@ -400,6 +400,45 @@ def test_hits_empty_graph(spark):
     assert hits(df, checkpoint=False).count() == 0
 
 
+def test_hits_bucketed_matches_plain_and_plan(spark, tmp_path):
+    """Dual-bucketed layout twin: identical values to hits(), and EACH
+    half-step's join reads its co-located edge copy (SRC-bucketed for hub
+    pooling, DST-bucketed for auth pooling) with no exchange above the
+    edge scan."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import hits, hits_bucketed
+
+    edges = [(1, 10), (2, 10), (2, 11), (3, 11), (3, 12), (4, 12), (10, 4)]
+    df = spark.createDataFrame(edges, "SRC long, DST long")
+    want = sorted(map(tuple, hits(df, iterations=2, checkpoint=False).collect()))
+    got_df = hits_bucketed(
+        df, "hits_bkt_test", iterations=2, num_buckets=4,
+        path=str(tmp_path / "hits_bkt"), checkpoint=False,
+    )
+    assert sorted(map(tuple, got_df.collect())) == want
+
+    # plan pins: each half-step joins its OWN copy bucket-locally
+    scores = spark.createDataFrame([(1, 10**9)], "NODE long, X long")
+    es, ed = spark.table("hits_bkt_test_src"), spark.table("hits_bkt_test_dst")
+    hub_half = (
+        es.hint("merge").join(scores, es["SRC"] == scores["NODE"])
+        .groupBy(F.col("DST")).agg(F.sum("X").alias("S"))
+    )
+    hub_half.collect()
+    plan = hub_half._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(SRC" not in plan, plan
+    auth_half = (
+        ed.hint("merge").join(scores, ed["DST"] == scores["NODE"])
+        .groupBy(F.col("SRC")).agg(F.sum("X").alias("S"))
+    )
+    auth_half.collect()
+    plan = auth_half._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(DST" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS hits_bkt_test_src")
+    spark.sql("DROP TABLE IF EXISTS hits_bkt_test_dst")
+
+
 def test_hits_rejects_scale_not_exceeding_node_count(spark):
     """scale <= n floors the uniform init to 0 and would silently NULL every
     score through the `div __T` renormalization -- fail fast instead
