@@ -59,6 +59,8 @@ GRADE_FIRST: list[str] = [
     # -- NEW in round 7
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",
+    "supply_hits_scores_bucketed",
+    "events_value_exact_percentiles",
     # -- graduated from rows-only to full oracles in round 7
     "emb_ivf_pq_topk",
     "multimodal_features",

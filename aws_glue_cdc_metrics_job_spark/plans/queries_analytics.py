@@ -1100,6 +1100,48 @@ def q_events_value_rank_percentiles(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "events_value_exact_percentiles",
+    oracle="""
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+n AS (SELECT COUNT(*) AS cnt FROM v),
+o AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS r FROM v),
+p AS (SELECT UNNEST([2500, 5000, 9500, 9900]) AS q_bp),
+t AS (
+  SELECT p.q_bp, (p.q_bp / 10000.0) * (n.cnt - 1) AS pos,
+         CAST(FLOOR((p.q_bp / 10000.0) * (n.cnt - 1)) AS BIGINT) AS lo,
+         CAST(CEIL((p.q_bp / 10000.0) * (n.cnt - 1)) AS BIGINT) AS hi
+  FROM p, n
+)
+SELECT CAST(t.q_bp AS INT) AS Q_BP,
+       CASE WHEN t.hi = t.lo THEN vlo.value
+            ELSE (t.hi - t.pos) * vlo.value + (t.pos - t.lo) * vhi.value
+       END AS VALUE
+FROM t JOIN o vlo ON vlo.r = t.lo + 1 JOIN o vhi ON vhi.r = t.hi + 1
+""",
+)
+def q_events_value_exact_percentiles(spark: SparkSession, sf_dir: str):
+    """Exact INTERPOLATED P25/P50/P95/P99 of event values computed with
+    the distributed-ranking quantile machinery
+    (functions/quantile.ranked_quantile_cuts, new in round 7): no
+    single-reducer percentile buffer anywhere -- three bounded-collect
+    jobs locate the two neighbor order statistics per cut and the driver
+    interpolates with percentile()'s own IEEE formula. The oracle
+    REPLAYS that formula term-for-term over DuckDB's row_number order
+    statistics ((hi - pos)*v_lo + (pos - lo)*v_hi on doubles), so the
+    returned VALUE hashes bit-identically cross-engine -- the direct pin
+    of the machinery that mart_customer_clv_segment's cuts ride. The
+    discrete (PERCENTILE_DISC) sibling is events_value_rank_percentiles."""
+    from ..functions.quantile import ranked_quantile_cuts
+
+    ev = read_table(spark, sf_dir, "events")
+    bps = [2500, 5000, 9500, 9900]
+    cuts = ranked_quantile_cuts(ev.select("value"), "value", [b / 10000 for b in bps])
+    return spark.createDataFrame(
+        list(zip(bps, cuts)), "Q_BP int, VALUE double"
+    )
+
+
 # --- fixed-iteration PageRank on the integer picos lattice: the oracle
 # unrolls the SAME iterations in SQL, so the trajectory must be exact.
 _PR_SCALE = 10**12
