@@ -802,6 +802,92 @@ def common_neighbor_link_prediction(
     )
 
 
+KATZ_SCALE = 10**9  # Katz unit = 1e-9 per unit of path mass ("nanos")
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iterations: int = 3,
+    alpha_ppm: int = 50_000,
+    scale: int = KATZ_SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Katz centrality (Katz, "A new status index derived from sociometric
+    analysis", Psychometrika 1953) truncated at ``iterations`` hops on an
+    exact integer lattice: x_0 = 0 and
+
+        x_{t+1}(v) = sum over in-edges (u, v) of
+                     (alpha_ppm * (scale + x_t(u))) div 1e6
+
+    -- so x_T(v) counts every path of length 1..T ending at v, damped by
+    alpha^length, with the floor division applied PER EDGE PER HOP so the
+    whole trajectory replays verbatim in any SQL engine (the pagerank/HITS
+    lattice discipline). Unlike PageRank, contributions are NOT divided by
+    out-degree: a node with many strong walkers pointing at it scores
+    high even if those walkers also point elsewhere -- the influence form
+    of the walk.
+
+    Convergence/overflow guard: the per-node recurrence is bounded by
+    r = alpha_ppm * max_in_degree / 1e6; the truncated series only decays
+    (and the BIGINT lattice cannot overflow) when r < 1, so the operator
+    computes the max in-degree (one bounded scalar) and raises if
+    ``alpha_ppm * max_in_degree >= 1e6``. Per hop: ONE edge-sized shuffle
+    join + one keyed aggregation + a node-sized left join, lineage cut
+    per hop with localCheckpoint.
+
+    Returns (NODE, KATZ_NANOS, IN_DEGREE)."""
+    if not 0 < alpha_ppm < 10**6:
+        raise ValueError(f"alpha_ppm must be in (0, 1e6), got {alpha_ppm}")
+    ed = edges.select("SRC", "DST").distinct()
+    if checkpoint:
+        ed = _ckpt_big(ed)
+    nodes = (
+        ed.select(F.col("SRC").alias("NODE"))
+        .unionAll(ed.select(F.col("DST").alias("NODE")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    indeg = ed.groupBy(F.col("DST").alias("NODE")).agg(
+        F.count(F.lit(1)).cast("long").alias("IN_DEGREE")
+    )
+    row = indeg.agg(F.max("IN_DEGREE").alias("m")).collect()
+    max_in = int(row[0]["m"] or 0)  # bounded driver scalar
+    if alpha_ppm * max_in >= 10**6:
+        raise ValueError(
+            f"alpha_ppm * max_in_degree = {alpha_ppm} * {max_in} >= 1e6: "
+            "the truncated Katz series would grow instead of decay -- "
+            "lower alpha_ppm below 1e6 / max_in_degree"
+        )
+    x = nodes.select("NODE", F.lit(0).cast("long").alias("X"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(x, ed["SRC"] == x["NODE"])
+            .select(
+                F.col("DST"),
+                F.expr(f"({alpha_ppm} * ({scale} + X)) div 1000000")
+                .cast("long")
+                .alias("__c"),
+            )
+            .groupBy(F.col("DST").alias("NODE"))
+            .agg(F.sum("__c").cast("long").alias("__S"))
+        )
+        x = (
+            nodes.join(contrib, "NODE", "left")
+            .select("NODE", F.coalesce(F.col("__S"), F.lit(0)).cast("long").alias("X"))
+        )
+        if checkpoint:
+            x = x.localCheckpoint(eager=False)
+    return (
+        x.join(indeg, "NODE", "left")
+        .select(
+            "NODE",
+            F.col("X").alias("KATZ_NANOS"),
+            F.coalesce(F.col("IN_DEGREE"), F.lit(0)).cast("long").alias("IN_DEGREE"),
+        )
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: list[int],

@@ -61,6 +61,8 @@ GRADE_FIRST: list[str] = [
     "parts_copurchase_pagerank_weighted_bucketed",
     "supply_hits_scores_bucketed",
     "events_value_exact_percentiles",
+    "supply_katz_centrality",
+    "orders_time_travel",
     # -- graduated from rows-only to full oracles in round 7
     "emb_ivf_pq_topk",
     "multimodal_features",

@@ -1712,6 +1712,68 @@ def q_supply_hits_scores_bucketed(spark: SparkSession, sf_dir: str):
     )
 
 
+def _katz_oracle(iterations: int = 3, alpha_ppm: int = 1000) -> str:
+    s = 10**9
+    cte = [
+        "e AS (SELECT DISTINCT l_partkey AS SRC, "
+        "CAST(1000000000 + l_suppkey AS BIGINT) AS DST FROM lineitem)",
+        "nodes AS (SELECT SRC AS NODE FROM e UNION SELECT DST FROM e)",
+        "x0 AS (SELECT NODE, CAST(0 AS BIGINT) AS X FROM nodes)",
+    ]
+    for t in range(iterations):
+        cte.append(
+            f"c{t} AS (SELECT e.DST AS NODE, "
+            f"CAST(SUM(({alpha_ppm} * ({s} + x.X)) // 1000000) AS BIGINT) AS S "
+            f"FROM e JOIN x{t} x ON e.SRC = x.NODE GROUP BY e.DST)"
+        )
+        cte.append(
+            f"x{t + 1} AS (SELECT n.NODE, CAST(COALESCE(c.S, 0) AS BIGINT) AS X "
+            f"FROM nodes n LEFT JOIN c{t} c ON n.NODE = c.NODE)"
+        )
+    cte.append(
+        "ind AS (SELECT DST AS NODE, CAST(COUNT(*) AS BIGINT) AS IN_DEGREE "
+        "FROM e GROUP BY DST)"
+    )
+    last = f"x{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT {last}.NODE AS NODE_ID, {last}.X AS KATZ_NANOS,
+       COALESCE(ind.IN_DEGREE, 0) AS IN_DEGREE
+FROM {last} LEFT JOIN ind ON {last}.NODE = ind.NODE
+ORDER BY KATZ_NANOS DESC, NODE_ID
+LIMIT 50"""
+    )
+
+
+@query("supply_katz_centrality", oracle=_katz_oracle(3, 1000))
+def q_supply_katz_centrality(spark: SparkSession, sf_dir: str):
+    """Truncated Katz centrality (operators/graph.katz_centrality) on the
+    directed part -> supplier supply graph: each supplier scores the
+    alpha-damped count of supply paths reaching it (alpha = 1000 ppm,
+    three hops, per-edge-per-hop floor division on the nanos lattice) --
+    the influence walk that, unlike PageRank, does NOT split a part's
+    mass across its suppliers, so a part feeding many suppliers boosts
+    all of them. Divergence-guarded: the operator raises unless
+    alpha_ppm * max_in_degree < 1e6 (682 at sf0.1, so the truncated
+    series decays at every graded and benched scale). The oracle unrolls
+    the identical recurrence."""
+    from ..operators.graph import katz_centrality
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("SRC"),
+        (F.lit(1000000000) + F.col("l_suppkey")).cast("long").alias("DST"),
+    ).distinct()
+    out = katz_centrality(edges, iterations=3, alpha_ppm=1000)
+    return (
+        out.select(F.col("NODE").alias("NODE_ID"), "KATZ_NANOS", "IN_DEGREE")
+        .orderBy(F.col("KATZ_NANOS").desc(), F.col("NODE_ID"))
+        .limit(50)
+    )
+
+
 @query(
     "parts_link_prediction",
     oracle="""

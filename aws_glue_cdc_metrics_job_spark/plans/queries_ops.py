@@ -1941,3 +1941,48 @@ def q_events_type_dow_independence(spark: SparkSession, sf_dir: str):
         "EXPECTED_PPM",
         "DEV_PPM",
     ).orderBy("EVENT_TYPE", "DOW")
+
+
+@query(
+    "orders_time_travel",
+    oracle=f"""
+SELECT CAST(1 AS BIGINT) AS VERSION, CAST(COUNT(*) AS BIGINT) AS N_ROWS,
+       {sql_dsum("o_totalprice", 2)} AS TOTAL_PRICE
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), {sql_dsum("o_totalprice", 2)}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+""",
+)
+def q_orders_time_travel(spark: SparkSession, sf_dir: str):
+    """Manifest-versioned snapshot isolation + time travel
+    (sources/parquet_io.versioned_write / read_version, new in round 7):
+    commit orders with o_orderkey%3==0 as version 1, APPEND the %3==1
+    slice as version 2, then read BOTH versions back -- v1 must still
+    return exactly its commit-time rows after the append (the dataset
+    version pinning a reproducible training run needs). Each commit is
+    one atomic manifest rename over immutable data files; reading AS OF
+    a version is a plain multi-directory parquet scan, no merge-on-read.
+    The oracle replays each version's visible row set straight from the
+    source table."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.parquet_io import read_version, versioned_write
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"tt_orders_{h}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders")
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 == 0), path)  # v1
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 == 1), path)  # v2
+    per_version = [
+        read_version(spark, path, v).agg(
+            F.count(F.lit(1)).cast("long").alias("N_ROWS"),
+            dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
+        ).select(F.lit(v).cast("long").alias("VERSION"), "N_ROWS", "TOTAL_PRICE")
+        for v in (1, 2)
+    ]
+    return per_version[0].unionByName(per_version[1])

@@ -380,6 +380,129 @@ def read_pruned(
     return out
 
 
+# --- manifest-versioned tables: snapshot isolation + time travel -----------
+#
+# The lakehouse commit-log pattern (Delta/Iceberg) reduced to its core:
+# data files are immutable, a numbered JSON manifest lists the data
+# directories visible at each version, and a commit is ONE atomic manifest
+# rename -- readers never see a partial write, and any historical version
+# stays readable until vacuumed. For a training-data pipeline this is
+# dataset version pinning: a run records the version it read, and the
+# exact bytes are reproducible forever after, independent of later appends
+# or rewrites. Single-writer contract: version numbers are assigned by
+# listing, so concurrent writers need an external lock or a
+# conditional-put commit (exactly the part Delta's log protocol adds);
+# local-filesystem os.* calls stand in for the object-store FileSystem
+# API here.
+
+
+def _manifest_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_manifests")
+
+
+def table_versions(path: str) -> list[int]:
+    """Committed versions of a manifest-versioned table, ascending."""
+    import os
+
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(fn[1:-5])
+        for fn in os.listdir(d)
+        if fn.startswith("v") and fn.endswith(".json")
+    )
+
+
+def versioned_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    compression: str = "snappy",
+) -> int:
+    """Commit ``df`` as the next version of the table at ``path``.
+
+    ``mode='append'``: the new version sees every directory the previous
+    version saw plus the new one. ``mode='overwrite'``: the new version
+    sees ONLY the new directory -- a logical replace; the old data files
+    stay on disk so earlier versions remain readable (:func:`read_version`)
+    until :func:`vacuum_versions`. The data write is idempotent (a retry
+    overwrites its own uncommitted directory); the commit point is the
+    atomic manifest rename. Returns the committed version number."""
+    import json
+    import os
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    versions = table_versions(path)
+    v = (versions[-1] if versions else 0) + 1
+    data_rel = f"data/v{v:05d}"
+    df.write.mode("overwrite").option("compression", compression).parquet(
+        os.path.join(path, data_rel)
+    )
+    dirs: list[str] = []
+    if mode == "append" and versions:
+        with open(os.path.join(_manifest_dir(path), f"v{versions[-1]:05d}.json")) as fh:
+            dirs = json.load(fh)["dirs"]
+    dirs = dirs + [data_rel]
+    tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "dirs": dirs}, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(path), f"v{v:05d}.json"))
+    return v
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read a manifest-versioned table AS OF ``version`` (default: latest).
+    One multi-directory parquet read of exactly the files that version
+    committed -- time travel with no copy and no merge-on-read."""
+    import json
+    import os
+
+    versions = table_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions at {path}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise ValueError(f"version {v} not in committed versions {versions}")
+    with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+
+
+def vacuum_versions(path: str, keep_last: int = 1) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` versions and
+    delete every data directory no kept version references. Returns the
+    deleted data directories (relative). The retention/time-travel
+    trade, made explicit."""
+    import json
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = table_versions(path)
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    keep_dirs: set[str] = set()
+    for v in kept:
+        with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
+            keep_dirs.update(json.load(fh)["dirs"])
+    removed: list[str] = []
+    for v in dropped:
+        mpath = os.path.join(_manifest_dir(path), f"v{v:05d}.json")
+        with open(mpath) as fh:
+            for d in json.load(fh)["dirs"]:
+                if d not in keep_dirs and d not in removed:
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                    removed.append(d)
+        os.remove(mpath)
+    return removed
+
+
 @dataclass(frozen=True)
 class MedallionLayout:
     """Zone path scheme mirroring the reference's

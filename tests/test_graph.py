@@ -400,6 +400,49 @@ def test_hits_empty_graph(spark):
     assert hits(df, checkpoint=False).count() == 0
 
 
+def test_katz_matches_pure_python_replay(spark):
+    """x_{t+1}(v) = sum over in-edges (u,v) of alpha*(scale + x_t(u)) with
+    per-edge floor division -- the Spark trajectory must equal the exact
+    integer recurrence."""
+    from aws_glue_cdc_metrics_job_spark.operators.graph import katz_centrality
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4)]
+    df = spark.createDataFrame(edges, "SRC long, DST long")
+    alpha, scale = 100_000, 10**9
+    got = {
+        r["NODE"]: (r["KATZ_NANOS"], r["IN_DEGREE"])
+        for r in katz_centrality(
+            df, iterations=3, alpha_ppm=alpha, checkpoint=False
+        ).collect()
+    }
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    x = {v: 0 for v in nodes}
+    for _ in range(3):
+        nxt = {v: 0 for v in nodes}
+        for s, d in set(edges):
+            nxt[d] += alpha * (scale + x[s]) // 10**6
+        x = nxt
+    indeg = {v: sum(1 for _, d in set(edges) if d == v) for v in nodes}
+    assert got == {v: (x[v], indeg[v]) for v in nodes}
+
+
+def test_katz_guards_divergence_and_alpha(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.graph import katz_centrality
+
+    # star: node 0 has in-degree 20 -> alpha 100000 ppm * 20 >= 1e6
+    star = [(i, 0) for i in range(1, 21)]
+    df = spark.createDataFrame(star, "SRC long, DST long")
+    with pytest.raises(ValueError, match="max_in_degree"):
+        katz_centrality(df, alpha_ppm=100_000, checkpoint=False)
+    # a decaying alpha on the same graph is fine
+    out = katz_centrality(df, alpha_ppm=10_000, iterations=2, checkpoint=False)
+    assert out.count() == 21
+    with pytest.raises(ValueError, match="alpha_ppm"):
+        katz_centrality(df, alpha_ppm=0, checkpoint=False)
+    with pytest.raises(ValueError, match="alpha_ppm"):
+        katz_centrality(df, alpha_ppm=10**6, checkpoint=False)
+
+
 def test_hits_bucketed_matches_plain_and_plan(spark, tmp_path):
     """Dual-bucketed layout twin: identical values to hits(), and EACH
     half-step's join reads its co-located edge copy (SRC-bucketed for hub

@@ -425,6 +425,76 @@ def test_zorder_constant_dimension_and_validation(spark):
         add_zorder_key(df, ["a", "b"], bits=32)  # 64 bits > signed ceiling
 
 
+# --- round 7: manifest-versioned tables (snapshot isolation + time travel) --
+
+
+def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        read_version,
+        table_versions,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    df3 = spark.createDataFrame([(9, "z")], "k long, v string")
+
+    assert versioned_write(df1, path) == 1
+    assert versioned_write(df2, path) == 2          # append
+    assert versioned_write(df3, path, mode="overwrite") == 3  # logical replace
+    assert table_versions(path) == [1, 2, 3]
+
+    # time travel: every version returns exactly its commit-time rows
+    assert sorted(r["k"] for r in read_version(spark, path, 1).collect()) == [1, 2]
+    assert sorted(r["k"] for r in read_version(spark, path, 2).collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in read_version(spark, path).collect()) == [9]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(spark, path, 7)
+    with _pytest.raises(ValueError):
+        versioned_write(df1, path, mode="upsert")
+
+    # vacuum keeps the last version readable and drops unreferenced dirs
+    removed = vacuum_versions(path, keep_last=1)
+    assert sorted(removed) == ["data/v00001", "data/v00002"]
+    assert table_versions(path) == [3]
+    assert sorted(r["k"] for r in read_version(spark, path).collect()) == [9]
+    with _pytest.raises(ValueError):
+        read_version(spark, path, 1)
+    with _pytest.raises(ValueError):
+        vacuum_versions(path, keep_last=0)
+
+
+def test_versioned_table_append_shares_files(spark, tmp_path):
+    """Appends never rewrite earlier data: v2's manifest references v1's
+    directory, and the commit is the manifest file alone."""
+    import json
+    import os
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import versioned_write
+
+    path = str(tmp_path / "vt2")
+    versioned_write(spark.range(5), path)
+    v1_files = {
+        (d, fn)
+        for d, _, fns in os.walk(os.path.join(path, "data", "v00001"))
+        for fn in fns
+    }
+    versioned_write(spark.range(5, 8), path)
+    v1_after = {
+        (d, fn)
+        for d, _, fns in os.walk(os.path.join(path, "data", "v00001"))
+        for fn in fns
+    }
+    assert v1_files == v1_after
+    with open(os.path.join(path, "_manifests", "v00002.json")) as fh:
+        assert json.load(fh)["dirs"] == ["data/v00001", "data/v00002"]
+
+
 def test_write_zordered_bounds_every_dimension(spark, tmp_path):
     """The layout claim, measured: on a 64x64 grid cut into 16 files, a
     Z-ordered write bounds BOTH dimensions per file (quadrant-ish
