@@ -421,6 +421,7 @@ def versioned_write(
     path: str,
     mode: str = "append",
     compression: str = "snappy",
+    batch_id: int | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the table at ``path``.
 
@@ -430,7 +431,15 @@ def versioned_write(
     stay on disk so earlier versions remain readable (:func:`read_version`)
     until :func:`vacuum_versions`. The data write is idempotent (a retry
     overwrites its own uncommitted directory); the commit point is the
-    atomic manifest rename. Returns the committed version number."""
+    atomic manifest rename. Returns the committed version number.
+
+    ``batch_id`` makes the commit IDEMPOTENT per source batch (the
+    exactly-once handshake Structured Streaming's foreachBatch needs): if
+    a manifest already records this batch_id, the write is a no-op
+    returning that version -- a micro-batch replay after a failure
+    between the data write and the manifest rename re-runs cleanly (the
+    listing still assigns the same version, the data dir is overwritten),
+    and a replay after full success commits nothing twice."""
     import json
     import os
     import uuid
@@ -439,6 +448,11 @@ def versioned_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_manifest_dir(path), exist_ok=True)
     versions = table_versions(path)
+    if batch_id is not None:
+        for v in versions:  # bounded: one tiny JSON per committed version
+            with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
+                if json.load(fh).get("batch_id") == batch_id:
+                    return v
     v = (versions[-1] if versions else 0) + 1
     data_rel = f"data/v{v:05d}"
     df.write.mode("overwrite").option("compression", compression).parquet(
@@ -449,9 +463,12 @@ def versioned_write(
         with open(os.path.join(_manifest_dir(path), f"v{versions[-1]:05d}.json")) as fh:
             dirs = json.load(fh)["dirs"]
     dirs = dirs + [data_rel]
+    manifest: dict = {"version": v, "dirs": dirs}
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
-        json.dump({"version": v, "dirs": dirs}, fh)
+        json.dump(manifest, fh)
     os.rename(tmp, os.path.join(_manifest_dir(path), f"v{v:05d}.json"))
     return v
 

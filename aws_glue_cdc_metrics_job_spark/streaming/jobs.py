@@ -1055,3 +1055,45 @@ def _span_scrub_apply(
         ).parquet(f"{index_path}/batch_id={batch_id}")
 
     return _apply
+
+
+def versioned_commit_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Streaming appends into a manifest-versioned table
+    (sources/parquet_io.versioned_write): each micro-batch commits as one
+    new table version -- an atomic manifest rename over immutable data
+    files -- so downstream readers get SNAPSHOT ISOLATION (a reader never
+    sees a half-written batch) and TIME TRAVEL (any historical version
+    stays readable until vacuumed; a training run pins the version it
+    consumed and is reproducible forever after).
+
+    Exactly-once: the micro-batch's ``batch_id`` rides the manifest, and
+    ``versioned_write`` is a no-op for an already-committed batch_id --
+    so a foreachBatch replay after a failure anywhere (before, between,
+    or after the data write and the manifest rename) lands the batch
+    exactly once (pinned in tests/test_streaming.py via direct _apply
+    replay). State is the manifest directory (#versions tiny JSONs), not
+    streaming state."""
+    _apply = _versioned_commit_apply(path)
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _versioned_commit_apply(path: str):
+    """versioned_commit_sink's per-batch body, factored out so tests can
+    replay a micro-batch with the same batch_id and assert idempotence."""
+    from ..sources.parquet_io import versioned_write
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        versioned_write(batch, path, mode="append", batch_id=int(batch_id))
+
+    return _apply

@@ -951,3 +951,57 @@ def test_span_scrub_replay_idempotent(spark, tmp_path):
     )
     assert first == second
     assert first[0][1] == "b1 b2 b3 b4 novel tail one"  # NOT scrubbed to nothing
+
+
+def test_versioned_commit_sink_stream_and_time_travel(spark, tmp_path):
+    """Each micro-batch becomes one table version; earlier versions stay
+    readable after later appends (streaming time travel)."""
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        read_version,
+        table_versions,
+    )
+
+    SCHEMA = "k long, v string"
+    src = str(tmp_path / "vc_in")
+    spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).write.mode("append").parquet(src)
+    spark.createDataFrame([(3, "c")], SCHEMA).write.mode("append").parquet(src)
+
+    stream = S.read_event_stream(spark, src, SCHEMA)
+    table = str(tmp_path / "vc_table")
+    q = S.versioned_commit_sink(stream, table, checkpoint=str(tmp_path / "ckpt_vc"))
+    q.awaitTermination(120)
+
+    versions = table_versions(table)
+    assert versions  # at least one committed version
+    # the latest version sees every row, exactly once
+    latest = sorted(r["k"] for r in read_version(spark, table).collect())
+    assert latest == [1, 2, 3]
+    # every committed version is a prefix-consistent snapshot
+    seen_counts = [read_version(spark, table, v).count() for v in versions]
+    assert seen_counts == sorted(seen_counts)
+
+
+def test_versioned_commit_replay_idempotent(spark, tmp_path):
+    """foreachBatch retries with the same batch_id must commit nothing
+    twice -- the batch_id handshake in versioned_write."""
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        read_version,
+        table_versions,
+    )
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import _versioned_commit_apply
+
+    table = str(tmp_path / "vc_table2")
+    apply_fn = _versioned_commit_apply(table)
+    SCHEMA = "k long, v string"
+    b0 = spark.createDataFrame([(1, "a")], SCHEMA)
+    b1 = spark.createDataFrame([(2, "b")], SCHEMA)
+
+    apply_fn(b0, 0)
+    apply_fn(b0, 0)  # retry of batch 0
+    apply_fn(b1, 1)
+    apply_fn(b1, 1)  # retry of batch 1
+    apply_fn(spark.createDataFrame([], SCHEMA), 2)  # empty batch: no commit
+
+    assert table_versions(table) == [1, 2]
+    assert sorted(r["k"] for r in read_version(spark, table).collect()) == [1, 2]
+    assert sorted(r["k"] for r in read_version(spark, table, 1).collect()) == [1]
