@@ -69,6 +69,41 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_kfold(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_cols: list[str],
+    k: int = 5,
+    seed: str = "kf0",
+    fold_col: str = "FOLD",
+) -> DataFrame:
+    """Stratified k-fold cross-validation assignment with EXACT quotas:
+    within every stratum, rows are ordered by their key hash (ties broken
+    by the keys themselves -- a total order) and dealt round-robin, so
+    each stratum's folds differ in size by AT MOST ONE row. A plain
+    ``hash % k`` fold only balances in expectation; small strata (the
+    rare-language / rare-source tail a stratified split exists for) can
+    land entirely in one fold -- this cannot.
+
+    Deterministic and engine-portable (md5 order + row_number, no RNG),
+    so the fold assignment replays bit-identically in SQL and any
+    non-Spark consumer can reproduce membership. One partitioned window
+    per stratum -- scale-safe as long as strata are data-sized groups,
+    the same contract every stratified operator here carries.
+
+    Returns the input plus ``fold_col`` (int in [0, k))."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _bucket_hex(key_cols, seed), *[F.col(c) for c in key_cols]
+    )
+    return df.withColumn(
+        fold_col, ((F.row_number().over(w) - 1) % k).cast("int")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     stratum_col: str,

@@ -392,3 +392,64 @@ def gini_split_candidates(
             .alias("GAIN_PPM"),
         )
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    positive,
+    qs_bp: list[int],
+    buckets: int = 64,
+) -> DataFrame:
+    """Precision/recall sweep for a score-ranked binary classifier -- the
+    evaluation step every trained quality/toxicity/language filter needs
+    before it gates a corpus. Thresholds are the exact PERCENTILE_DISC
+    values of the score at ``qs_bp`` basis points (real data values from
+    the distributed rank -- operators/ranking.rank_percentiles -- so they
+    hash identically cross-engine); a row predicts positive when
+    ``score >= threshold``. All ratios are exact integer ppm (floor
+    division), so the whole curve replays verbatim in SQL.
+
+    Shape: one distributed-rank pass for thresholds (bounded collects by
+    construction), then ONE aggregation pass over the scored frame with
+    2 conditional sums per threshold -- no per-threshold rescan, no
+    explode, no join; the final frame is built from len(qs_bp) driver
+    rows of exact integers. Rows with a NULL score or NULL label are
+    excluded. Zero-positive inputs report recall 0 rather than dividing
+    by zero (and precision 0 where nothing clears a threshold).
+
+    Returns one row per quantile: (Q_BP int, THRESHOLD double, TP, FP,
+    FN, PRECISION_PPM, RECALL_PPM, F1_PPM -- all BIGINT)."""
+    from .ranking import rank_percentiles
+
+    s = df.select(
+        F.col(score_col).cast("double").alias("__sc"),
+        positive.cast("int").alias("__y"),
+    ).where(F.col("__sc").isNotNull() & F.col("__y").isNotNull())
+    th_rows = rank_percentiles(
+        s.select(F.col("__sc").alias("V")), "V", [], qs_bp, buckets=buckets
+    ).collect()  # bounded: one row per requested quantile
+    ths = sorted(((r["Q_BP"], r["VALUE"]) for r in th_rows))
+    aggs = [F.sum("__y").cast("long").alias("__pos")]
+    for i, (_, v) in enumerate(ths):
+        ge = F.col("__sc") >= F.lit(v)
+        aggs.append(F.sum(F.when(ge, 1).otherwise(0)).cast("long").alias(f"__pp{i}"))
+        aggs.append(
+            F.sum(F.when(ge & (F.col("__y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__tp{i}")
+        )
+    row = s.agg(*aggs).collect()[0]  # bounded: ONE row of exact integers
+    pos = int(row["__pos"] or 0)
+    out = []
+    for i, (q, v) in enumerate(ths):
+        pp, tp = int(row[f"__pp{i}"]), int(row[f"__tp{i}"])
+        prec = (tp * 10**6) // pp if pp else 0
+        rec = (tp * 10**6) // pos if pos else 0
+        f1 = (2 * prec * rec) // (prec + rec) if prec + rec else 0
+        out.append((int(q), float(v), tp, pp - tp, pos - tp, prec, rec, f1))
+    return df.sparkSession.createDataFrame(
+        out,
+        "Q_BP int, THRESHOLD double, TP long, FP long, FN long, "
+        "PRECISION_PPM long, RECALL_PPM long, F1_PPM long",
+    )

@@ -63,6 +63,8 @@ GRADE_FIRST: list[str] = [
     "events_value_exact_percentiles",
     "supply_katz_centrality",
     "orders_time_travel",
+    "docs_stratified_kfold",
+    "events_pr_curve",
     # -- graduated from rows-only to full oracles in round 7
     "emb_ivf_pq_topk",
     "multimodal_features",

@@ -2041,3 +2041,55 @@ def q_parts_copurchase_pagerank_weighted_bucketed(spark: SparkSession, sf_dir: s
         .orderBy(F.col("RANK_PICOS").desc(), F.col("PART_ID"))
         .limit(50)
     )
+
+
+def _pr_curve_oracle(qs_bp: list[int]) -> str:
+    cte = [
+        "s AS (SELECT CAST(value AS DOUBLE) AS sc, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)",
+        "tot AS (SELECT CAST(SUM(y) AS BIGINT) AS pos FROM s)",
+    ]
+    sel = []
+    for q in sorted(qs_bp):
+        cte.append(f"t{q} AS (SELECT quantile_disc(sc, {q / 10000!r}) AS thr FROM s)")
+        cte.append(
+            f"c{q} AS (SELECT CAST(SUM(CASE WHEN sc >= thr THEN 1 ELSE 0 END) AS BIGINT) AS pp, "
+            f"CAST(SUM(CASE WHEN sc >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+            f"MAX(thr) AS thr FROM s, t{q})"
+        )
+        sel.append(
+            f"SELECT CAST({q} AS INT) AS Q_BP, thr AS THRESHOLD, tp AS TP, "
+            f"pp - tp AS FP, tot.pos - tp AS FN, "
+            f"CASE WHEN pp > 0 THEN (tp * 1000000) // pp ELSE 0 END AS PRECISION_PPM, "
+            f"CASE WHEN tot.pos > 0 THEN (tp * 1000000) // tot.pos ELSE 0 END AS RECALL_PPM "
+            f"FROM c{q}, tot"
+        )
+    body = "\nUNION ALL\n".join(sel)
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+SELECT Q_BP, THRESHOLD, TP, FP, FN, PRECISION_PPM, RECALL_PPM,
+       CASE WHEN PRECISION_PPM + RECALL_PPM > 0
+            THEN (2 * PRECISION_PPM * RECALL_PPM) // (PRECISION_PPM + RECALL_PPM)
+            ELSE 0 END AS F1_PPM
+FROM ({body})"""
+    )
+
+
+@query("events_pr_curve", oracle=_pr_curve_oracle([1000, 2500, 5000, 7500, 9000]))
+def q_events_pr_curve(spark: SparkSession, sf_dir: str):
+    """Precision/recall threshold sweep (operators/stats.pr_curve, new in
+    round 7) treating the event value as a classifier score for the
+    is-purchase label -- the evaluation step a trained quality filter
+    needs before gating a corpus. Thresholds are exact PERCENTILE_DISC
+    data values from the distributed rank (no single-partition window),
+    then ONE aggregation pass computes TP/FP/FN per threshold; all
+    ratios are exact integer ppm, so the whole curve -- thresholds
+    included -- replays verbatim in the oracle."""
+    from ..operators.stats import pr_curve
+
+    ev = read_table(spark, sf_dir, "events")
+    return pr_curve(
+        ev, "value", F.col("event_type") == "purchase",
+        qs_bp=[1000, 2500, 5000, 7500, 9000],
+    )

@@ -1986,3 +1986,30 @@ def q_orders_time_travel(spark: SparkSession, sf_dir: str):
         for v in (1, 2)
     ]
     return per_version[0].unionByName(per_version[1])
+
+
+@query(
+    "docs_stratified_kfold",
+    oracle="""
+SELECT doc_id AS DOC_ID, lang AS LANG,
+       CAST((ROW_NUMBER() OVER (
+              PARTITION BY lang
+              ORDER BY SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|kf1'), 1, 8),
+                       doc_id) - 1) % 5 AS INT) AS FOLD
+FROM documents
+""",
+)
+def q_docs_stratified_kfold(spark: SparkSession, sf_dir: str):
+    """Stratified 5-fold cross-validation assignment with EXACT per-stratum
+    quotas (sampling.stratified_kfold, new in round 7): within every
+    language the folds differ by at most one document -- a plain hash%k
+    only balances in expectation and can put a rare language entirely in
+    one fold. md5-ordered round-robin dealing, so membership replays
+    bit-identically in SQL and any non-Spark consumer."""
+    from ..operators.sampling import stratified_kfold
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_kfold(docs, ["lang"], ["doc_id"], k=5, seed="kf1")
+    return out.select(
+        F.col("doc_id").alias("DOC_ID"), F.col("lang").alias("LANG"), "FOLD"
+    )

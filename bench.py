@@ -32,6 +32,8 @@ HEADLINE = [
     "events_value_exact_percentiles",
     "supply_katz_centrality",
     "orders_time_travel",
+    "docs_stratified_kfold",
+    "events_pr_curve",
     # BASELINE.md anchor queries restored in round 7 (VERDICT r6 item 1 of
     # "what's wrong": the 2x-of-baseline gate must stay computable over all
     # 34 anchors; these six cost <4 s total)

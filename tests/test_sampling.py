@@ -531,3 +531,32 @@ def test_rendezvous_validation(spark):
         rendezvous_assign(df, "k", [])
     with _pytest.raises(ValueError):
         rendezvous_assign(df, "k", ["a", "a"])
+
+
+def test_stratified_kfold_exact_quotas_and_determinism(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.sampling import stratified_kfold
+
+    rows = [(i, "big") for i in range(103)] + [(1000 + i, "rare") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_kfold(df, ["lang"], ["doc_id"], k=5, seed="t").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["FOLD"])
+    # exact quotas: fold sizes within each stratum differ by at most 1
+    for lang, folds in by.items():
+        sizes = [folds.count(f) for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    # the 7-row rare stratum spreads across 5 folds (never all-in-one)
+    assert len(set(by["rare"])) == 5
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: r["FOLD"]
+        for r in stratified_kfold(
+            df.repartition(13), ["lang"], ["doc_id"], k=5, seed="t"
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["FOLD"] for r in out}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_kfold(df, ["lang"], ["doc_id"], k=1)

@@ -314,3 +314,39 @@ def test_gini_split_matches_brute_force_replay(spark):
                 nl, pl, nt - nl, pt - pl, gain,
             )
     assert got == want
+
+
+# --- round 7: precision/recall threshold sweep -------------------------------
+
+
+def test_pr_curve_matches_brute_force(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.stats import pr_curve
+
+    rows = [(float((i * 37) % 50), (i * 13) % 3 == 0) for i in range(200)]
+    rows += [(None, True), (5.0, None)]  # NULL score / label excluded
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    qs = [2500, 5000, 7500]
+    got = {r["Q_BP"]: r for r in pr_curve(df, "score", F.col("y"), qs).collect()}
+
+    clean = [(s, bool(y)) for s, y in rows if s is not None and y is not None]
+    vals, n = sorted(s for s, _ in clean), len(clean)
+    pos = sum(1 for _, y in clean if y)
+    for q in qs:
+        thr = vals[max(1, -((-q * n) // 10000)) - 1]  # rank ceil(q*n/1e4)
+        tp = sum(1 for s, y in clean if s >= thr and y)
+        pp = sum(1 for s, _ in clean if s >= thr)
+        r = got[q]
+        assert r["THRESHOLD"] == thr
+        assert (r["TP"], r["FP"], r["FN"]) == (tp, pp - tp, pos - tp)
+        prec = tp * 10**6 // pp if pp else 0
+        rec = tp * 10**6 // pos if pos else 0
+        assert r["PRECISION_PPM"] == prec and r["RECALL_PPM"] == rec
+        assert r["F1_PPM"] == ((2 * prec * rec) // (prec + rec) if prec + rec else 0)
+
+
+def test_pr_curve_zero_positive_guard(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.stats import pr_curve
+
+    df = spark.createDataFrame([(1.0, False), (2.0, False)], "score double, y boolean")
+    out = pr_curve(df, "score", F.col("y"), [5000]).collect()
+    assert out[0]["RECALL_PPM"] == 0 and out[0]["TP"] == 0
