@@ -163,38 +163,37 @@ def quantile_bucket(
     """Label rows by right-closed quantile bins: value <= q(probs[0]) ->
     labels[0], ... else labels[-1]. len(labels) == len(probs) + 1.
 
+    Both paths materialize the input lineage ONCE (localCheckpoint) and
+    label with LITERAL cut values, so the final plan is a pure scan-stage
+    CASE -- no join at all, and no second lineage execution (under AQE
+    each action compiles fresh query stages, so the old
+    agg-then-crossJoin shape re-ran the whole upstream lineage for the
+    labeling pass -- measured 4x slower than the checkpointed shape at
+    the 100x bench point).
+
     The exact default computes its cuts with the distributed-ranking
     machinery (:func:`ranked_quantile_cuts` -- no single-reducer
-    percentile buffer anywhere in the plan) and labels with LITERAL cut
-    values, so the input lineage is materialized ONCE (localCheckpoint)
-    and the final plan is a pure scan-stage CASE -- no join at all. The
-    cuts are bit-identical to ``percentile``'s, so oracles keep matching
-    DuckDB's ``quantile_cont``.
-
-    ``exact=False`` swaps in the sketch-based ``approx_percentile`` (see
-    approx_quantile_cuts): ONE mergeable-aggregate pass whose cut is a
-    real data value within the sketch's rank error -- the even-cheaper
-    path when a near-by-rank cut is acceptable."""
+    percentile buffer anywhere in the plan); the cuts are bit-identical
+    to ``percentile``'s, so oracles keep matching DuckDB's
+    ``quantile_cont``. ``exact=False`` swaps in the sketch-based
+    ``approx_percentile`` (see approx_quantile_cuts): one
+    mergeable-aggregate job over the checkpoint whose cut is a real data
+    value within the sketch's rank error."""
     if len(labels) != len(probs) + 1:
         raise ValueError("need len(labels) == len(probs) + 1")
+    # one materialization of the (possibly expensive) input lineage; the
+    # cut computation and the labeled output all reuse it
+    snap = df.localCheckpoint(eager=True)
     if exact:
-        # one materialization of the (possibly expensive) input lineage;
-        # the ranking passes and the labeled output all reuse it
-        snap = df.localCheckpoint(eager=True)
         cut_vals = ranked_quantile_cuts(snap, value_col, probs)
-        expr = None
-        for i, c in enumerate(cut_vals):
-            cond = F.col(value_col) <= F.lit(c).cast("double")
-            expr = F.when(cond, labels[i]) if expr is None else expr.when(cond, labels[i])
-        return snap.withColumn(out_col, expr.otherwise(labels[-1]))
-    cuts = approx_quantile_cuts(df, value_col, probs, accuracy)
+    else:
+        row = approx_quantile_cuts(snap, value_col, probs, accuracy).collect()[0]
+        cut_vals = [row[f"q{i}"] for i in range(len(probs))]
     expr = None
-    for i in range(len(probs)):
-        cond = F.col(value_col) <= F.col(f"q{i}")
+    for i, c in enumerate(cut_vals):
+        cond = F.col(value_col) <= F.lit(c).cast("double")
         expr = F.when(cond, labels[i]) if expr is None else expr.when(cond, labels[i])
-    expr = expr.otherwise(labels[-1])
-    out = df.crossJoin(F.broadcast(cuts)).withColumn(out_col, expr)
-    return out.drop(*[f"q{i}" for i in range(len(probs))])
+    return snap.withColumn(out_col, expr.otherwise(labels[-1]))
 
 
 def winsorize(

@@ -28,9 +28,6 @@ BOUNDED_BROADCAST_OK = {
     # sources cross the BOUNDED top-k head-vocab frame (LIMIT 300) which
     # itself carries the 1-row corpus total (text.head_vocab_drift)
     "docs_head_vocab_drift": (2, "bounded top-k vocab frame + its 1-row corpus total"),
-    # approx-quantile twin: cross join with the broadcast ONE-ROW sketch-cut
-    # frame (the exact twin labels with literal cuts -- no join at all)
-    "mart_customer_clv_segment_approx": (1, "1-row approx cut frame (functions/quantile.py)"),
     # salted_join replicates the small side against a broadcast range(salt)
     # frame (8 rows) -- the standard skew-spreading pattern
     "docs_simhash_pairs": (1, "broadcast 8-row salt range (relational.salted_join)"),
