@@ -1336,3 +1336,130 @@ def head_vocab_drift(
             F.sum(diff).cast("long").alias("HEAD_DRIFT_PPM"),
         )
     )
+
+
+def _latin1_ghost(ch: str) -> str:
+    """What ``ch`` becomes after the classic double-encode accident:
+    its UTF-8 bytes re-decoded as Latin-1 (built at runtime because the
+    multi-byte ghosts contain C1 control characters that do not belong
+    in source text)."""
+    return ch.encode("utf-8").decode("latin-1")
+
+
+# UTF-8-decoded-as-Latin-1 digraph signatures for the most common
+# non-ASCII characters in web text: accented Latin letters, the curly
+# quotes/dashes Word emits, and the non-breaking space. Literal
+# substrings, NOT regex: counting is pure length arithmetic, so the
+# screen replays identically in any engine.
+MOJIBAKE_PATTERNS: list[str] = [
+    _latin1_ghost(c) for c in ["é", "è", "á", "ä", "ö", "ü", "ñ", "’", "“", "–", " "]
+]
+
+_CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def mojibake_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: list[str] | None = None,
+    threshold_ppm: int = 1000,
+) -> DataFrame:
+    """Encoding-quality screen over a text corpus: per document, count the
+    three classic decode-damage signals --
+
+    * ``N_REPLACEMENT``: U+FFFD replacement characters (a decoder already
+      gave up once);
+    * ``N_MOJIBAKE``: UTF-8-bytes-decoded-as-Latin-1 ghost sequences
+      (:data:`MOJIBAKE_PATTERNS`), counted by pure length arithmetic
+      ``(len(text) - len(replace(text, pat, ''))) / len(pat)`` -- no
+      regex, so every count replays bit-identically cross-engine;
+    * ``N_CONTROL``: C0 control characters other than tab/newline/CR
+      (binary junk pasted into "text").
+
+    ``BAD_PPM`` is their ppm share of the character count (floor
+    division, 0 for empty text) and ``SUSPECT`` flags documents at or
+    above ``threshold_ppm`` -- the deterministic re-encode/quarantine
+    work-list a corpus ingest runs BEFORE tokenization (the damage is
+    invisible after BPE splits the ghost digraphs). Pure scan-stage
+    column arithmetic: no shuffle, no UDF, output-proportional -- the
+    mojibake sibling of the langid/quality/Gopher screens.
+
+    Returns (id_col, N_CHARS, N_REPLACEMENT, N_MOJIBAKE, N_CONTROL,
+    BAD_PPM -- all BIGINT -- and SUSPECT boolean)."""
+    pats = MOJIBAKE_PATTERNS if patterns is None else patterns
+    t = F.col(text_col)
+    n = F.length(t)
+    repl = n - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    moji = None
+    for p in pats:
+        # exact integer count: each removal drops len(p) chars, so the
+        # double division is an exact multiple (counts << 2^52)
+        c = ((n - F.length(F.replace(t, F.lit(p), F.lit("")))) / F.lit(len(p))).cast(
+            "long"
+        )
+        moji = c if moji is None else moji + c
+    ctrl = n - F.length(F.regexp_replace(t, _CONTROL_CLASS, ""))
+    mid = df.select(
+        F.col(id_col),
+        n.cast("long").alias("N_CHARS"),
+        repl.cast("long").alias("N_REPLACEMENT"),
+        moji.cast("long").alias("N_MOJIBAKE"),
+        ctrl.cast("long").alias("N_CONTROL"),
+    ).withColumn("__bad", F.expr("N_REPLACEMENT + N_MOJIBAKE + N_CONTROL"))
+    return mid.select(
+        F.col(id_col),
+        "N_CHARS",
+        "N_REPLACEMENT",
+        "N_MOJIBAKE",
+        "N_CONTROL",
+        F.when(F.col("N_CHARS") > 0, F.expr("(__bad * 1000000) div N_CHARS"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("BAD_PPM"),
+        # integer-exact threshold: floor(bad*1e6/n) >= thr  <=>  bad*1e6 >= thr*n
+        (
+            (F.col("N_CHARS") > 0)
+            & (F.col("__bad") * 1000000 >= F.lit(int(threshold_ppm)) * F.col("N_CHARS"))
+        ).alias("SUSPECT"),
+    )
+
+
+def mojibake_sql(
+    text_col: str = "text",
+    patterns: list[str] | None = None,
+    threshold_ppm: int = 1000,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """The oracle twin of :func:`mojibake_report`: one SELECT over
+    ``table`` computing the identical counts with the identical literals
+    (DuckDB ``//`` floor division; same integer threshold compare)."""
+    pats = MOJIBAKE_PATTERNS if patterns is None else patterns
+
+    def cnt(pat: str) -> str:
+        esc = pat.replace("'", "''")
+        return f"(length({text_col}) - length(replace({text_col}, '{esc}', '')))"
+
+    moji = " + ".join(f"({cnt(p)} // {len(p)})" for p in pats)
+    ctrl = (
+        f"(length({text_col}) - length(regexp_replace({text_col}, "
+        f"'{_CONTROL_CLASS}', '', 'g')))"
+    )
+    return f"""
+WITH m AS (
+  SELECT {id_col},
+         CAST(length({text_col}) AS BIGINT) AS N_CHARS,
+         CAST({cnt(chr(0xFFFD))} AS BIGINT) AS N_REPLACEMENT,
+         CAST({moji} AS BIGINT) AS N_MOJIBAKE,
+         CAST({ctrl} AS BIGINT) AS N_CONTROL
+  FROM {table}
+)
+SELECT {id_col}, N_CHARS, N_REPLACEMENT, N_MOJIBAKE, N_CONTROL,
+       CAST(CASE WHEN N_CHARS > 0
+                 THEN ((N_REPLACEMENT + N_MOJIBAKE + N_CONTROL) * 1000000) // N_CHARS
+                 ELSE 0 END AS BIGINT) AS BAD_PPM,
+       (N_CHARS > 0 AND
+        (N_REPLACEMENT + N_MOJIBAKE + N_CONTROL) * 1000000 >= {int(threshold_ppm)} * N_CHARS)
+         AS SUSPECT
+FROM m"""

@@ -65,6 +65,7 @@ GRADE_FIRST: list[str] = [
     "orders_time_travel",
     "docs_stratified_kfold",
     "events_pr_curve",
+    "docs_mojibake_screen",
     # -- graduated from rows-only to full oracles in round 7
     "emb_ivf_pq_topk",
     "multimodal_features",

@@ -3294,3 +3294,17 @@ def q_docs_rendezvous_shards(spark: SparkSession, sf_dir: str):
     return rendezvous_assign(docs, "doc_id", _RDV_SHARDS).select(
         F.col("doc_id").alias("DOC_ID"), "SHARD", "SHARD_SCORE"
     )
+
+
+@query("docs_mojibake_screen", oracle=text.mojibake_sql())
+def q_docs_mojibake_screen(spark: SparkSession, sf_dir: str):
+    """Encoding-quality screen (text.mojibake_report, new in round 7):
+    per-document counts of U+FFFD replacement characters,
+    UTF-8-decoded-as-Latin-1 ghost digraphs (literal substrings counted
+    by pure length arithmetic -- no regex, engine-exact), and C0 control
+    junk, rolled into an integer BAD_PPM and a SUSPECT quarantine flag.
+    The re-encode work-list a corpus ingest runs BEFORE tokenization;
+    scan-stage only. The oracle is generated from the SAME pattern
+    literals (text.mojibake_sql)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.mojibake_report(docs)

@@ -34,6 +34,7 @@ HEADLINE = [
     "orders_time_travel",
     "docs_stratified_kfold",
     "events_pr_curve",
+    "docs_mojibake_screen",
     # BASELINE.md anchor queries restored in round 7 (VERDICT r6 item 1 of
     # "what's wrong": the 2x-of-baseline gate must stay computable over all
     # 34 anchors; these six cost <4 s total)

@@ -676,3 +676,63 @@ def test_head_vocab_drift_ranks_shifted_source(spark):
     a = sorted(map(tuple, head_vocab_drift(df.coalesce(1), top_k=6).collect()))
     b = sorted(map(tuple, head_vocab_drift(df.repartition(7), top_k=6).collect()))
     assert a == b
+
+
+# --- round 7: encoding-quality (mojibake) screen -----------------------------
+
+
+def test_mojibake_report_counts_and_flags(spark):
+    from aws_glue_cdc_metrics_job_spark.operators.text import (
+        MOJIBAKE_PATTERNS,
+        _latin1_ghost,
+        mojibake_report,
+    )
+
+    ghost_quote = _latin1_ghost("’")   # 3-char ghost of a curly quote
+    ghost_e = _latin1_ghost("é")       # 2-char ghost of e-acute
+    assert ghost_e == "Ã©" and ghost_quote in MOJIBAKE_PATTERNS
+    rows = [
+        (1, "clean ascii text"),
+        (2, f"caf{ghost_e} und caf{ghost_e}"),          # 2 mojibake hits
+        (3, "lost � chars �� here"),      # 3 replacement chars
+        (4, "ctrl\x01\x02 junk\x1f"),                    # 3 control chars
+        (5, f"don{ghost_quote}t"),                       # 1 three-char ghost
+        (6, ""),                                         # empty: all zero, not suspect
+        (7, "tab\tand\nnewline\rare fine"),              # whitelisted controls
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in mojibake_report(df, threshold_ppm=100000).collect()}
+    assert got[1]["N_MOJIBAKE"] == got[1]["N_REPLACEMENT"] == got[1]["N_CONTROL"] == 0
+    assert not got[1]["SUSPECT"]
+    assert got[2]["N_MOJIBAKE"] == 2 and got[2]["SUSPECT"]
+    assert got[3]["N_REPLACEMENT"] == 3 and got[3]["SUSPECT"]
+    assert got[4]["N_CONTROL"] == 3 and got[4]["SUSPECT"]
+    assert got[5]["N_MOJIBAKE"] == 1
+    assert got[6]["N_CHARS"] == 0 and got[6]["BAD_PPM"] == 0 and not got[6]["SUSPECT"]
+    assert got[7]["N_CONTROL"] == 0 and not got[7]["SUSPECT"]
+    # BAD_PPM floor arithmetic: doc 2 has 2 bad of 17 chars
+    assert got[2]["BAD_PPM"] == 2 * 10**6 // got[2]["N_CHARS"]
+
+
+def test_mojibake_report_matches_duckdb_twin(spark):
+    """The generated oracle SQL computes identical rows on hostile text --
+    including the C1-control-bearing ghost literals inside SQL strings."""
+    import duckdb
+
+    from aws_glue_cdc_metrics_job_spark.operators.text import (
+        _latin1_ghost,
+        mojibake_report,
+        mojibake_sql,
+    )
+
+    rows = [
+        (1, f"a{_latin1_ghost(chr(0x2019))}b � c\x01"),
+        (2, f"caf{_latin1_ghost(chr(0xE9))} normal"),
+        (3, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, mojibake_report(df).collect()))
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(mojibake_sql()).fetchall()))
+    assert got == want
