@@ -1,6 +1,11 @@
 """Benchmark harness (driver contract): run the headline query set at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and print ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+and print a JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+The line is CUMULATIVE and re-printed after each block (headline / sf1+skew
+/ sf10) so a timeout mid-run still leaves the completed blocks' evidence as
+the last parseable line (VERDICT r7: the end-only print lost the whole round
+to `parsed: null` when the driver killed the process).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect) after a warm-up of the session. Timings are wall-clock
@@ -302,15 +307,91 @@ SF10_WARM = {
     "events_value_bootstrap_ci_fast",
 }
 
+# BASELINE.md's 34 anchor queries (the 2x-of-baseline gate) plus this
+# round's new entries: the only sf0.1 queries that get min-of-two measured
+# passes. Everything else is warm-up + ONE measured pass -- VERDICT r7
+# item 1: the 184-query x 3-pass protocol blew the driver's wall clock
+# (BENCH_r07 rc 124) for precision the sub-2s tail doesn't need.
+MIN2 = {
+    "order_revenue", "fact_ltv_daily", "mart_customer_ltv_snapshot",
+    "mart_customer_clv_segment", "mart_customer_rfm",
+    "mart_customer_churn_profile", "mart_sales_trends_daily",
+    "mart_sales_trends_weekly", "mart_sales_trends_monthly",
+    "mart_sales_trends_hourly", "mart_loyalty_program_impact",
+    "mart_location_performance", "mart_discount_effectiveness",
+    "pricing_summary", "cdc_snapshot_diff", "events_sessionize",
+    "events_tumbling_daily", "dedup_keep_latest", "docs_exact_dedup",
+    "docs_minhash_lsh_pairs", "docs_ngram_jaccard_pairs", "docs_simhash",
+    "docs_regex_tokens", "cdc_apply_changes", "emb_cosine_topk",
+    "emb_cosine_topk_fast", "emb_cosine_dup_pairs",
+    "events_asof_attribution", "events_interval_join",
+    "customers_semi_urgent", "customers_anti_urgent",
+    "lineitem_hash_sample", "docs_train_split",
+    # round-8 new entries (first bench round: no prior number to anchor on)
+}
+
+# sf1 queries that get a second measured pass: the decade-ratio
+# denominators (SF10_QUERIES) and the skew-ratio denominators
+# (SKEW_QUERIES). The rest report a single warm pass -- their sf1 numbers
+# feed no judged ratio, only the per-query scaling table.
+SF1_MIN2 = set(SF10_QUERIES) | set(SKEW_QUERIES)
+
+
+def _emit(out: dict, detail: dict, detail_path: str) -> None:
+    """Write the detail file and print ONE cumulative JSON line.
+
+    Called after EVERY block (headline / sf1+skew / sf10), not only at exit
+    (VERDICT r7 item 1): a timeout or crash mid-run leaves the previous
+    block's line as the last parseable evidence instead of `parsed: null`.
+    Each line is kept under the driver's 2000-char stdout tail by dropping
+    the FASTEST per-query entries first (the slow ones are the regression
+    signal); bench_detail.json always has the full set.
+    """
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    out = dict(out)
+    full_queries = dict(out["queries"])
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        kept = sorted(full_queries.items(), key=lambda kv: -kv[1])
+        while len(line) > 1900 and kept:
+            kept.pop()
+            out["queries"] = dict(sorted(kept))
+            out["queries_spilled"] = (
+                f"{len(full_queries) - len(kept)} fastest in bench_detail.json"
+            )
+            line = json.dumps(out, separators=(",", ":"))
+    print(line, flush=True)
+
+
+def _scan_warm(spark, data_dir: str) -> None:
+    """Pull a dataset's parquet bytes through the OS page cache (noop sink)
+    so cold disk reads are not charged to whichever query runs first."""
+    for fn in sorted(os.listdir(data_dir)):
+        if fn.endswith(".parquet"):
+            spark.read.parquet(os.path.join(data_dir, fn)).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
     from aws_glue_cdc_metrics_job_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # Repo-local shuffle/scratch dir (VERDICT r7 item 1): the r7 driver run
+    # died on a shuffle-fetch FileNotFoundException under /tmp
+    # (blockmgr-.../shuffle_6353...). Keeping block-manager files under the
+    # repo rules out /tmp cleaners or tmpfs pressure as a failure mode.
+    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".spark_scratch")
+    os.makedirs(scratch, exist_ok=True)
+    spark = get_spark(app_name="bench", extra_conf={"spark.local.dir": scratch})
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+    )
 
     # Warm-up pass: JVM/codegen warm-up + populates the cached silver frames
     # (adapters._SILVER_CACHE), so the measured pass reports steady-state
@@ -318,19 +399,23 @@ def main() -> int:
     for name in names:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # Two measured passes, min per query: one-off events (silver-cache
-    # eviction under storage-memory pressure, a major GC triggered by the
-    # warm-up's allocations) otherwise land on whichever query runs first
-    # and report as a fake regression -- observed as a mart timing at sf0.1
-    # EXCEEDING its own 10x-data timing. The min is the steady-state cost.
+    # One measured pass for everything; a second (min-of-two) pass only for
+    # the BASELINE anchors + round-new entries (MIN2): one-off events
+    # (silver-cache eviction, a major GC) otherwise land on whichever query
+    # runs first and report as a fake regression. The full-set second pass
+    # was the r7 wall-clock blowout; the sub-2s tail doesn't need it.
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in names:
-            t0 = time.monotonic()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            t = round(time.monotonic() - t0, 3)
-            timings[name] = min(timings.get(name, t), t)
-            print(f"# {name}: {t:.2f}s", file=sys.stderr)
+    for name in names:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+    for name in [n for n in names if n in MIN2]:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        t = round(time.monotonic() - t0, 3)
+        timings[name] = min(timings[name], t)
+        print(f"# min2 {name}: {t:.2f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -345,6 +430,7 @@ def main() -> int:
         "sf": sf_val,
     }
     detail: dict = {"sf": sf_val, "queries": timings}
+    _emit(out, detail, detail_path)
 
     # Secondary 10x scale point (VERDICT r1 item 8): derived .bench_sf1 data
     # exposes shuffle-volume scaling the fixed-overhead-bound sf0.1 numbers
@@ -355,22 +441,32 @@ def main() -> int:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"),
     )
     if os.path.isdir(sf1_dir):
-        # Same warm-up treatment as the sf0.1 pass (silver-cache
-        # materialization and plan compilation happen once, outside the
-        # timed loop) so the sf1/sf0.1 ratios compare steady-state to
-        # steady-state instead of charging one-time setup to whichever
-        # query runs first.
+        # Cheap warm instead of a full warm-up pass (VERDICT r7 item 1: the
+        # full-pass warm-up tripled the block's wall clock): page-cache the
+        # parquet bytes and materialize the shared silver caches once,
+        # outside any timing. Plan codegen is already warm from the sf0.1
+        # block (generated classes key on the plan shape, not the input
+        # path), so a single measured pass is steady-state.
+        _scan_warm(spark, sf1_dir)
+        from aws_glue_cdc_metrics_job_spark.plans import adapters as _ad
+
+        _ad.order_revenue(spark, sf1_dir).write.mode("overwrite").format("noop").save()
         scale_names = [n for n in names if n not in SCALE_EXCLUDE]
-        for name in scale_names:
-            qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         t1: dict[str, float] = {}
-        for _pass in range(2):
-            for name in scale_names:
-                t0 = time.monotonic()
-                qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
-                t = round(time.monotonic() - t0, 3)
-                t1[name] = min(t1.get(name, t), t)
-                print(f"# sf1 {name}: {t:.2f}s", file=sys.stderr)
+        for name in scale_names:
+            t0 = time.monotonic()
+            qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
+            t1[name] = round(time.monotonic() - t0, 3)
+            print(f"# sf1 {name}: {t1[name]:.2f}s", file=sys.stderr)
+        # Second (min-of-two) pass only for the judged-ratio denominators:
+        # decade numerators divide by these (sf10 block) and skew numerators
+        # divide by these (skew block), so they get the steady-state min.
+        for name in [n for n in scale_names if n in SF1_MIN2]:
+            t0 = time.monotonic()
+            qs[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
+            t = round(time.monotonic() - t0, 3)
+            t1[name] = min(t1[name], t)
+            print(f"# sf1 min2 {name}: {t:.2f}s", file=sys.stderr)
         # Per-query sf1 timings go to the detail file only: the driver
         # captures a bounded stdout tail (2000 chars), and round 2's full
         # two-scale per-query line outgrew it (BENCH_r02 "parsed": null).
@@ -411,6 +507,7 @@ def main() -> int:
                 "ratio_vs_uniform": ratios,
                 "scale": "10x sf0.1, one user/type at 20% of event rows",
             }
+        _emit(out, detail, detail_path)
 
     # Decade point (VERDICT r5 item 7): 100x sf0.1 for the top-expensive
     # queries only, ONE measured pass after warm-up -- the deliverable is
@@ -431,7 +528,13 @@ def main() -> int:
         # execution pool. Queries past the budget are SKIPPED AND NAMED
         # (no silent caps); the full set lives in BASELINE.md's one-time
         # dedicated run.
-        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "900"))
+        # Default 450 s (was 900): VERDICT r7 item 1 -- the block must
+        # self-trim inside the driver's wall clock instead of being killed.
+        # The budget counts WALL CLOCK spent in the block (warm-up runs
+        # included), not just measured time. Queries past it are skipped
+        # and named; the full set lives in BASELINE.md's dedicated run
+        # (re-recorded each round via SPARK_GRAFT_SF10_BUDGET=1e9).
+        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "450"))
         sf10_names = [n for n in SF10_QUERIES if n in qs]
         # Warm the OS page cache + parquet footers with one cheap full
         # scan of each input file BEFORE the block (seconds for ~2.3 GB at
@@ -439,11 +542,7 @@ def main() -> int:
         # charged the disk read-in to whichever query ran first, inverting
         # twin pairs (the xxhash bootstrap read slower than its md5 twin
         # purely by position). Queries themselves stay single-pass.
-        for fn in sorted(os.listdir(sf10_dir)):
-            if fn.endswith(".parquet"):
-                spark.read.parquet(os.path.join(sf10_dir, fn)).write.mode(
-                    "overwrite"
-                ).format("noop").save()
+        _scan_warm(spark, sf10_dir)
         # Materialize the shared silver cache once, outside any timing
         # (adapters._SILVER_CACHE): the sf0.1/sf1 blocks' warm-up passes
         # populate it implicitly, but the cold sf10 pass otherwise charges
@@ -459,7 +558,7 @@ def main() -> int:
         ).save()
         t10: dict[str, float] = {}
         skipped: list[str] = []
-        spent = 0.0
+        block_t0 = time.monotonic()
         silver_released = False
         for name in sf10_names:
             if not silver_released and name not in SF10_SILVER:
@@ -468,7 +567,7 @@ def main() -> int:
                 for k in [k for k in adapters._SILVER_CACHE if k[1] == sf10_dir]:
                     adapters._SILVER_CACHE.pop(k).unpersist()
                 silver_released = True
-            if spent >= budget:
+            if time.monotonic() - block_t0 >= budget:
                 skipped.append(name)
                 continue
             if name in SF10_WARM:
@@ -486,7 +585,6 @@ def main() -> int:
                 t0 = time.monotonic()
                 qs[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
                 t10[name] = min(t10[name], round(time.monotonic() - t0, 3))
-            spent += t10[name]
             print(f"# sf10 {name}: {t10[name]:.2f}s", file=sys.stderr)
             gc.collect()
             spark.sparkContext._jvm.System.gc()
@@ -511,26 +609,7 @@ def main() -> int:
             "skipped_over_budget": skipped,
             "scale": "100x sf0.1, top-expensive subset, single cold pass",
         }
-
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1)
-    # ONE compact final line, guaranteed under the driver's tail buffer
-    # (2000 chars): if the per-query dict has outgrown it, drop the
-    # FASTEST entries first -- the slow ones are the regression signal --
-    # and note the spill; bench_detail.json always has the full set.
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        kept = sorted(out["queries"].items(), key=lambda kv: -kv[1])
-        while len(line) > 1900 and kept:
-            kept.pop()
-            out["queries"] = dict(sorted(kept))
-            out["queries_spilled"] = f"{len(timings) - len(kept)} fastest in bench_detail.json"
-            line = json.dumps(out, separators=(",", ":"))
-    print(line)
+        _emit(out, detail, detail_path)
     return 0
 
 
