@@ -35,12 +35,111 @@ def exact_quantile_cuts(df: DataFrame, value_col: str, probs: list[float]) -> Da
     return df.agg(*aggs)
 
 
+# A rank-holding bucket whose row count exceeds max(window_cap,
+# _DOMINANT_FACTOR * uniform-share) is "dominant": heavy ties collapsed the
+# approxQuantile boundaries under set(), so the partitioned row_number
+# window would sort ~the whole input in ONE task (ADVICE r7 medium). Such
+# buckets are resolved without a window: a tied single-value bucket yields
+# its value directly (any row IS the order statistic), anything else
+# recurses the bucketing within the bucket. Depth-capped; the window path
+# is the fallback.
+_DOMINANT_FACTOR = 8
+_MAX_RECURSE = 3
+
+
+def _order_statistics(
+    base: DataFrame,
+    need: set[int],
+    buckets: int,
+    rel_err: float,
+    window_cap: int | None,
+    depth: int = 0,
+) -> dict[int, float]:
+    """Values at the given 1-based ascending ranks of ``base.__v``.
+
+    Every job has bounded driver output: <= buckets-1 split points,
+    <= 2*buckets+1 counts, one (min, max) row per dominant bucket, and
+    <= len(need) neighbor rows from the window pass.
+
+    Bucketing is TIE-ISOLATING: ``bucket = #(boundaries < v) +
+    #(boundaries <= v)`` gives every boundary VALUE its own bucket (odd
+    ids) between the open-interval buckets (even ids). Heavy ties collapse
+    approxQuantile's split points onto the dominant value, so under the
+    ordinary right-closed bucketing the dominant value shared a bucket
+    with everything below it and re-bucketing could never separate them
+    (zero recursion progress); isolated, a collapsed-boundary bucket is
+    single-valued by construction and resolves from min==max."""
+    import bisect
+
+    qs = [i / max(buckets, 2) for i in range(1, max(buckets, 2))]
+    boundaries = sorted(set(base.stat.approxQuantile("__v", qs, rel_err)))
+    arr = F.array(*[F.lit(float(x)) for x in boundaries])
+    v = F.col("__v")
+    b = F.size(F.filter(arr, lambda t: t < v)) + F.size(F.filter(arr, lambda t: t <= v))
+    counts = dict(base.select(b.alias("__rb")).groupBy("__rb").count().collect())
+    offsets, acc = [], 0
+    for i in range(2 * len(boundaries) + 1):
+        offsets.append(acc)
+        acc += int(counts.get(i, 0))
+    total = acc
+    # global rank r lives in the last bucket whose offset is < r (equal
+    # offsets mean empty buckets; bisect lands past them), at local rank
+    # r - offsets[bucket]
+    by_bucket: dict[int, dict[int, int]] = {}
+    for r in need:
+        bi = bisect.bisect_right(offsets, r - 1) - 1
+        by_bucket.setdefault(bi, {})[r - offsets[bi]] = r
+    # an EXPLICIT window_cap is a hard per-partition sort bound; the
+    # default is the uniform bucket share with headroom (a bucket has to
+    # be genuinely dominant, not just unlucky, to pay the extra jobs)
+    cap = (
+        window_cap
+        if window_cap is not None
+        else max(1_000_000, _DOMINANT_FACTOR * total // max(buckets, 2))
+    )
+    val_at: dict[int, float] = {}
+    window_buckets: dict[int, dict[int, int]] = {}
+    for bi, locs in by_bucket.items():
+        if depth >= _MAX_RECURSE or int(counts.get(bi, 0)) <= cap:
+            window_buckets[bi] = locs
+            continue
+        sub = base.where(b == bi)
+        mm = sub.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).collect()[0]
+        if mm["lo"] == mm["hi"]:
+            # boundary-collapsed tied bucket: every row is the same value,
+            # so it IS the order statistic at every local rank (the
+            # LIMIT-1 resolution; no sort of the dominant bucket at all)
+            for r in locs.values():
+                val_at[r] = mm["lo"]
+        else:
+            inner = _order_statistics(
+                sub, set(locs), buckets, rel_err, window_cap, depth + 1
+            )
+            for lr, r in locs.items():
+                val_at[r] = inner[lr]
+    if window_buckets:
+        w = Window.partitionBy("__rb").orderBy(F.col("__v").asc())
+        sub = (
+            base.select("__v", b.alias("__rb"))
+            .where(F.col("__rb").isin(list(window_buckets)))
+            .withColumn("__rr", F.row_number().over(w))
+        )
+        keep = None
+        for bi, locs in window_buckets.items():
+            c = (F.col("__rb") == bi) & F.col("__rr").isin(list(locs))
+            keep = c if keep is None else (keep | c)
+        for row in sub.where(keep).select("__rb", "__rr", "__v").collect():
+            val_at[window_buckets[row["__rb"]][row["__rr"]]] = row["__v"]
+    return val_at
+
+
 def ranked_quantile_cuts(
     df: DataFrame,
     value_col: str,
     probs: list[float],
     buckets: int = 64,
     rel_err: float = 0.001,
+    window_cap: int | None = None,
 ) -> list[float | None]:
     """Exact interpolated quantiles, bit-identical to Spark's
     ``percentile`` (and hence to the DuckDB ``quantile_cont`` oracles),
@@ -69,26 +168,17 @@ def ranked_quantile_cuts(
     NULL values are excluded (as ``percentile`` does); returns
     ``[None] * len(probs)`` on an all-NULL/empty input. Ties need no
     tiebreak: any rank assignment among equal values yields the same
-    order statistic."""
-    import bisect
+    order statistic. Heavy-tie inputs (one value dominating the column,
+    collapsing the approxQuantile boundaries) do NOT degenerate to a
+    single-task window: dominant rank-holding buckets are resolved
+    tie-aware or recursively re-bucketed (see :func:`_order_statistics`;
+    ``window_cap`` bounds the rows any one window partition may sort)."""
     import math
-
-    from ..operators.ranking import _bucket_expr
 
     base = df.select(F.col(value_col).cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )
-    qs = [i / buckets for i in range(1, buckets)]
-    # bounded collect #1: <= buckets-1 split-point doubles
-    boundaries = sorted(set(base.stat.approxQuantile("__v", qs, rel_err)))
-    b = _bucket_expr("__v", boundaries, desc=False)
-    # bounded collect #2: <= buckets (bucket, count) rows
-    counts = dict(base.select(b.alias("__rb")).groupBy("__rb").count().collect())
-    offsets, acc = [], 0
-    for i in range(len(boundaries) + 1):
-        offsets.append(acc)
-        acc += int(counts.get(i, 0))
-    total = acc
+    total = base.count()
     if total == 0:
         return [None] * len(probs)
     # percentile's positions: p * (N - 1), 0-based into the sorted values
@@ -99,27 +189,7 @@ def ranked_quantile_cuts(
         lo, hi = math.floor(position), math.ceil(position)
         pos_parts.append((position, lo, hi))
         need.update((lo + 1, hi + 1))
-    # global rank r lives in the last bucket whose offset is < r (equal
-    # offsets mean empty buckets; bisect lands past them), at local rank
-    # r - offsets[bucket]
-    by_bucket: dict[int, dict[int, int]] = {}
-    for r in need:
-        bi = bisect.bisect_right(offsets, r - 1) - 1
-        by_bucket.setdefault(bi, {})[r - offsets[bi]] = r
-    w = Window.partitionBy("__rb").orderBy(F.col("__v").asc())
-    sub = (
-        base.select("__v", b.alias("__rb"))
-        .where(F.col("__rb").isin(list(by_bucket)))
-        .withColumn("__rr", F.row_number().over(w))
-    )
-    keep = None
-    for bi, locs in by_bucket.items():
-        c = (F.col("__rb") == bi) & F.col("__rr").isin(list(locs))
-        keep = c if keep is None else (keep | c)
-    # bounded collect #3: <= 2 * len(probs) neighbor rows
-    val_at: dict[int, float] = {}
-    for row in sub.where(keep).select("__rb", "__rr", "__v").collect():
-        val_at[by_bucket[row["__rb"]][row["__rr"]]] = row["__v"]
+    val_at = _order_statistics(base, need, buckets, rel_err, window_cap)
     cuts: list[float | None] = []
     for position, lo, hi in pos_parts:
         v_lo = val_at[lo + 1]

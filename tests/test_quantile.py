@@ -145,3 +145,58 @@ def test_winsorize_grouped_clip(spark):
     approx = winsorize(df, "v", lower=0.05, upper=0.95, group_cols=["g"], exact=False)
     arow = [r for r in approx.collect() if r["g"] == "a"][0]
     assert 1 <= arow["LO_BOUND"] <= 11 and 90 <= arow["HI_BOUND"] <= 100
+
+
+def test_ranked_cuts_heavy_ties_avoid_dominant_window(spark, monkeypatch):
+    """ADVICE r7 (medium): a column dominated by ONE value collapses the
+    approxQuantile boundaries under set(), so the rank-holding bucket held
+    ~all N rows and the partitioned row_number window sorted them in a
+    single task. Dominant buckets must now resolve WITHOUT windowing the
+    whole input: tied buckets answer from min==max, mixed dominant buckets
+    recurse the bucketing. Results stay bit-identical to percentile()."""
+    from aws_glue_cdc_metrics_job_spark.functions import quantile as q
+
+    calls: list[int] = []
+    real = q._order_statistics
+
+    def spy(base, need, buckets, rel_err, window_cap, depth=0):
+        calls.append(depth)
+        return real(base, need, buckets, rel_err, window_cap, depth)
+
+    monkeypatch.setattr(q, "_order_statistics", spy)
+
+    probs = [0.0, 0.2, 0.5, 0.8, 0.95, 1.0]
+    # 95% of rows are the single value 7.0 -> every interior boundary
+    # collapses to 7.0; the tie-isolating bucketing must give 7.0 its OWN
+    # single-valued bucket, resolved from min==max with no window over it
+    # (no window partition may sort more than window_cap rows: any window
+    # over the 1900-row tied bucket would violate the cap, which we pin by
+    # asserting no recursion was even needed)
+    tied = [7.0] * 1900 + [float(i) for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in tied], "x double").repartition(8)
+    got = q.ranked_quantile_cuts(df, "x", probs, buckets=4, window_cap=128)
+    want = list(exact_quantile_cuts(df, "x", probs).collect()[0])
+    assert got == want
+    # the tied dominant bucket resolved via min==max, not recursion
+    assert calls == [0]
+
+    # two interleaved heavy values: BOTH isolate as boundary-value buckets
+    # (min==max), still no recursion, still bit-identical
+    calls.clear()
+    mixed = [3.0] * 900 + [4.0] * 900 + [float(i) * 100 for i in range(40)]
+    df2 = spark.createDataFrame([(v,) for v in mixed], "x double").repartition(8)
+    got2 = q.ranked_quantile_cuts(df2, "x", probs, buckets=4, window_cap=64)
+    want2 = list(exact_quantile_cuts(df2, "x", probs).collect()[0])
+    assert got2 == want2
+    assert calls == [0]
+
+    # a DENSE dominant open-interval bucket (many distinct values, more
+    # rows than the cap) cannot answer from min==max -> it must recurse
+    # the bucketing within the bucket rather than window it whole
+    calls.clear()
+    dense = [float(i) for i in range(1000)]
+    df3 = spark.createDataFrame([(v,) for v in dense], "x double").repartition(8)
+    got3 = q.ranked_quantile_cuts(df3, "x", probs, buckets=2, window_cap=8)
+    want3 = list(exact_quantile_cuts(df3, "x", probs).collect()[0])
+    assert got3 == want3
+    assert max(calls) >= 1  # recursion engaged for the dense dominant bucket
