@@ -827,13 +827,16 @@ def katz_centrality(
     high even if those walkers also point elsewhere -- the influence form
     of the walk.
 
-    Convergence/overflow guard: the per-node recurrence is bounded by
-    r = alpha_ppm * max_in_degree / 1e6; the truncated series only decays
-    (and the BIGINT lattice cannot overflow) when r < 1, so the operator
-    computes the max in-degree (one bounded scalar) and raises if
-    ``alpha_ppm * max_in_degree >= 1e6``. Per hop: ONE edge-sized shuffle
-    join + one keyed aggregation + a node-sized left join, lineage cut
-    per hop with localCheckpoint.
+    Overflow guard (ADVICE r7: the old ``alpha_ppm * max_in_degree < 1e6``
+    spectral-radius bound is an INFINITE-series condition -- the truncated
+    T-hop sum is finite for any alpha, and in-degree grows with data scale,
+    so the old guard hard-failed exact, representable results): the guard
+    now replays the worst-case accumulator exactly on driver integers --
+    ``X_{t+1} = max_in_degree * ((alpha_ppm * (scale + X_t)) div 1e6)`` --
+    and raises only if a per-edge product or a per-node sum could actually
+    exceed BIGINT within the requested ``iterations``. Per hop: ONE
+    edge-sized shuffle join + one keyed aggregation + a node-sized left
+    join, lineage cut per hop with localCheckpoint.
 
     Returns (NODE, KATZ_NANOS, IN_DEGREE)."""
     if not 0 < alpha_ppm < 10**6:
@@ -853,12 +856,21 @@ def katz_centrality(
     )
     row = indeg.agg(F.max("IN_DEGREE").alias("m")).collect()
     max_in = int(row[0]["m"] or 0)  # bounded driver scalar
-    if alpha_ppm * max_in >= 10**6:
-        raise ValueError(
-            f"alpha_ppm * max_in_degree = {alpha_ppm} * {max_in} >= 1e6: "
-            "the truncated Katz series would grow instead of decay -- "
-            "lower alpha_ppm below 1e6 / max_in_degree"
-        )
+    # exact worst-case replay of the lattice recurrence on driver ints:
+    # every node's X is bounded by X_{t+1} = max_in * ((alpha_ppm *
+    # (scale + X_t)) div 1e6); raise only if the per-edge product or the
+    # per-node sum could actually leave BIGINT within `iterations`
+    worst = 0
+    for hop in range(1, iterations + 1):
+        per_edge_product = alpha_ppm * (scale + worst)
+        worst = max_in * (per_edge_product // 10**6)
+        if per_edge_product >= 2**63 or worst >= 2**63:
+            raise ValueError(
+                f"katz_centrality would overflow BIGINT at hop {hop}: "
+                f"worst-case accumulator {worst} (alpha_ppm={alpha_ppm}, "
+                f"max_in_degree={max_in}, scale={scale}) -- lower "
+                "alpha_ppm, scale, or iterations"
+            )
     x = nodes.select("NODE", F.lit(0).cast("long").alias("X"))
     for _ in range(iterations):
         contrib = (

@@ -1755,10 +1755,11 @@ def q_supply_katz_centrality(spark: SparkSession, sf_dir: str):
     three hops, per-edge-per-hop floor division on the nanos lattice) --
     the influence walk that, unlike PageRank, does NOT split a part's
     mass across its suppliers, so a part feeding many suppliers boosts
-    all of them. Divergence-guarded: the operator raises unless
-    alpha_ppm * max_in_degree < 1e6 (682 at sf0.1, so the truncated
-    series decays at every graded and benched scale). The oracle unrolls
-    the identical recurrence."""
+    all of them. Overflow-guarded on the actual truncated accumulator:
+    the operator replays the worst case (max_in_degree=682 at sf0.1,
+    alpha=1000 ppm, 3 hops -> ~3e14 nanos, far inside BIGINT) and raises
+    only on genuine BIGINT risk, so the query keeps working as in-degree
+    grows with scale. The oracle unrolls the identical recurrence."""
     from ..operators.graph import katz_centrality
 
     li = read_table(spark, sf_dir, "lineitem")

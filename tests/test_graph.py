@@ -426,17 +426,28 @@ def test_katz_matches_pure_python_replay(spark):
     assert got == {v: (x[v], indeg[v]) for v in nodes}
 
 
-def test_katz_guards_divergence_and_alpha(spark):
+def test_katz_guards_overflow_and_alpha(spark):
+    """ADVICE r7: the guard must bound the ACTUAL truncated accumulator
+    against BIGINT, not the infinite-series spectral radius -- a growing
+    (r > 1) but representable 3-hop walk is exact and must compute."""
     from aws_glue_cdc_metrics_job_spark.operators.graph import katz_centrality
 
-    # star: node 0 has in-degree 20 -> alpha 100000 ppm * 20 >= 1e6
+    # star: node 0 has in-degree 20; alpha 100000 ppm * 20 = 2e6 > 1e6
+    # breaks the old spectral bound, yet the 3-hop worst case is ~1.4e10
+    # nanos -- far inside BIGINT, so it must now succeed
     star = [(i, 0) for i in range(1, 21)]
     df = spark.createDataFrame(star, "SRC long, DST long")
-    with pytest.raises(ValueError, match="max_in_degree"):
-        katz_centrality(df, alpha_ppm=100_000, checkpoint=False)
-    # a decaying alpha on the same graph is fine
-    out = katz_centrality(df, alpha_ppm=10_000, iterations=2, checkpoint=False)
-    assert out.count() == 21
+    out = {
+        r["NODE"]: r["KATZ_NANOS"]
+        for r in katz_centrality(df, alpha_ppm=100_000, checkpoint=False).collect()
+    }
+    # exact replay: only length-1 paths end at the hub (leaves have no
+    # in-edges), so x(0) = 20 * (alpha * scale // 1e6) at every T >= 1
+    assert out[0] == 20 * (100_000 * 10**9 // 10**6)
+    # enough hops on the same growing walk DOES overflow -> raise, naming
+    # the failing hop inputs
+    with pytest.raises(ValueError, match="overflow BIGINT"):
+        katz_centrality(df, alpha_ppm=999_999, iterations=12, checkpoint=False)
     with pytest.raises(ValueError, match="alpha_ppm"):
         katz_centrality(df, alpha_ppm=0, checkpoint=False)
     with pytest.raises(ValueError, match="alpha_ppm"):
