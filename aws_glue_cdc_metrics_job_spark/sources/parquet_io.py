@@ -416,6 +416,36 @@ def table_versions(path: str) -> list[int]:
     )
 
 
+def _batches_path(path: str) -> str:
+    import os
+
+    return os.path.join(_manifest_dir(path), "_batches.json")
+
+
+def _load_batches(path: str) -> dict:
+    """The committed-batches sidecar: {"horizon": highest manifest version
+    already examined, "batches": {str(batch_id): version}}."""
+    import json
+    import os
+
+    p = _batches_path(path)
+    if not os.path.exists(p):
+        return {"horizon": 0, "batches": {}}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _store_batches(path: str, sidecar: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(sidecar, fh)
+    os.rename(tmp, _batches_path(path))
+
+
 def versioned_write(
     df: DataFrame,
     path: str,
@@ -434,12 +464,16 @@ def versioned_write(
     atomic manifest rename. Returns the committed version number.
 
     ``batch_id`` makes the commit IDEMPOTENT per source batch (the
-    exactly-once handshake Structured Streaming's foreachBatch needs): if
-    a manifest already records this batch_id, the write is a no-op
-    returning that version -- a micro-batch replay after a failure
-    between the data write and the manifest rename re-runs cleanly (the
-    listing still assigns the same version, the data dir is overwritten),
-    and a replay after full success commits nothing twice."""
+    exactly-once handshake Structured Streaming's foreachBatch needs).
+    Committed batch_ids live in a compact sidecar
+    (``_manifests/_batches.json``) that :func:`vacuum_versions` NEVER
+    drops (ADVICE r7: the old per-manifest scan both cost O(versions)
+    file opens per commit and silently re-appended a batch replayed
+    after its manifest was vacuumed). Dedup is one sidecar read; the
+    crash window between a manifest rename and the sidecar update is
+    covered by scanning only the manifests NEWER than the sidecar's
+    horizon (0 or 1 files in steady state; all of them exactly once
+    when adopting a pre-sidecar table)."""
     import json
     import os
     import uuid
@@ -448,11 +482,24 @@ def versioned_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_manifest_dir(path), exist_ok=True)
     versions = table_versions(path)
+    sidecar = _load_batches(path) if batch_id is not None else {}
     if batch_id is not None:
-        for v in versions:  # bounded: one tiny JSON per committed version
+        batches = sidecar["batches"]
+        if str(batch_id) in batches:
+            return batches[str(batch_id)]
+        # crash-window / adoption sweep: only manifests NEWER than the
+        # sidecar horizon (0-1 files in steady state; all once on adoption)
+        unseen = [v for v in versions if v > sidecar["horizon"]]
+        for v in unseen:
             with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
-                if json.load(fh).get("batch_id") == batch_id:
-                    return v
+                bid = json.load(fh).get("batch_id")
+            if bid is not None:
+                batches[str(bid)] = v
+        if unseen:
+            sidecar["horizon"] = max(versions)
+            _store_batches(path, sidecar)
+        if str(batch_id) in batches:
+            return batches[str(batch_id)]
     v = (versions[-1] if versions else 0) + 1
     data_rel = f"data/v{v:05d}"
     df.write.mode("overwrite").option("compression", compression).parquet(
@@ -470,6 +517,10 @@ def versioned_write(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.rename(tmp, os.path.join(_manifest_dir(path), f"v{v:05d}.json"))
+    if batch_id is not None:
+        batches[str(batch_id)] = v
+        sidecar["horizon"] = max(sidecar["horizon"], v)
+        _store_batches(path, sidecar)
     return v
 
 

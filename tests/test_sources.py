@@ -535,3 +535,57 @@ def test_write_zordered_bounds_every_dimension(spark, tmp_path):
         .collect()
     )
     assert max(r["ys"] for r in lin) == 63  # linear layout: y unbounded per file
+
+
+def test_versioned_batch_replay_survives_vacuum(spark, tmp_path):
+    """ADVICE r7: committed batch_ids live in a sidecar that vacuum never
+    drops -- a delayed foreachBatch replay of a batch whose MANIFEST was
+    vacuumed must still be a no-op (the old per-manifest dedup scan
+    re-appended it, silently double-counting)."""
+    import json
+    import os
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        read_version,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt3")
+    assert versioned_write(spark.range(5), path, batch_id=0) == 1
+    assert versioned_write(spark.range(5, 8), path, batch_id=1) == 2
+    # vacuum away batch 0's manifest; only v2 remains readable
+    vacuum_versions(path, keep_last=1)
+    assert not os.path.exists(os.path.join(path, "_manifests", "v00001.json"))
+    # delayed replay of the vacuumed batch: MUST be a no-op returning v1
+    assert versioned_write(spark.range(5), path, batch_id=0) == 1
+    assert read_version(spark, path).count() == 8  # not 13
+    # replay of the surviving batch is a no-op too
+    assert versioned_write(spark.range(5, 8), path, batch_id=1) == 2
+    # the sidecar is compact and carries both batches past the vacuum
+    with open(os.path.join(path, "_manifests", "_batches.json")) as fh:
+        side = json.load(fh)
+    assert side["batches"] == {"0": 1, "1": 2}
+
+
+def test_versioned_batch_sidecar_adopts_presidecar_tables(spark, tmp_path):
+    """Crash-window/adoption sweep: a table whose manifests carry
+    batch_ids but whose sidecar is missing (pre-sidecar layout, or a crash
+    between the manifest rename and the sidecar update) is folded into the
+    sidecar on the next commit, and dedup still holds."""
+    import os
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        _load_batches,
+        read_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt4")
+    versioned_write(spark.range(3), path, batch_id=7)
+    os.remove(os.path.join(path, "_manifests", "_batches.json"))  # simulate crash
+    # replay of batch 7 with no sidecar: the unseen-manifest sweep finds it
+    assert versioned_write(spark.range(3), path, batch_id=7) == 1
+    assert read_version(spark, path).count() == 3
+    side = _load_batches(path)
+    assert side["batches"] == {"7": 1} and side["horizon"] == 1
