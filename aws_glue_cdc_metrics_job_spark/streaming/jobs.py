@@ -482,18 +482,40 @@ def _anomaly_alert_apply(
     value_col: str,
     n: int,
     z_threshold: float,
+    max_keys: int = 100_000,
 ):
     """anomaly_alert_sink's per-batch body, factored out so tests can
-    replay a micro-batch with the same batch_id and assert idempotence."""
+    replay a micro-batch with the same batch_id and assert idempotence.
+
+    ``max_keys`` bounds the one driver collect (the batch's distinct
+    alert keys, used as a literal partition-pruning filter): metric-key
+    cardinality is small by the control-chart contract, so blowing the
+    cap means the stream is keyed on something row-like -- raise rather
+    than grow the driver without bound (VERDICT r7). High-cardinality
+    keying needs pruning by JOIN against the batch keys instead of a
+    literal IN filter."""
     from ..operators.monitoring import rolling_zscore
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # validate the key cardinality BEFORE writing the series delta so
+        # an over-cap batch leaves no partial state behind
+        keys = [
+            tuple(r)
+            for r in batch.select(*key_cols).distinct().limit(max_keys + 1).collect()
+        ]
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"anomaly_alert_sink: batch {batch_id} has more than "
+                f"{max_keys} distinct alert keys {key_cols} -- the literal "
+                "partition-pruning filter would collect unboundedly; use a "
+                "coarser metric key, or prune the series read by a "
+                "broadcast semi-join against the batch keys"
+            )
         batch.write.mode("overwrite").partitionBy(*key_cols).parquet(
             f"{series_path}/batch_id={batch_id}"
         )
-        keys = [tuple(r) for r in batch.select(*key_cols).distinct().collect()]
         # read partition columns as their raw directory strings (no type
         # inference), prune on those strings, then cast back to the batch
         # schema -- inference would corrupt keys like '01' -> 1.

@@ -1005,3 +1005,28 @@ def test_versioned_commit_replay_idempotent(spark, tmp_path):
     assert table_versions(table) == [1, 2]
     assert sorted(r["k"] for r in read_version(spark, table).collect()) == [1, 2]
     assert sorted(r["k"] for r in read_version(spark, table, 1).collect()) == [1]
+
+
+def test_anomaly_alert_key_collect_capped(spark, tmp_path):
+    """The per-batch distinct-key collect is bounded (VERDICT r7): a batch
+    keyed on something row-like must raise, not grow the driver."""
+    import pytest as _pytest
+
+    from aws_glue_cdc_metrics_job_spark.streaming.jobs import _anomaly_alert_apply
+
+    series = str(tmp_path / "series_cap")
+    alerts = str(tmp_path / "alerts_cap")
+    apply_fn = _anomaly_alert_apply(
+        spark, series, alerts, ["metric"], "ts", "value", 5, 2.0, max_keys=10
+    )
+    wide = spark.range(25).selectExpr(
+        "concat('m', id) AS metric", "date_add(date'2024-01-01', 0) AS ts", "1.0 AS value"
+    )
+    with _pytest.raises(ValueError, match="distinct alert keys"):
+        apply_fn(wide, 0)
+    # under the cap: same shape, 5 keys, applies cleanly
+    ok = spark.range(5).selectExpr(
+        "concat('m', id) AS metric", "date_add(date'2024-01-01', 0) AS ts", "1.0 AS value"
+    )
+    apply_fn(ok, 1)
+    assert spark.read.parquet(series).count() == 5
