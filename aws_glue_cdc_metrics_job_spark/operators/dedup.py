@@ -331,9 +331,37 @@ def minhash_index(
     and (id, hset) shingle-hash sets for exact-Jaccard verification. At
     corpus scale store the bands table bucketed by (band, bh)
     (parquet_io.write_bucketed) so each delivery's candidate probe is a
-    co-located join, and the hset table bucketed by id."""
+    co-located join, and the hset table bucketed by id.
+
+    EXEMPLAR-COMPACTED (VERDICT r7 item 3): documents with IDENTICAL
+    shingle sets keep only their min-id representative in the index.
+    Rejection decisions are unchanged -- identical hsets give identical
+    Jaccard against any probe, so one exemplar answers for the group --
+    but a corpus holding C exact copies of a text contributes 1 candidate
+    per probe instead of C. Without this, the per-delivery candidate
+    count (and the decade scaling of the whole operator) grows O(C^2) on
+    copy-heavy corpora; measured 11.76x for 10x data at 100 copies/doc in
+    BENCH r7, the one >10x decade ratio."""
     sighset, banded = _minhash_sighset_bands(df, id_col, text_col, n, num_perm, bands, seed)
-    return banded, sighset.select(id_col, "hset")
+    reps = _hset_exemplars(sighset, id_col)
+    return (
+        banded.join(reps, id_col, "left_semi"),
+        sighset.select(id_col, "hset").join(reps, id_col, "left_semi"),
+    )
+
+
+def _hset_exemplars(sighset: DataFrame, id_col: str) -> DataFrame:
+    """One row per DISTINCT shingle set: the min-id exemplar (id_col only).
+    Group key = md5 of the sorted hash array (order-insensitive; 64-bit
+    member hashes make content collisions ~1e-15, the already-accepted
+    fingerprint() error bound)."""
+    gk = F.md5(F.to_json(F.array_sort("hset")))
+    return (
+        sighset.select(F.col(id_col), gk.alias("__gk"))
+        .groupBy("__gk")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
 
 
 def minhash_dedup_incremental(
@@ -359,18 +387,33 @@ def minhash_dedup_incremental(
     grouping; the invariants do not (pinned in tests/test_dedup.py).
 
     Cost per delivery: O(|batch|) shingling + a (band, bh) equi-join probe
-    of the index + the batch's own banded self-join -- the indexed corpus
-    is never re-shingled and its text never moves. The caller appends
-    :func:`minhash_index` of the ADMITTED rows to the stored index
-    (associative, same seed/params required)."""
+    of the index + the batch EXEMPLARS' banded self-join -- the indexed
+    corpus is never re-shingled and its text never moves. The caller
+    appends :func:`minhash_index` of the ADMITTED rows to the stored index
+    (associative, same seed/params required).
+
+    Copy-heavy batches stay linear (VERDICT r7 item 3): batch documents
+    with IDENTICAL shingle sets collapse to their min-id exemplar first --
+    the others are rejected outright (their exemplar is a smaller-id
+    J=1.0 near-dup by definition) -- and only exemplars enter the banded
+    self-join and the index probe. C exact copies of a text used to put
+    C(C-1)/2 pairs through verification; now 0. Decisions are unchanged:
+    an exemplar B has a smaller-id near-dup A in the batch iff it has a
+    smaller-id near-dup EXEMPLAR A' (J(A',B) = J(A,B) on identical sets),
+    and J against the index is hset-determined."""
     b_sighset, b_banded = _minhash_sighset_bands(
         batch, id_col, text_col, n, num_perm, bands, seed
     )
-    b_hsets = b_sighset.select(F.col(id_col).alias("__bid"), F.col("hset").alias("hs_b"))
+    reps = _hset_exemplars(b_sighset, id_col)
+    rep_banded = b_banded.join(reps, id_col, "left_semi")
+    rep_hsets = (
+        b_sighset.select(id_col, "hset").join(reps, id_col, "left_semi")
+    )
+    b_hsets = rep_hsets.select(F.col(id_col).alias("__bid"), F.col("hset").alias("hs_b"))
 
     # candidates vs the stored index: equi-join on the band bucket
     ix_cand = (
-        b_banded.select(F.col(id_col).alias("__bid"), "band", "bh")
+        rep_banded.select(F.col(id_col).alias("__bid"), "band", "bh")
         .join(index_bands.select(F.col(id_col).alias("__iid"), "band", "bh"), ["band", "bh"])
         .select("__bid", "__iid")
         .distinct()
@@ -388,12 +431,40 @@ def minhash_dedup_incremental(
         .select(F.col("__bid").alias(id_col))
         .distinct()
     )
-    # within-batch near-dup pairs (ID_A < ID_B): higher id loses
-    batch_pairs = minhash_lsh_pairs(
-        batch, id_col, text_col, n, num_perm, bands, threshold, seed
+    # within-batch near-dup pairs among EXEMPLARS (ID_A < ID_B): higher id
+    # loses. Reuses the batch's own sighset/bands -- no second shingling.
+    cand = (
+        rep_banded.alias("x")
+        .join(rep_banded.alias("y"), ["band", "bh"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("ID_A"), F.col(f"y.{id_col}").alias("ID_B"))
+        .distinct()
     )
-    rejected_in_batch = batch_pairs.select(F.col("ID_B").alias(id_col)).distinct()
-    rejected = rejected_by_index.unionByName(rejected_in_batch).distinct()
+    inter_b = F.size(F.array_intersect("hs_a", "hs_b"))
+    union_b = F.size("hs_a") + F.size("hs_b") - inter_b
+    rejected_in_batch = (
+        cand.join(
+            rep_hsets.select(F.col(id_col).alias("ID_A"), F.col("hset").alias("hs_a")),
+            "ID_A",
+        )
+        .join(
+            rep_hsets.select(F.col(id_col).alias("ID_B"), F.col("hset").alias("hs_b")),
+            "ID_B",
+        )
+        .withColumn("__j", rhu(F.when(union_b == 0, 0.0).otherwise(inter_b / union_b), 6))
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("ID_B").alias(id_col))
+        .distinct()
+    )
+    # non-exemplars: rejected outright (smaller-id identical twin exists)
+    non_reps = (
+        b_sighset.select(id_col).join(reps, id_col, "left_anti")
+    )
+    rejected = (
+        rejected_by_index.unionByName(rejected_in_batch)
+        .unionByName(non_reps)
+        .distinct()
+    )
     return batch.join(rejected, id_col, "left_anti")
 
 

@@ -791,3 +791,39 @@ def test_substring_novelty_scores(spark):
     assert got["y"] == (3, 0, 1_000_000)
     assert got["z"] == (5, 2, 600_000)
     assert "w" not in got
+
+
+def test_minhash_incremental_exemplar_compaction(spark):
+    """VERDICT r7 item 3: C exact copies of a text must contribute ONE
+    exemplar to the index and to the batch's pair stage (candidate growth
+    linear in C, not C^2), with admission decisions unchanged."""
+    from aws_glue_cdc_metrics_job_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow near the river"
+    )
+    novel = (
+        "totally novel text about gardens flowers honey bees and sunny "
+        "afternoons with lemonade under the old oak tree this afternoon"
+    )
+    # 30 identical copies of base in the index -> ONE exemplar (min id)
+    indexed = spark.createDataFrame(
+        [(i, base) for i in range(30)], "doc_id long, text string"
+    )
+    ib, ih = minhash_index(indexed)
+    assert ih.count() == 1 and ih.collect()[0]["doc_id"] == 0
+    assert ib.select("doc_id").distinct().count() == 1
+
+    # batch: 20 copies of base (all rejected via the one exemplar),
+    # 20 copies of novel (19 rejected as non-exemplars, min id admitted)
+    batch = spark.createDataFrame(
+        [(100 + i, base) for i in range(20)]
+        + [(200 + i, novel) for i in range(20)],
+        "doc_id long, text string",
+    )
+    admitted = minhash_dedup_incremental(batch, ib, ih, threshold=0.7)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [200]
