@@ -42,20 +42,24 @@ def query(name: str, oracle: str | None = None):
 # post-r4 additions plus insurance re-grades (CORRECTNESS_r05: 46/50
 # full oracle match, 4 rows-only by design, zero failures).
 #
-# Round 7 (this window): the head is everything NEW or NEWLY-ORACLED in
-# round 7 (the clv approx twin, the bucketed weighted PageRank twin, and
-# the two graduations -- emb_ivf_pq_topk and multimodal_features earned
-# full oracles, so their rows-only r4 evidence must be upgraded to a full
-# driver row), followed by insurance re-grades for every entry whose plan
-# or oracle changed this round: mart_customer_clv_segment runs on the new
-# distributed-ranking exact quantile, events_gini_best_split's threshold
-# formula AND oracle changed, lineitem_zorder_buckets' normalization
-# gained the out-of-range clamp, supply_hits_scores gained the scale
-# guard, parts_copurchase_pagerank_weighted's hop loop moved into the
-# shared core, and the 10 gold marts + order_revenue + fact_ltv_daily are
-# the VERDICT-r6-requested re-validation of the reference surface on
-# current code. Everything else keeps its r2-r6 green row as evidence.
+# Round 8 (this window): the head is everything NEW in round 8 (the
+# heavy-tie percentile pin and the growing-alpha Katz twin, both born
+# with full oracles), then the round-7 additions holding their green
+# rows, then insurance re-grades for every entry whose PLAN changed in
+# round 8: the quantile family rides the new tie-isolating
+# _order_statistics (mart_customer_clv_segment,
+# events_value_exact_percentiles), supply_katz_centrality gained the
+# exact-accumulator overflow guard, docs_incremental_near_dedup gained
+# exemplar compaction, and EVERY order_revenue consumer (the 10 gold
+# marts + order_revenue + fact_ltv_daily + the ltv snapshot) rides the
+# single-scan inline() options build + eager silver materialization.
+# Everything else keeps its r2-r7 green row as evidence.
 GRADE_FIRST: list[str] = [
+    # -- NEW in round 8
+    "lineitem_qty_tied_percentiles",
+    "supply_katz_centrality_growing",
+    "docs_incremental_near_dedup",
+    "docs_minhash_lsh_pairs",
     # -- NEW in round 7
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",

@@ -1142,6 +1142,52 @@ def q_events_value_exact_percentiles(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "lineitem_qty_tied_percentiles",
+    oracle="""
+WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS value FROM lineitem WHERE l_quantity IS NOT NULL),
+n AS (SELECT COUNT(*) AS cnt FROM v),
+o AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS r FROM v),
+p AS (SELECT UNNEST([2500, 5000, 9000, 9900]) AS q_bp),
+t AS (
+  SELECT p.q_bp, (p.q_bp / 10000.0) * (n.cnt - 1) AS pos,
+         CAST(FLOOR((p.q_bp / 10000.0) * (n.cnt - 1)) AS BIGINT) AS lo,
+         CAST(CEIL((p.q_bp / 10000.0) * (n.cnt - 1)) AS BIGINT) AS hi
+  FROM p, n
+)
+SELECT CAST(t.q_bp AS INT) AS Q_BP,
+       CASE WHEN t.hi = t.lo THEN vlo.value
+            ELSE (t.hi - t.pos) * vlo.value + (t.pos - t.lo) * vhi.value
+       END AS VALUE
+FROM t JOIN o vlo ON vlo.r = t.lo + 1 JOIN o vhi ON vhi.r = t.hi + 1
+""",
+)
+def q_lineitem_qty_tied_percentiles(spark: SparkSession, sf_dir: str):
+    """Exact interpolated P25/P50/P90/P99 over a HEAVY-TIE column:
+    l_quantity takes ~50 integer values, so every row shares its value
+    with ~2% of the table and approxQuantile's split points collapse onto
+    the tied values. The round-8 tie-isolating bucketing
+    (functions/quantile._order_statistics, ADVICE r7 medium) gives each
+    collapsed boundary value its own single-valued bucket resolved from
+    min==max -- window_cap=64 makes every tied bucket dominant at EVERY
+    graded scale, so this query fails loudly if the dominant-bucket path
+    ever regresses to windowing the whole input in one task. The oracle
+    replays percentile()'s interpolation term-for-term over DuckDB order
+    statistics (ties make v_lo deterministic despite arbitrary
+    row_number assignment among equals)."""
+    from ..functions.quantile import ranked_quantile_cuts
+
+    li = read_table(spark, sf_dir, "lineitem")
+    bps = [2500, 5000, 9000, 9900]
+    cuts = ranked_quantile_cuts(
+        li.select(F.col("l_quantity").cast("double").alias("q")),
+        "q",
+        [b / 10000 for b in bps],
+        window_cap=64,
+    )
+    return spark.createDataFrame(list(zip(bps, cuts)), "Q_BP int, VALUE double")
+
+
 # --- fixed-iteration PageRank on the integer picos lattice: the oracle
 # unrolls the SAME iterations in SQL, so the trajectory must be exact.
 _PR_SCALE = 10**12
@@ -1768,6 +1814,31 @@ def q_supply_katz_centrality(spark: SparkSession, sf_dir: str):
         (F.lit(1000000000) + F.col("l_suppkey")).cast("long").alias("DST"),
     ).distinct()
     out = katz_centrality(edges, iterations=3, alpha_ppm=1000)
+    return (
+        out.select(F.col("NODE").alias("NODE_ID"), "KATZ_NANOS", "IN_DEGREE")
+        .orderBy(F.col("KATZ_NANOS").desc(), F.col("NODE_ID"))
+        .limit(50)
+    )
+
+
+@query("supply_katz_centrality_growing", oracle=_katz_oracle(3, 5000))
+def q_supply_katz_centrality_growing(spark: SparkSession, sf_dir: str):
+    """Katz on the same supply graph with alpha = 5000 ppm -- a GROWING
+    truncated walk (alpha * max_in_degree > 1e6 from sf0.1 up), i.e.
+    exactly the regime the old spectral-radius guard hard-failed even
+    though the 3-hop result is finite, exact, and far inside BIGINT
+    (worst-case replay ~4e13 nanos at sf0.1, ~4e16 at the 100x decade
+    point; ADVICE r7). Graded with the same unrolled-recurrence oracle as
+    supply_katz_centrality, so the fix is pinned cross-engine rather than
+    only unit-tested."""
+    from ..operators.graph import katz_centrality
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("SRC"),
+        (F.lit(1000000000) + F.col("l_suppkey")).cast("long").alias("DST"),
+    ).distinct()
+    out = katz_centrality(edges, iterations=3, alpha_ppm=5000)
     return (
         out.select(F.col("NODE").alias("NODE_ID"), "KATZ_NANOS", "IN_DEGREE")
         .orderBy(F.col("KATZ_NANOS").desc(), F.col("NODE_ID"))

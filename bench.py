@@ -30,6 +30,9 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 # The reference's gold-mart set (BASELINE.md) + representative operator and
 # training-data-pipeline queries.
 HEADLINE = [
+    # round-8 additions
+    "lineitem_qty_tied_percentiles",
+    "supply_katz_centrality_growing",
     # round-7 additions
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",
@@ -328,6 +331,7 @@ MIN2 = {
     "customers_semi_urgent", "customers_anti_urgent",
     "lineitem_hash_sample", "docs_train_split",
     # round-8 new entries (first bench round: no prior number to anchor on)
+    "lineitem_qty_tied_percentiles", "supply_katz_centrality_growing",
 }
 
 # sf1 queries that get a second measured pass: the decade-ratio
