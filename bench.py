@@ -580,12 +580,22 @@ def main() -> int:
                 # shuffle stages, matching the warm-min sf1 denominator --
                 # then min of TWO measured runs, because storage-eviction /
                 # GC one-offs at this scale land on a single run at random
-                # and invert twin pairs (the sf0.1/sf1 blocks' discipline)
+                # and invert twin pairs (the sf0.1/sf1 blocks' discipline).
+                # GC between the back-to-back runs (untimed): each
+                # quantile_bucket call leaves an eager localCheckpoint
+                # whose blocks survive until ContextCleaner runs after a
+                # driver GC -- without the nudge the NEXT run pays the
+                # previous run's cleanup (measured 2-3x inflation of a
+                # twin at random in the r8 dedicated run).
                 qs[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
             t0 = time.monotonic()
             qs[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
             t10[name] = round(time.monotonic() - t0, 3)
             if name in SF10_WARM:
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.monotonic()
                 qs[name](spark, sf10_dir).write.mode("overwrite").format("noop").save()
                 t10[name] = min(t10[name], round(time.monotonic() - t0, 3))
