@@ -99,21 +99,40 @@ def _order_statistics(
     )
     val_at: dict[int, float] = {}
     window_buckets: dict[int, dict[int, int]] = {}
+    dominant = [
+        bi
+        for bi in by_bucket
+        if depth < _MAX_RECURSE and int(counts.get(bi, 0)) > cap
+    ]
+    # ONE grouped min/max job covers every dominant bucket (a per-bucket
+    # agg would cost a full scan per tied value -- heavy-tie columns have
+    # many)
+    mm: dict[int, tuple[float, float]] = {}
+    if dominant:
+        mm = {
+            row["__rb"]: (row["lo"], row["hi"])
+            for row in (
+                base.select(b.alias("__rb"), "__v")
+                .where(F.col("__rb").isin(dominant))
+                .groupBy("__rb")
+                .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+                .collect()
+            )
+        }
     for bi, locs in by_bucket.items():
-        if depth >= _MAX_RECURSE or int(counts.get(bi, 0)) <= cap:
+        if bi not in mm:
             window_buckets[bi] = locs
             continue
-        sub = base.where(b == bi)
-        mm = sub.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).collect()[0]
-        if mm["lo"] == mm["hi"]:
+        lo, hi = mm[bi]
+        if lo == hi:
             # boundary-collapsed tied bucket: every row is the same value,
             # so it IS the order statistic at every local rank (the
             # LIMIT-1 resolution; no sort of the dominant bucket at all)
             for r in locs.values():
-                val_at[r] = mm["lo"]
+                val_at[r] = lo
         else:
             inner = _order_statistics(
-                sub, set(locs), buckets, rel_err, window_cap, depth + 1
+                base.where(b == bi), set(locs), buckets, rel_err, window_cap, depth + 1
             )
             for lr, r in locs.items():
                 val_at[r] = inner[lr]
