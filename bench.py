@@ -270,18 +270,26 @@ SKEW_QUERIES = [
 # Round-7 ordering (VERDICT r6 item 4): the two r6 budget-skips lead so
 # they get decade numbers; exact twins run BEFORE their fast/approx
 # twins; the tail queries already carry r6 numbers if the budget cuts.
+# Ordered by evidentiary priority PER WALL-CLOCK COST so the driver run's
+# 450 s budget (see below) covers the queries whose decade numbers are
+# this round's claims: the clv twins (the r6 scale-killer closure),
+# docs_incremental_near_dedup (the r7 >10x outlier, closed in r8 by
+# exemplar compaction), then the cheap-to-measure single-pass queries;
+# the SF10_WARM bootstrap twins (3 runs each, ~190 s wall apiece) and the
+# perceptron pair trail and self-trim to named skips under the default
+# budget -- their full numbers re-record in BASELINE.md's dedicated run.
 SF10_QUERIES = [
     "mart_customer_clv_segment",
     "mart_customer_clv_segment_approx",
     # (the silver caches are RELEASED here -- nothing below reads them)
-    "events_value_bootstrap_ci",
-    "events_value_bootstrap_ci_fast",
-    "parts_affinity_pagerank",
-    "parts_copurchase_pagerank_bucketed",
-    "parts_copurchase_pagerank",
-    "parts_copurchase_triangles",
     "docs_incremental_near_dedup",
     "docs_selection_pipeline",
+    "parts_affinity_pagerank",
+    "parts_copurchase_triangles",
+    "parts_copurchase_pagerank_bucketed",
+    "parts_copurchase_pagerank",
+    "events_value_bootstrap_ci",
+    "events_value_bootstrap_ci_fast",
     "emb_perceptron_step",
     "emb_perceptron_train",
 ]
