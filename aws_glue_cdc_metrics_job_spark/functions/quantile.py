@@ -49,13 +49,18 @@ _MAX_RECURSE = 3
 
 def _order_statistics(
     base: DataFrame,
-    need: set[int],
+    need,
     buckets: int,
     rel_err: float,
     window_cap: int | None,
     depth: int = 0,
-) -> dict[int, float]:
-    """Values at the given 1-based ascending ranks of ``base.__v``.
+) -> tuple[dict[int, float], int]:
+    """Values at 1-based ascending ranks of ``base.__v``, plus total N.
+
+    ``need`` is either a set of ranks or a callable ``total -> set`` --
+    the callable form lets the top-level caller derive its target ranks
+    from N without a separate count() job (N falls out of the bucket
+    counts this function collects anyway).
 
     Every job has bounded driver output: <= buckets-1 split points,
     <= 2*buckets+1 counts, one (min, max) row per dominant bucket, and
@@ -82,6 +87,10 @@ def _order_statistics(
         offsets.append(acc)
         acc += int(counts.get(i, 0))
     total = acc
+    if callable(need):
+        need = need(total)
+    if total == 0 or not need:
+        return {}, total
     # global rank r lives in the last bucket whose offset is < r (equal
     # offsets mean empty buckets; bisect lands past them), at local rank
     # r - offsets[bucket]
@@ -131,7 +140,7 @@ def _order_statistics(
             for r in locs.values():
                 val_at[r] = lo
         else:
-            inner = _order_statistics(
+            inner, _ = _order_statistics(
                 base.where(b == bi), set(locs), buckets, rel_err, window_cap, depth + 1
             )
             for lr, r in locs.items():
@@ -149,7 +158,7 @@ def _order_statistics(
             keep = c if keep is None else (keep | c)
         for row in sub.where(keep).select("__rb", "__rr", "__v").collect():
             val_at[window_buckets[row["__rb"]][row["__rr"]]] = row["__v"]
-    return val_at
+    return val_at, total
 
 
 def ranked_quantile_cuts(
@@ -197,20 +206,24 @@ def ranked_quantile_cuts(
     base = df.select(F.col(value_col).cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )
-    total = base.count()
+
+    # percentile's positions: p * (N - 1), 0-based into the sorted values.
+    # N is supplied by _order_statistics from its bucket counts (the
+    # callable form) -- no separate count() job.
+    def _need(total: int) -> set[int]:
+        need: set[int] = set()
+        for p in probs:
+            position = p * (total - 1)
+            need.update((math.floor(position) + 1, math.ceil(position) + 1))
+        return need
+
+    val_at, total = _order_statistics(base, _need, buckets, rel_err, window_cap)
     if total == 0:
         return [None] * len(probs)
-    # percentile's positions: p * (N - 1), 0-based into the sorted values
-    pos_parts: list[tuple[float, int, int]] = []
-    need: set[int] = set()  # global 1-based target ranks
+    cuts: list[float | None] = []
     for p in probs:
         position = p * (total - 1)
         lo, hi = math.floor(position), math.ceil(position)
-        pos_parts.append((position, lo, hi))
-        need.update((lo + 1, hi + 1))
-    val_at = _order_statistics(base, need, buckets, rel_err, window_cap)
-    cuts: list[float | None] = []
-    for position, lo, hi in pos_parts:
         v_lo = val_at[lo + 1]
         if hi == lo:
             cuts.append(v_lo)
