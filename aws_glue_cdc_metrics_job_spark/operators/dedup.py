@@ -432,27 +432,11 @@ def minhash_dedup_incremental(
         .distinct()
     )
     # within-batch near-dup pairs among EXEMPLARS (ID_A < ID_B): higher id
-    # loses. Reuses the batch's own sighset/bands -- no second shingling.
-    cand = (
-        rep_banded.alias("x")
-        .join(rep_banded.alias("y"), ["band", "bh"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("ID_A"), F.col(f"y.{id_col}").alias("ID_B"))
-        .distinct()
-    )
-    inter_b = F.size(F.array_intersect("hs_a", "hs_b"))
-    union_b = F.size("hs_a") + F.size("hs_b") - inter_b
+    # loses. Reuses the batch's own sighset/bands -- no second shingling --
+    # and the SAME verification core as the standalone pair report, so the
+    # two paths cannot diverge on rounding/threshold policy.
     rejected_in_batch = (
-        cand.join(
-            rep_hsets.select(F.col(id_col).alias("ID_A"), F.col("hset").alias("hs_a")),
-            "ID_A",
-        )
-        .join(
-            rep_hsets.select(F.col(id_col).alias("ID_B"), F.col("hset").alias("hs_b")),
-            "ID_B",
-        )
-        .withColumn("__j", rhu(F.when(union_b == 0, 0.0).otherwise(inter_b / union_b), 6))
-        .filter(F.col("__j") >= threshold)
+        _verified_pairs(rep_banded, rep_hsets, id_col, threshold)
         .select(F.col("ID_B").alias(id_col))
         .distinct()
     )
@@ -492,6 +476,18 @@ def minhash_lsh_pairs(
     positives are filtered by the exact check. Deterministic for a fixed
     seed. Not SQL-expressible -> rows-only driver check + unit tests."""
     sighset, banded = _minhash_sighset_bands(df, id_col, text_col, n, num_perm, bands, seed)
+    return _verified_pairs(banded, sighset.select(id_col, "hset"), id_col, threshold)
+
+
+def _verified_pairs(
+    banded: DataFrame, hsets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """The LSH pair core shared by :func:`minhash_lsh_pairs` and the
+    incremental batch stage: banded (band, bh) self-join with ID_A < ID_B,
+    candidate dedup, exact-Jaccard verification over the (id, hset)
+    table, rhu-6 rounding, >= threshold filter. One definition so the
+    standalone report and the incremental dedup can never diverge on the
+    verification contract. Returns (ID_A, ID_B, JACCARD)."""
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -499,17 +495,15 @@ def minhash_lsh_pairs(
         .select(F.col(f"x.{id_col}").alias("ID_A"), F.col(f"y.{id_col}").alias("ID_B"))
         .distinct()
     )
-    hset = sighset.select(id_col, "hset")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
-    verified = (
-        cand.join(hset.select(F.col(id_col).alias("ID_A"), F.col("hset").alias("hs_a")), "ID_A")
-        .join(hset.select(F.col(id_col).alias("ID_B"), F.col("hset").alias("hs_b")), "ID_B")
+    return (
+        cand.join(hsets.select(F.col(id_col).alias("ID_A"), F.col("hset").alias("hs_a")), "ID_A")
+        .join(hsets.select(F.col(id_col).alias("ID_B"), F.col("hset").alias("hs_b")), "ID_B")
         .withColumn("JACCARD", rhu(F.when(union == 0, 0.0).otherwise(inter / union), 6))
         .filter(F.col("JACCARD") >= threshold)
         .select("ID_A", "ID_B", "JACCARD")
     )
-    return verified
 
 
 def segment_dedup(

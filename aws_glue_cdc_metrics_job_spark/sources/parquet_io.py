@@ -494,7 +494,9 @@ def versioned_write(
             with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
                 bid = json.load(fh).get("batch_id")
             if bid is not None:
-                batches[str(bid)] = v
+                # first-wins: the ORIGINAL committed version answers a
+                # replay, matching the old per-manifest scan order
+                batches.setdefault(str(bid), v)
         if unseen:
             sidecar["horizon"] = max(versions)
             _store_batches(path, sidecar)
@@ -559,6 +561,22 @@ def vacuum_versions(path: str, keep_last: int = 1) -> list[str]:
     for v in kept:
         with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
             keep_dirs.update(json.load(fh)["dirs"])
+    # Fold every to-be-dropped manifest's batch_id into the sidecar BEFORE
+    # deleting it: a batch committed but not yet absorbed (crash between
+    # the manifest rename and the sidecar update, or a pre-sidecar table)
+    # would otherwise lose its dedup record to the vacuum and a delayed
+    # replay would double-append -- the exact hazard the sidecar closes.
+    sidecar = _load_batches(path)
+    folded = False
+    for v in dropped:
+        with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
+            bid = json.load(fh).get("batch_id")
+        if bid is not None and str(bid) not in sidecar["batches"]:
+            sidecar["batches"][str(bid)] = v
+            folded = True
+    if folded or (dropped and sidecar["horizon"] < dropped[-1]):
+        sidecar["horizon"] = max(sidecar["horizon"], dropped[-1])
+        _store_batches(path, sidecar)
     removed: list[str] = []
     for v in dropped:
         mpath = os.path.join(_manifest_dir(path), f"v{v:05d}.json")

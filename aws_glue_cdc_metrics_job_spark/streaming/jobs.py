@@ -493,7 +493,15 @@ def _anomaly_alert_apply(
     cap means the stream is keyed on something row-like -- raise rather
     than grow the driver without bound (VERDICT r7). High-cardinality
     keying needs pruning by JOIN against the batch keys instead of a
-    literal IN filter."""
+    literal IN filter.
+
+    The MULTI-column key shape carries its own structural bound: its
+    predicate is an OR over per-tuple ANDs -- built as a BALANCED tree
+    (depth log N; a left-deep reduce() chain overflows Catalyst's
+    recursive transforms in the tens of thousands) and capped at
+    min(max_keys, 1000) tuples, because even a balanced literal tree of
+    ~100k nodes costs minutes of analysis. Single-column keys compile to
+    one InSet and take the full cap."""
     from ..operators.monitoring import rolling_zscore
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -501,14 +509,15 @@ def _anomaly_alert_apply(
             return
         # validate the key cardinality BEFORE writing the series delta so
         # an over-cap batch leaves no partial state behind
+        cap = max_keys if len(key_cols) == 1 else min(max_keys, 1000)
         keys = [
             tuple(r)
-            for r in batch.select(*key_cols).distinct().limit(max_keys + 1).collect()
+            for r in batch.select(*key_cols).distinct().limit(cap + 1).collect()
         ]
-        if len(keys) > max_keys:
+        if len(keys) > cap:
             raise ValueError(
                 f"anomaly_alert_sink: batch {batch_id} has more than "
-                f"{max_keys} distinct alert keys {key_cols} -- the literal "
+                f"{cap} distinct alert keys {key_cols} -- the literal "
                 "partition-pruning filter would collect unboundedly; use a "
                 "coarser metric key, or prune the series read by a "
                 "broadcast semi-join against the batch keys"
@@ -531,15 +540,24 @@ def _anomaly_alert_apply(
         else:
             from functools import reduce
 
-            pred = reduce(
-                lambda a, b: a | b,
+            def _balanced_or(terms):
+                # pairwise fold -> depth log N (a left-deep chain is a
+                # recursion-depth bomb for Catalyst at large N)
+                while len(terms) > 1:
+                    terms = [
+                        terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+                        for i in range(0, len(terms), 2)
+                    ]
+                return terms[0]
+
+            pred = _balanced_or(
                 [
                     reduce(
                         lambda x, y: x & y,
                         [F.col(c) == F.lit(str(v)) for c, v in zip(key_cols, k)],
                     )
                     for k in keys
-                ],
+                ]
             )
         btypes = {f.name: f.dataType for f in batch.schema.fields}
         affected = series.filter(pred).select(

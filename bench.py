@@ -359,8 +359,11 @@ def _emit(out: dict, detail: dict, detail_path: str) -> None:
     the FASTEST per-query entries first (the slow ones are the regression
     signal); bench_detail.json always has the full set.
     """
-    with open(detail_path, "w") as fh:
+    # tmp + atomic rename: a driver kill mid-dump must not clobber the
+    # previous block's complete detail file with a truncated one
+    with open(detail_path + ".tmp", "w") as fh:
         json.dump(detail, fh, indent=1)
+    os.replace(detail_path + ".tmp", detail_path)
     out = dict(out)
     full_queries = dict(out["queries"])
     line = json.dumps(out, separators=(",", ":"))

@@ -589,3 +589,29 @@ def test_versioned_batch_sidecar_adopts_presidecar_tables(spark, tmp_path):
     assert read_version(spark, path).count() == 3
     side = _load_batches(path)
     assert side["batches"] == {"7": 1} and side["horizon"] == 1
+
+
+def test_versioned_vacuum_folds_unabsorbed_batches(spark, tmp_path):
+    """Crash between a manifest rename and the sidecar update, THEN a
+    batchless commit (which never sweeps), THEN vacuum: the dropped
+    manifest's batch_id must be folded into the sidecar by vacuum itself,
+    or the delayed replay double-appends (code-review r8 finding)."""
+    import os
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        _load_batches,
+        read_version,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt5")
+    versioned_write(spark.range(4), path, batch_id=9)
+    os.remove(os.path.join(path, "_manifests", "_batches.json"))  # crash window
+    versioned_write(spark.range(4, 6), path)  # batch_id=None: no sweep
+    vacuum_versions(path, keep_last=1)  # drops v1 (the batch-9 manifest)
+    side = _load_batches(path)
+    assert side["batches"] == {"9": 1}
+    # delayed replay of batch 9: no-op, no double count
+    assert versioned_write(spark.range(4), path, batch_id=9) == 1
+    assert read_version(spark, path).count() == 6
