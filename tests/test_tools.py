@@ -144,3 +144,47 @@ def test_dashboard_serve_interactive_roundtrip(spark, sf_dir):
             assert body.count("<section>") == 7 and "Refresh data" in body
     finally:
         httpd.shutdown()
+
+
+def test_bench_emit_trims_and_writes_atomically(tmp_path):
+    """_emit (VERDICT r7 item 1): every emitted line must fit the driver's
+    2000-char stdout tail by dropping the FASTEST queries first, the full
+    dict must always land in the detail file, the original out dict must
+    stay untrimmed for later cumulative emits, and the detail write must
+    be tmp+rename (no truncated file visible at the final path)."""
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    spec = importlib.util.spec_from_file_location(
+        "bench2", pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    queries = {f"query_name_{i:04d}": round(0.01 * i, 2) for i in range(400)}
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+    }
+    detail = {"sf": 0.1, "queries": queries}
+    dpath = str(tmp_path / "detail.json")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench._emit(out, detail, dpath)
+    line = buf.getvalue().strip().splitlines()[-1]
+    assert len(line) <= 1900
+    emitted = json.loads(line)
+    # slowest entries survive the trim; the fastest are spilled
+    kept = set(emitted["queries"])
+    assert "query_name_0399" in kept and "query_name_0001" not in kept
+    assert "fastest in bench_detail.json" in emitted["queries_spilled"]
+    # the caller's dict is untouched (later cumulative emits need it full)
+    assert len(out["queries"]) == 400 and "queries_spilled" not in out
+    # detail file carries the FULL set, and no tmp residue remains
+    assert len(json.load(open(dpath))["queries"]) == 400
+    assert not os.path.exists(dpath + ".tmp")
