@@ -58,6 +58,7 @@ GRADE_FIRST: list[str] = [
     # -- NEW in round 8
     "lineitem_qty_tied_percentiles",
     "supply_katz_centrality_growing",
+    "orders_compacted_snapshot",
     "docs_incremental_near_dedup",
     "docs_minhash_lsh_pairs",
     # -- NEW in round 7

@@ -1989,6 +1989,71 @@ def q_orders_time_travel(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "orders_compacted_snapshot",
+    oracle=f"""
+SELECT CAST(1 AS BIGINT) AS VERSION, CAST(1 AS BIGINT) AS N_DIRS,
+       CAST(COUNT(*) AS BIGINT) AS N_ROWS, {sql_dsum("o_totalprice", 2)} AS TOTAL_PRICE
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), {sql_dsum("o_totalprice", 2)}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), {sql_dsum("o_totalprice", 2)}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+""",
+)
+def q_orders_compacted_snapshot(spark: SparkSession, sf_dir: str):
+    """Versioned-table compaction (sources/parquet_io.compact_table, the
+    lakehouse OPTIMIZE shape): two appended deliveries leave the latest
+    version reading TWO directories; compaction commits version 3 --
+    bit-identical rows, ONE directory -- while versions 1 and 2 stay
+    time-travelable over their original immutable files. N_DIRS comes
+    from each committed manifest (the read-amplification observable);
+    the oracle replays every version's visible row set from the source
+    and the manifest arithmetic as literals."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.parquet_io import (
+        _manifest_dir,
+        compact_table,
+        read_version,
+        versioned_write,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"tt_orders_compact_{h}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders")
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 == 0), path)  # v1
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 == 1), path)  # v2
+    assert compact_table(spark, path) == 3  # v3: same rows, one directory
+    out = []
+    for v in (1, 2, 3):
+        with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
+            n_dirs = len(json.load(fh)["dirs"])
+        out.append(
+            read_version(spark, path, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("N_ROWS"),
+                dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("VERSION"),
+                F.lit(n_dirs).cast("long").alias("N_DIRS"),
+                "N_ROWS",
+                "TOTAL_PRICE",
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+@query(
     "docs_stratified_kfold",
     oracle="""
 SELECT doc_id AS DOC_ID, lang AS LANG,

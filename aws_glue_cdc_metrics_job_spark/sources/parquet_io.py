@@ -544,6 +544,22 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
 
 
+def compact_table(spark: SparkSession, path: str, compression: str = "snappy") -> int:
+    """OPTIMIZE for manifest-versioned tables: rewrite the LATEST
+    version's visible rows into ONE fresh data directory and commit it as
+    a new version -- a logical no-op (same rows) that collapses read
+    amplification. An append-heavy table accumulates one directory per
+    delivery, so every read of the latest version opens O(deliveries)
+    directory listings/footers; after compaction it opens ONE. Earlier
+    versions keep reading their original immutable directories
+    (time travel intact) until :func:`vacuum_versions` reclaims the
+    now-unreferenced ones; the commit is the same atomic manifest rename
+    as any other write. Returns the committed version number."""
+    return versioned_write(
+        read_version(spark, path), path, mode="overwrite", compression=compression
+    )
+
+
 def vacuum_versions(path: str, keep_last: int = 1) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and
     delete every data directory no kept version references. Returns the

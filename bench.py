@@ -33,6 +33,7 @@ HEADLINE = [
     # round-8 additions
     "lineitem_qty_tied_percentiles",
     "supply_katz_centrality_growing",
+    "orders_compacted_snapshot",
     # round-7 additions
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",
@@ -340,6 +341,7 @@ MIN2 = {
     "lineitem_hash_sample", "docs_train_split",
     # round-8 new entries (first bench round: no prior number to anchor on)
     "lineitem_qty_tied_percentiles", "supply_katz_centrality_growing",
+    "orders_compacted_snapshot",
 }
 
 # sf1 queries that get a second measured pass: the decade-ratio

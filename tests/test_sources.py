@@ -615,3 +615,34 @@ def test_versioned_vacuum_folds_unabsorbed_batches(spark, tmp_path):
     # delayed replay of batch 9: no-op, no double count
     assert versioned_write(spark.range(4), path, batch_id=9) == 1
     assert read_version(spark, path).count() == 6
+
+
+def test_compact_table_lifecycle(spark, tmp_path):
+    """compact_table (lakehouse OPTIMIZE): the compacted version reads the
+    same rows from ONE directory, earlier versions stay time-travelable
+    over their original files, and vacuum then reclaims every directory
+    only superseded versions referenced."""
+    import json
+    import os
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        compact_table,
+        read_version,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt6")
+    versioned_write(spark.range(5), path)
+    versioned_write(spark.range(5, 9), path)
+    assert compact_table(spark, path) == 3
+    with open(os.path.join(path, "_manifests", "v00003.json")) as fh:
+        assert json.load(fh)["dirs"] == ["data/v00003"]  # one directory
+    assert sorted(r["id"] for r in read_version(spark, path).collect()) == list(range(9))
+    # earlier versions still travel
+    assert read_version(spark, path, 1).count() == 5
+    assert read_version(spark, path, 2).count() == 9
+    # vacuum reclaims the superseded delivery dirs, keeps the compacted one
+    removed = vacuum_versions(path, keep_last=1)
+    assert sorted(removed) == ["data/v00001", "data/v00002"]
+    assert sorted(r["id"] for r in read_version(spark, path).collect()) == list(range(9))
