@@ -453,3 +453,352 @@ def pr_curve(
         "Q_BP int, THRESHOLD double, TP long, FP long, FN long, "
         "PRECISION_PPM long, RECALL_PPM long, F1_PPM long",
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    decimals: int = 2,
+    buckets: int = 256,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two groups -- the
+    nonparametric two-sample test an A/B pipeline reaches for when the
+    metric is skewed (revenue per user, latency) and a t-test's normality
+    assumption is indefensible. Exact integers end-to-end: values land on
+    the 10^decimals lattice (ties become well-defined cross-engine), and
+    U is DOUBLED (``U_X2``) so tie midranks (k + 1/2) stay integral --
+    the standard trick for an exact rank-sum on integer arithmetic.
+
+    Identity used: U_a = sum_v nA(v) * CB(<v) + nA(v)*nB(v)/2, i.e. for
+    each distinct value, group-A rows beat every group-B row strictly
+    below and half-tie with group-B rows at the same value. Doubling
+    clears the half: U_a_x2 = sum_v 2*nA(v)*CB(<v) + nA(v)*nB(v).
+
+    Scale shape: one map-combined groupBy collapses the scan to its
+    DISTINCT LATTICE VALUES (bounded by value range * 10^decimals, NOT by
+    row count); the strictly-below prefix CB(<v) runs as an intra-bucket
+    window partitioned by an equi-width range bucket plus driver-side
+    bucket offsets (<= ``buckets`` rows collected -- the sorted_rank
+    pattern), so no single-partition window touches the value frame.
+    NULL values and rows outside the two groups are excluded.
+
+    Returns ONE row: (N_A, N_B, U_A_X2, U_B_X2, AUC_PPM, TIED_VALUES) --
+    AUC_PPM = P(a > b) + P(a = b)/2 in ppm (the probability-of-
+    superiority effect size, U_a_x2 * 1e6 div (2 * n_a * n_b), computed
+    on a DECIMAL(38,0) intermediate so the *1e6 product cannot overflow);
+    TIED_VALUES counts lattice values present in BOTH groups (the tie
+    structure a variance correction would need). All BIGINT. Honest
+    ceiling: U_X2 <= 2*nA*nB must fit BIGINT, i.e. ~2e9 rows per
+    balanced group -- beyond any real A/B readout; a corpus-scale run
+    past that needs the same DECIMAL(38,0) lane for the U columns."""
+    m = 10**decimals
+    lat = F.floor(F.col(value_col) * m + F.lit(0.5)).cast("bigint")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .where(F.col(group_col).isin(group_a, group_b))
+        .select(
+            lat.alias("__v"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__a"),
+        )
+    )
+    per = base.groupBy("__v").agg(
+        F.sum("__a").cast("bigint").alias("__na"),
+        F.sum(1 - F.col("__a")).cast("bigint").alias("__nb"),
+    )
+    # equi-width range bucket over the lattice (gini binning pattern):
+    # bounds ride a 1-row broadcast; correctness does not depend on
+    # bucket balance, only the prefix decomposition does.
+    b = per.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    bucketed = per.crossJoin(F.broadcast(b)).select(
+        "__v",
+        "__na",
+        "__nb",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.expr(f"((__v - __lo) * {buckets}) div (__hi - __lo + 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__rb"),
+    )
+    # bounded collect (<= buckets rows): per-bucket group-B totals ->
+    # Python prefix sum -> literal offset lookup, no offsets window/join
+    rows = (
+        bucketed.groupBy("__rb").agg(F.sum("__nb").alias("__tb")).collect()
+    )
+    tb = {int(r["__rb"]): int(r["__tb"] or 0) for r in rows}
+    nb_buckets = max(tb) + 1 if tb else 1
+    offsets, acc = [], 0
+    for i in range(nb_buckets):
+        offsets.append(acc)
+        acc += tb.get(i, 0)
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("__rb").cast("int") + 1
+    )
+    w_in = Window.partitionBy("__rb").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    scored = bucketed.select(
+        "__na",
+        "__nb",
+        (off + F.coalesce(F.sum("__nb").over(w_in), F.lit(0))).alias("__cb_lt"),
+    )
+    return scored.agg(
+        F.sum("__na").cast("bigint").alias("N_A"),
+        F.sum("__nb").cast("bigint").alias("N_B"),
+        F.sum(2 * F.col("__na") * F.col("__cb_lt") + F.col("__na") * F.col("__nb"))
+        .cast("bigint")
+        .alias("U_A_X2"),
+        F.sum(F.when((F.col("__na") > 0) & (F.col("__nb") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("TIED_VALUES"),
+    ).select(
+        "N_A",
+        "N_B",
+        "U_A_X2",
+        F.expr("2 * N_A * N_B - U_A_X2").cast("bigint").alias("U_B_X2"),
+        # AUC on a DECIMAL(38,0) intermediate: U_A_X2 * 1e6 overflows
+        # BIGINT already at ~2.1e6 rows per balanced group (nA*nB >
+        # 4.6e12), which a sf10 bench run approaches; the quotient itself
+        # is <= 1e6 so only the product needs the wide lane.
+        F.expr(
+            "CAST((CAST(U_A_X2 AS DECIMAL(38,0)) * 1000000)"
+            " div (2 * CAST(N_A AS DECIMAL(38,0)) * N_B) AS BIGINT)"
+        ).alias("AUC_PPM"),
+        "TIED_VALUES",
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator -- the survival curve for
+    right-censored durations (time-to-churn, time-to-failure) without
+    collecting the data. Each subject contributes a duration (BIGINT,
+    e.g. days) and an observed flag (1 = the event happened at that
+    duration, 0 = censored: still alive when observation ended).
+
+    H(t) = sum_{t_i <= t} d_i / n_i where d_i = events at t_i and n_i =
+    subjects still at risk (duration >= t_i). Every term lands on the ppm
+    lattice via floor division BEFORE the cumulative sum, so the whole
+    curve is exact integers and replays verbatim in SQL. (Kaplan-Meier's
+    survival product is exp(-H) to first order; the additive N-A form is
+    the one that stays exact on an integer lattice.)
+
+    Scale shape: ONE map-combined groupBy collapses the cohort to its
+    distinct durations -- bounded by the calendar span (days), NOT by
+    subject count -- and every window below runs on that bounded frame
+    (the documented exception to the no-SinglePartition rule, same as
+    gini_split_candidates). NULL durations/flags are excluded.
+
+    Returns one row per distinct duration with at least one observed
+    event, ordered: (T, AT_RISK, EVENTS, CENSORED, HAZARD_PPM,
+    CUM_HAZARD_PPM), all BIGINT. CENSORED counts subjects leaving the
+    risk set at T without the event."""
+    base = df.select(
+        F.col(duration_col).cast("bigint").alias("__t"),
+        F.col(observed_col).cast("int").alias("__e"),
+    ).where(F.col("__t").isNotNull() & F.col("__e").isNotNull())
+    g = base.groupBy("__t").agg(
+        F.sum("__e").cast("bigint").alias("__d"),
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+    )
+    wall = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
+    risked = g.select(
+        "__t",
+        "__d",
+        "__c",
+        (
+            F.sum("__c").over(wall) - F.coalesce(F.sum("__c").over(w_before), F.lit(0))
+        ).alias("__n"),
+    )
+    w_cum = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    hazard = F.expr("(__d * 1000000) div __n")
+    return (
+        # NB: Spark resolves column names case-insensitively by default,
+        # so the per-term and cumulative columns need distinct spellings
+        # beyond case ("__h"/"__H" would alias each other).
+        risked.withColumn("__haz", hazard)
+        .withColumn(
+            "__cumh",
+            F.sum(F.when(F.col("__d") > 0, F.col("__haz")).otherwise(0)).over(w_cum),
+        )
+        .where(F.col("__d") > 0)
+        .select(
+            F.col("__t").alias("T"),
+            F.col("__n").alias("AT_RISK"),
+            F.col("__d").alias("EVENTS"),
+            (F.col("__c") - F.col("__d")).cast("bigint").alias("CENSORED"),
+            F.col("__haz").cast("bigint").alias("HAZARD_PPM"),
+            F.col("__cumh").cast("bigint").alias("CUM_HAZARD_PPM"),
+        )
+        .orderBy("T")
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    value_col: str,
+    is_current,
+    bins: int = 16,
+    decimals: int = 2,
+) -> DataFrame:
+    """Population-drift report between a reference and a current slice of
+    the same numeric column -- the monitoring primitive behind PSI-style
+    model-input drift checks, kept EXACT on the ppm lattice (PSI's
+    ln(p/q) term is float-hostile; total-variation distance and the
+    chi-square-style quadratic term carry the same decision signal as
+    exact integers).
+
+    Shape (gini binning pattern): values land on the 10^decimals lattice
+    and are equi-width binned over the COMBINED min/max (1-row broadcast
+    bounds, so both slices share bin edges); one map-combined groupBy
+    collapses the scan to <= bins rows; per-bin proportions and the two
+    drift totals ride windows over that bounded frame.
+
+    Returns one row per non-empty bin, ordered: (BIN, N_REF, N_CUR,
+    P_PPM, Q_PPM, DIFF_PPM, TVD_PPM, CHI2_PPM). P/Q are ref/cur bin
+    proportions in ppm; DIFF_PPM = Q - P (signed, current minus
+    reference); TVD_PPM = sum|diff| div 2 and CHI2_PPM =
+    sum(diff^2 div max(P_PPM, 1)) are constant per-report columns.
+    NULL values and rows with a NULL slice flag are excluded."""
+    m = 10**decimals
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.floor(F.col(value_col) * m + F.lit(0.5)).cast("bigint").alias("__v"),
+        is_current.cast("int").alias("__cur"),
+    ).where(F.col("__cur").isNotNull())
+    b = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    binned = (
+        base.crossJoin(F.broadcast(b))
+        .select(
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.expr(f"((__v - __lo) * {bins}) div (__hi - __lo + 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("BIN"),
+            "__cur",
+        )
+        .groupBy("BIN")
+        .agg(
+            F.sum(1 - F.col("__cur")).cast("bigint").alias("N_REF"),
+            F.sum("__cur").cast("bigint").alias("N_CUR"),
+        )
+    )
+    wall = Window.orderBy("BIN").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    props = binned.select(
+        "BIN",
+        "N_REF",
+        "N_CUR",
+        F.expr("(N_REF * 1000000)").alias("__pr"),
+        F.sum("N_REF").over(wall).alias("__tr"),
+        F.expr("(N_CUR * 1000000)").alias("__pc"),
+        F.sum("N_CUR").over(wall).alias("__tc"),
+    ).select(
+        "BIN",
+        "N_REF",
+        "N_CUR",
+        F.expr("__pr div __tr").cast("bigint").alias("P_PPM"),
+        F.expr("__pc div __tc").cast("bigint").alias("Q_PPM"),
+        F.expr("(__pc div __tc) - (__pr div __tr)").cast("bigint").alias("DIFF_PPM"),
+    )
+    return props.select(
+        "*",
+        (F.sum(F.abs(F.col("DIFF_PPM"))).over(wall) / 2)
+        .cast("bigint")
+        .alias("TVD_PPM"),
+        F.sum(
+            F.expr("(DIFF_PPM * DIFF_PPM) div (CASE WHEN P_PPM > 1 THEN P_PPM ELSE 1 END)")
+        )
+        .over(wall)
+        .cast("bigint")
+        .alias("CHI2_PPM"),
+    ).orderBy("BIN")
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    day_col: str,
+    cents_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series --
+    trend (centered moving average), day-of-week seasonal, remainder --
+    on exact integer cents, the revenue-monitoring shape behind "is this
+    dip weekday seasonality or a real regression". ``period`` must be
+    odd (the centered window is symmetric: (period-1)/2 points each
+    side).
+
+    Lattice rules: the trend is sum-of-cents div period (non-negative);
+    the seasonal component averages DETRENDED values, which can be
+    negative, so the average is sign(s) * (|s| div n) -- both engines
+    truncate integer division toward zero, making the expression
+    portable where a bare div of a negative sum would have to rely on
+    matching truncation semantics.
+
+    Scale shape: the input here is ALREADY an aggregated daily series
+    (bounded by calendar span), so the ordered windows below run on a
+    bounded-by-construction frame; the upstream daily aggregation is the
+    caller's one real shuffle. Window frames are ROW-based: a gap in the
+    calendar shifts neighbors into the window (index semantics, not date
+    arithmetic) -- gap-fill upstream if the series can be sparse.
+
+    Returns one row per day, ordered: (DAY, VALUE_CENTS, TREND_CENTS --
+    NULL at the (period-1)/2 series edges, SEASONAL_CENTS,
+    REMAINDER_CENTS -- both NULL wherever trend is NULL)."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = (period - 1) // 2
+    w_ma = Window.orderBy(day_col).rowsBetween(-half, half)
+    with_trend = df.select(
+        F.col(day_col).alias("DAY"),
+        F.col(cents_col).cast("bigint").alias("VALUE_CENTS"),
+    ).select(
+        "DAY",
+        "VALUE_CENTS",
+        F.when(
+            F.count(F.lit(1)).over(
+                Window.orderBy("DAY").rowsBetween(-half, half)
+            )
+            == period,
+            F.expr(f"(sum(VALUE_CENTS) OVER (ORDER BY DAY ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)) div {period}"),
+        )
+        .cast("bigint")
+        .alias("TREND_CENTS"),
+    )
+    detr = with_trend.withColumn(
+        "__detr", F.col("VALUE_CENTS") - F.col("TREND_CENTS")
+    ).withColumn("__dow", F.weekday(F.col("DAY").cast("date")).cast("bigint"))
+    w_dow = Window.partitionBy("__dow")
+    seasonal_sum = F.sum("__detr").over(w_dow)
+    seasonal_n = F.count("__detr").over(w_dow)
+    seasonal = (
+        F.when(F.col("__detr").isNotNull() & (seasonal_n > 0),
+               F.signum(seasonal_sum).cast("bigint")
+               * F.expr(f"abs({'__ssum'}) div {'__sn'}"))
+    )
+    out = (
+        detr.withColumn("__ssum", seasonal_sum.cast("bigint"))
+        .withColumn("__sn", seasonal_n.cast("bigint"))
+        .withColumn("SEASONAL_CENTS", seasonal.cast("bigint"))
+        .withColumn(
+            "REMAINDER_CENTS",
+            (F.col("__detr") - F.col("SEASONAL_CENTS")).cast("bigint"),
+        )
+        .select(
+            "DAY", "VALUE_CENTS", "TREND_CENTS", "SEASONAL_CENTS", "REMAINDER_CENTS"
+        )
+        .orderBy("DAY")
+    )
+    return out

@@ -371,3 +371,112 @@ def session_transitions(
     return edges.groupBy("FROM_TYPE", "TO_TYPE").agg(
         F.count(F.lit(1)).alias("N_TRANSITIONS")
     )
+
+
+def u_shape_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    conversion's value is split across the touch events in its journey --
+    40% to the first touch, 40% to the last, 20% spread over the middle
+    -- and rolled up by touch channel. The journey for conversion k is
+    every touch by the same user after conversion k-1 and at-or-before
+    conversion k; conversions with no touches credit a literal 'direct'
+    channel. The standard marketing-attribution shape, made exact.
+
+    Exactly-once credit on the cents lattice: weights are ppm integers
+    (n=1 -> 1e6; n=2 -> 500k/500k; n>=3 -> 400k / 200k div (n-2) each
+    middle / 400k), per-touch credit is cents * w div 1e6 floored for
+    every NON-final touch, and the final touch takes the exact
+    complement (cents minus the others) -- so per-journey credit sums to
+    the conversion's cents EXACTLY, no rounding leak, any engine.
+
+    Scale shape: ONE hash exchange on user_col serves every window
+    (journey numbering partitions by user; position numbering by
+    (user, journey) -- a subset-key window the user partitioning already
+    satisfies, so Catalyst inserts a sort, not a second exchange);
+    (user_col, ts_col) must be unique within the filtered types (holds
+    for the events fixture; asof_join documents the same contract). The
+    rollup is a map-combined groupBy on channel. NULL conversion values
+    are treated as 0 cents.
+
+    Returns one row per channel: (CHANNEL, N_TOUCHES -- credited touch
+    rows (0 for 'direct'), N_CONVERSIONS -- journeys the channel closed
+    credit from, CREDIT_CENTS), ordered by CHANNEL."""
+    ev = events.where(
+        F.col(type_col).isin(*touch_types, conversion_type)
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__ty"),
+        F.col(value_col).alias("__val"),
+    )
+    w_before = (
+        Window.partitionBy("__u")
+        .orderBy("__ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = (F.col("__ty") == conversion_type).cast("int")
+    numbered = ev.withColumn(
+        "__j", F.coalesce(F.sum(is_conv).over(w_before), F.lit(0)).cast("bigint")
+    )
+    convs = numbered.where(F.col("__ty") == conversion_type).select(
+        "__u",
+        "__j",
+        F.floor(F.coalesce(F.col("__val"), F.lit(0.0)) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("__cents"),
+    )
+    touches = numbered.where(F.col("__ty") != conversion_type).select(
+        "__u", "__j", "__ts", "__ty"
+    )
+    w_j = Window.partitionBy("__u", "__j").orderBy("__ts")
+    w_jall = Window.partitionBy("__u", "__j")
+    pos = touches.withColumn("__pos", F.row_number().over(w_j)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_jall)
+    )
+    credited = pos.join(convs, ["__u", "__j"], "inner")
+    w_ppm = (
+        F.when(F.col("__n") == 1, F.lit(1000000))
+        .when(F.col("__n") == 2, F.lit(500000))
+        .when(F.col("__pos") == 1, F.lit(400000))
+        .otherwise(F.expr("200000 div (__n - 2)"))
+    )
+    with_floor = credited.withColumn("__w", w_ppm.cast("bigint")).withColumn(
+        "__floor", F.expr("(__cents * __w) div 1000000")
+    )
+    others = F.coalesce(
+        F.sum(F.when(F.col("__pos") < F.col("__n"), F.col("__floor"))).over(w_jall),
+        F.lit(0),
+    )
+    final = with_floor.withColumn(
+        "__credit",
+        F.when(F.col("__pos") < F.col("__n"), F.col("__floor")).otherwise(
+            F.col("__cents") - others
+        ),
+    )
+    by_channel = final.groupBy(F.col("__ty").alias("CHANNEL")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_TOUCHES"),
+        F.countDistinct("__u", "__j").cast("bigint").alias("N_CONVERSIONS"),
+        F.sum("__credit").cast("bigint").alias("CREDIT_CENTS"),
+    )
+    direct = (
+        convs.join(touches.select("__u", "__j").distinct(), ["__u", "__j"], "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nc"),
+            F.coalesce(F.sum("__cents"), F.lit(0)).cast("bigint").alias("__cc"),
+        )
+        .select(
+            F.lit("direct").alias("CHANNEL"),
+            F.lit(0).cast("bigint").alias("N_TOUCHES"),
+            F.col("__nc").alias("N_CONVERSIONS"),
+            F.col("__cc").alias("CREDIT_CENTS"),
+        )
+    )
+    return by_channel.unionByName(direct).orderBy("CHANNEL")

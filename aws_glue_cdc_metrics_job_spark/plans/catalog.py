@@ -55,6 +55,14 @@ def query(name: str, oracle: str | None = None):
 # single-scan inline() options build + eager silver materialization.
 # Everything else keeps its r2-r7 green row as evidence.
 GRADE_FIRST: list[str] = [
+    # -- NEW in round 8 (second batch: nonparametric testing, survival,
+    # drift, attribution, lakehouse DELETE, seasonal decomposition)
+    "events_mann_whitney",
+    "customers_survival_hazard",
+    "events_value_drift",
+    "events_attribution_ushape",
+    "orders_versioned_delete",
+    "orders_seasonal_decompose",
     # -- NEW in round 8
     "lineitem_qty_tied_percentiles",
     "supply_katz_centrality_growing",

@@ -2165,3 +2165,367 @@ def q_events_pr_curve(spark: SparkSession, sf_dir: str):
         ev, "value", F.col("event_type") == "purchase",
         qs_bp=[1000, 2500, 5000, 7500, 9000],
     )
+
+
+# --- round 8b: nonparametric testing, survival, drift monitoring,
+# multi-touch attribution, seasonal decomposition, lakehouse DELETE
+
+
+@query(
+    "events_mann_whitney",
+    oracle="""
+WITH lat AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+per AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(1 - a) AS BIGINT) AS nb
+  FROM lat GROUP BY v
+),
+pre AS (
+  SELECT na, nb,
+         CAST(COALESCE(SUM(nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM per
+),
+agg AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS N_A, CAST(SUM(nb) AS BIGINT) AS N_B,
+         CAST(SUM(2 * na * cb + na * nb) AS BIGINT) AS U_A_X2,
+         CAST(SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS TIED_VALUES
+  FROM pre
+)
+SELECT N_A, N_B, U_A_X2,
+       CAST(2 * N_A * N_B - U_A_X2 AS BIGINT) AS U_B_X2,
+       CAST((CAST(U_A_X2 AS HUGEINT) * 1000000)
+            // (2 * CAST(N_A AS HUGEINT) * N_B) AS BIGINT) AS AUC_PPM,
+       TIED_VALUES
+FROM agg
+""",
+)
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str):
+    """Mann-Whitney U / rank-sum A-B readout (operators/stats.
+    mann_whitney_u): does the click population's value distribution
+    stochastically dominate the purchase population's? Exact DOUBLED-U
+    integers on the cent lattice (tie midranks stay integral), with the
+    AUC / probability-of-superiority effect size in ppm via a
+    DECIMAL(38,0) intermediate. No single-partition window: the
+    strictly-below prefix runs bucketed with driver-side offsets (the
+    sorted_rank pattern); the scan collapses to distinct lattice values
+    first."""
+    from ..operators.stats import mann_whitney_u
+
+    ev = read_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "click", "purchase")
+
+
+@query(
+    "customers_survival_hazard",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t,
+         CASE WHEN l < TIMESTAMP '2001-02-01' THEN 1 ELSE 0 END AS e
+  FROM per
+),
+g AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1),
+r AS (
+  SELECT t, d, c,
+         CAST(SUM(c) OVER () - COALESCE(SUM(c) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n
+  FROM g
+),
+h AS (
+  SELECT t, n, d, c, (d * 1000000) // n AS hz,
+         CAST(SUM(CASE WHEN d > 0 THEN (d * 1000000) // n ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM r
+)
+SELECT t AS T, n AS AT_RISK, d AS EVENTS, CAST(c - d AS BIGINT) AS CENSORED,
+       CAST(hz AS BIGINT) AS HAZARD_PPM, cum AS CUM_HAZARD_PPM
+FROM h WHERE d > 0 ORDER BY T
+""",
+)
+def q_customers_survival_hazard(spark: SparkSession, sf_dir: str):
+    """Customer-lifetime survival curve (operators/stats.nelson_aalen):
+    duration = days between a customer's first and last order; the event
+    ("churned") is observed when the last order predates the fixed
+    literal horizon 2001-02-01, censored otherwise (still active when
+    observation ended). Cumulative hazard is exact ppm integers -- each
+    d_i/n_i term floors BEFORE the running sum -- and the whole curve
+    rides one bounded distinct-durations frame after one per-customer
+    aggregation."""
+    from ..operators.stats import nelson_aalen
+
+    o = read_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("__f"), F.max("o_orderdate").alias("__l")
+    )
+    base = per.select(
+        F.datediff(F.col("__l").cast("date"), F.col("__f").cast("date"))
+        .cast("bigint")
+        .alias("dur"),
+        (F.col("__l") < F.lit("2001-02-01").cast("timestamp")).cast("int").alias("obs"),
+    )
+    return nelson_aalen(base, "dur", "obs")
+
+
+@query(
+    "events_value_drift",
+    oracle="""
+WITH base AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS cur
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+binned AS (
+  SELECT CASE WHEN b.hi > b.lo
+              THEN ((base.v - b.lo) * 16) // (b.hi - b.lo + 1)
+              ELSE 0 END AS BIN,
+         cur
+  FROM base, b
+),
+g AS (SELECT CAST(BIN AS BIGINT) AS BIN,
+             CAST(SUM(1 - cur) AS BIGINT) AS N_REF,
+             CAST(SUM(cur) AS BIGINT) AS N_CUR
+      FROM binned GROUP BY 1),
+p AS (
+  SELECT BIN, N_REF, N_CUR,
+         CAST((N_REF * 1000000) // (SUM(N_REF) OVER ()) AS BIGINT) AS P_PPM,
+         CAST((N_CUR * 1000000) // (SUM(N_CUR) OVER ()) AS BIGINT) AS Q_PPM
+  FROM g
+),
+d AS (SELECT BIN, N_REF, N_CUR, P_PPM, Q_PPM,
+             CAST(Q_PPM - P_PPM AS BIGINT) AS DIFF_PPM FROM p)
+SELECT BIN, N_REF, N_CUR, P_PPM, Q_PPM, DIFF_PPM,
+       CAST(SUM(ABS(DIFF_PPM)) OVER () // 2 AS BIGINT) AS TVD_PPM,
+       CAST(SUM((DIFF_PPM * DIFF_PPM)
+                // (CASE WHEN P_PPM > 1 THEN P_PPM ELSE 1 END)) OVER ()
+            AS BIGINT) AS CHI2_PPM
+FROM d ORDER BY BIN
+""",
+)
+def q_events_value_drift(spark: SparkSession, sf_dir: str):
+    """Model-input drift report (operators/stats.distribution_drift):
+    the event-value distribution of the back half of the month (current)
+    against the front half (reference) across 16 shared equi-width
+    lattice bins -- per-bin ppm proportions with signed deviation, plus
+    total-variation distance and the chi-square-style quadratic total as
+    exact-integer report constants (PSI's ln(p/q) carries the same
+    decision signal but cannot ride an integer lattice). One
+    map-combined groupBy collapses the scan; everything after runs on
+    <= 16 rows."""
+    from ..operators.stats import distribution_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    return distribution_drift(
+        ev, "value", F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), bins=16
+    )
+
+
+@query(
+    "events_attribution_ushape",
+    oracle="""
+WITH ev AS (
+  SELECT user_id AS u, ts, event_type AS ty, value
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+numbered AS (
+  SELECT u, ts, ty, value,
+         CAST(COALESCE(SUM(CASE WHEN ty = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY u ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS j
+  FROM ev
+),
+convs AS (
+  SELECT u, j, CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+  FROM numbered WHERE ty = 'purchase'
+),
+touches AS (
+  SELECT u, j, ts, ty,
+         ROW_NUMBER() OVER (PARTITION BY u, j ORDER BY ts) AS pos,
+         COUNT(*) OVER (PARTITION BY u, j) AS n
+  FROM numbered WHERE ty <> 'purchase'
+),
+credited AS (
+  SELECT t.u, t.j, t.ty, t.pos, t.n, c.cents,
+         CASE WHEN t.n = 1 THEN 1000000
+              WHEN t.n = 2 THEN 500000
+              WHEN t.pos = 1 THEN 400000
+              ELSE 200000 // (t.n - 2) END AS w
+  FROM touches t JOIN convs c ON t.u = c.u AND t.j = c.j
+),
+fl AS (SELECT *, (cents * w) // 1000000 AS flc FROM credited),
+fin AS (
+  SELECT u, j, ty,
+         CASE WHEN pos < n THEN flc
+              ELSE cents - COALESCE(SUM(CASE WHEN pos < n THEN flc END)
+                OVER (PARTITION BY u, j), 0) END AS credit
+  FROM fl
+),
+by_ch AS (
+  SELECT ty AS CHANNEL, CAST(COUNT(*) AS BIGINT) AS N_TOUCHES,
+         CAST(COUNT(DISTINCT (u, j)) AS BIGINT) AS N_CONVERSIONS,
+         CAST(SUM(credit) AS BIGINT) AS CREDIT_CENTS
+  FROM fin GROUP BY 1
+),
+direct AS (
+  SELECT 'direct' AS CHANNEL, CAST(0 AS BIGINT) AS N_TOUCHES,
+         CAST(COUNT(*) AS BIGINT) AS N_CONVERSIONS,
+         CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS CREDIT_CENTS
+  FROM convs c
+  WHERE NOT EXISTS (SELECT 1 FROM touches t WHERE t.u = c.u AND t.j = c.j)
+)
+SELECT * FROM by_ch UNION ALL SELECT * FROM direct ORDER BY CHANNEL
+""",
+)
+def q_events_attribution_ushape(spark: SparkSession, sf_dir: str):
+    """U-shaped multi-touch attribution (operators/temporal.
+    u_shape_attribution): every purchase's value split 40/20/40 across
+    the click/view touches in its journey (touches since the user's
+    previous purchase), rolled up by channel, with touchless purchases
+    credited to 'direct'. Exactly-once credit on the cents lattice: all
+    non-final touches floor, the final touch takes the exact complement,
+    so channel credit sums to total purchase cents bit-exactly. One hash
+    exchange on user_id serves every window."""
+    from ..operators.temporal import u_shape_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return u_shape_attribution(ev, ["click", "view"], "purchase")
+
+
+@query(
+    "orders_versioned_delete",
+    oracle=f"""
+SELECT CAST(1 AS BIGINT) AS VERSION, CAST(1 AS BIGINT) AS N_DIRS,
+       CAST(COUNT(*) AS BIGINT) AS N_ROWS, {sql_dsum("o_totalprice", 2)} AS TOTAL_PRICE
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), {sql_dsum("o_totalprice", 2)}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), {sql_dsum("o_totalprice", 2)}
+FROM orders WHERE o_orderkey % 3 = 0
+   OR (o_orderkey % 3 = 1 AND NOT (o_totalprice < 150000))
+""",
+)
+def q_orders_versioned_delete(spark: SparkSession, sf_dir: str):
+    """Row-level DELETE with directory pruning (sources/parquet_io.
+    delete_where, the lakehouse `DELETE WHERE` shape): after two
+    appended deliveries, delete the cheap orders of the SECOND delivery
+    only -- the copy-on-write rewrite touches just that delivery's
+    directory (the match-location scan groups by the parquet
+    ``_metadata.file_path`` directory), so version 3 still references
+    delivery 1's files untouched (N_DIRS stays 2: the shared dir + the
+    rewritten one) and versions 1-2 time-travel over their original
+    immutable files. The oracle replays each version's visible row set
+    with plain predicates."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.parquet_io import (
+        _manifest_dir,
+        delete_where,
+        read_version,
+        versioned_write,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"tt_orders_delete_{h}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders")
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 == 0), path)  # v1
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 == 1), path)  # v2
+    v3 = delete_where(
+        spark, path, (F.col("o_orderkey") % 3 == 1) & (F.col("o_totalprice") < 150000)
+    )
+    assert v3 == 3
+    out = []
+    for v in (1, 2, 3):
+        with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
+            n_dirs = len(json.load(fh)["dirs"])
+        out.append(
+            read_version(spark, path, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("N_ROWS"),
+                dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("VERSION"),
+                F.lit(n_dirs).cast("long").alias("N_DIRS"),
+                "N_ROWS",
+                "TOTAL_PRICE",
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+@query(
+    "orders_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS DAY,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS VALUE_CENTS
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT DAY, VALUE_CENTS,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN CAST((SUM(VALUE_CENTS) OVER w7) // 7 AS BIGINT) END
+           AS TREND_CENTS
+  FROM daily
+  WINDOW w7 AS (ORDER BY DAY ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT DAY, VALUE_CENTS, TREND_CENTS,
+         VALUE_CENTS - TREND_CENTS AS detr,
+         CAST(isodow(DAY) - 1 AS BIGINT) AS dow
+  FROM tr
+),
+sea AS (
+  SELECT DAY, VALUE_CENTS, TREND_CENTS, detr,
+         CASE WHEN detr IS NOT NULL THEN
+           CAST(CAST(SIGN(SUM(detr) OVER wd) AS BIGINT)
+                * (ABS(SUM(detr) OVER wd) // (COUNT(detr) OVER wd)) AS BIGINT)
+         END AS SEASONAL_CENTS
+  FROM det
+  WINDOW wd AS (PARTITION BY dow)
+)
+SELECT DAY, VALUE_CENTS, TREND_CENTS, SEASONAL_CENTS,
+       CAST(detr - SEASONAL_CENTS AS BIGINT) AS REMAINDER_CENTS
+FROM sea ORDER BY DAY
+""",
+)
+def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str):
+    """Classical additive decomposition of daily order revenue
+    (operators/stats.seasonal_decompose_daily): centered 7-point moving
+    average trend, day-of-week seasonal (truncating signed integer
+    average of the detrended series, written as sign * (abs div n) so
+    both engines agree regardless of their negative-division
+    convention), remainder -- all exact integer cents. The daily
+    aggregation is the only real shuffle; every window runs on the
+    calendar-bounded daily frame."""
+    from ..operators.stats import seasonal_decompose_daily
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return seasonal_decompose_daily(daily, "day", "cents")

@@ -446,6 +446,24 @@ def _store_batches(path: str, sidecar: dict) -> None:
     os.rename(tmp, _batches_path(path))
 
 
+def _commit_manifest(
+    path: str, v: int, dirs: list[str], batch_id: int | None = None
+) -> None:
+    """Atomic commit point shared by every table mutation: write the
+    version-``v`` manifest to a temp file and rename it into place."""
+    import json
+    import os
+    import uuid
+
+    manifest: dict = {"version": v, "dirs": dirs}
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
+    tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(path), f"v{v:05d}.json"))
+
+
 def versioned_write(
     df: DataFrame,
     path: str,
@@ -476,7 +494,6 @@ def versioned_write(
     when adopting a pre-sidecar table)."""
     import json
     import os
-    import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -512,13 +529,7 @@ def versioned_write(
         with open(os.path.join(_manifest_dir(path), f"v{versions[-1]:05d}.json")) as fh:
             dirs = json.load(fh)["dirs"]
     dirs = dirs + [data_rel]
-    manifest: dict = {"version": v, "dirs": dirs}
-    if batch_id is not None:
-        manifest["batch_id"] = batch_id
-    tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_manifest_dir(path), f"v{v:05d}.json"))
+    _commit_manifest(path, v, dirs, batch_id=batch_id)
     if batch_id is not None:
         batches[str(batch_id)] = v
         sidecar["horizon"] = max(sidecar["horizon"], v)
@@ -558,6 +569,69 @@ def compact_table(spark: SparkSession, path: str, compression: str = "snappy") -
     return versioned_write(
         read_version(spark, path), path, mode="overwrite", compression=compression
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    compression: str = "snappy",
+) -> int:
+    """Row-level DELETE on a manifest-versioned table -- copy-on-write
+    with DIRECTORY PRUNING, the lakehouse `DELETE WHERE` shape. Rows
+    where ``condition`` is TRUE are removed from the next version; NULL
+    predicate rows are kept (SQL DELETE semantics).
+
+    Scale shape, why this is not a full rewrite: pass 1 scans the
+    current version with the parquet ``_metadata.file_path`` column and
+    aggregates matching rows per committed DIRECTORY (a map-combined
+    groupBy over <= #directories groups -- bounded collect); pass 2
+    rewrites ONLY the directories that actually contain matches,
+    filtered to the surviving rows, into one fresh directory. The new
+    manifest references every untouched directory AS-IS plus the
+    rewritten one -- on a 100 TB table where a delete hits one
+    delivery's files, the untouched bulk is never read again, never
+    rewritten, and stays shared with every older version (time travel
+    intact until :func:`vacuum_versions`).
+
+    A predicate matching nothing commits NOTHING and returns the current
+    version (no empty rewrite). Returns the committed (or current)
+    version number."""
+    import json
+    import os
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    versions = table_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions at {path}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]:05d}.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+    match = F.coalesce(cond, F.lit(False))
+    dir_col = F.regexp_extract(
+        F.col("_metadata.file_path"), r"(data/[^/]+)/[^/]*$", 1
+    )
+    hits = (
+        spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+        .where(match)
+        .select(dir_col.alias("__dir"))
+        .groupBy("__dir")
+        .count()
+        .collect()
+    )  # bounded: one row per committed directory containing matches
+    touched = sorted({r["__dir"] for r in hits})
+    if not touched:
+        return versions[-1]
+    v = versions[-1] + 1
+    data_rel = f"data/v{v:05d}"
+    survivors = spark.read.parquet(
+        *[os.path.join(path, d) for d in touched]
+    ).where(~match)
+    survivors.write.mode("overwrite").option("compression", compression).parquet(
+        os.path.join(path, data_rel)
+    )
+    kept_dirs = [d for d in dirs if d not in set(touched)] + [data_rel]
+    _commit_manifest(path, v, kept_dirs)
+    return v
 
 
 def vacuum_versions(path: str, keep_last: int = 1) -> list[str]:

@@ -34,6 +34,12 @@ HEADLINE = [
     "lineitem_qty_tied_percentiles",
     "supply_katz_centrality_growing",
     "orders_compacted_snapshot",
+    "events_mann_whitney",
+    "customers_survival_hazard",
+    "events_value_drift",
+    "events_attribution_ushape",
+    "orders_versioned_delete",
+    "orders_seasonal_decompose",
     # round-7 additions
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",
@@ -341,7 +347,10 @@ MIN2 = {
     "lineitem_hash_sample", "docs_train_split",
     # round-8 new entries (first bench round: no prior number to anchor on)
     "lineitem_qty_tied_percentiles", "supply_katz_centrality_growing",
-    "orders_compacted_snapshot",
+    "orders_compacted_snapshot", "events_mann_whitney",
+    "customers_survival_hazard", "events_value_drift",
+    "events_attribution_ushape", "orders_versioned_delete",
+    "orders_seasonal_decompose",
 }
 
 # sf1 queries that get a second measured pass: the decade-ratio

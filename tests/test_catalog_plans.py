@@ -78,6 +78,11 @@ BOUNDED_BROADCAST_OK = {
     "part_value_concentration": (1, "1-row global-total frame (queries_warehouse)"),
     # the split scorer crosses every row with the ONE-ROW min/max bounds
     "events_gini_best_split": (1, "1-row bounds frame (stats.gini_split_candidates)"),
+    # the rank-sum prefix buckets the distinct-value frame against the
+    # ONE-ROW min/max bounds (same gini binning pattern)
+    "events_mann_whitney": (1, "1-row bounds frame (stats.mann_whitney_u)"),
+    # shared bin edges ride the ONE-ROW combined min/max bounds
+    "events_value_drift": (1, "1-row bounds frame (stats.distribution_drift)"),
     # the Morton key crosses every row with the ONE-ROW min/max bounds
     "lineitem_zorder_buckets": (1, "1-row bounds frame (functions/zorder.add_zorder_key)"),
     # the full deviation grid is a cross join of the TWO MARGINAL frames,

@@ -646,3 +646,75 @@ def test_compact_table_lifecycle(spark, tmp_path):
     removed = vacuum_versions(path, keep_last=1)
     assert sorted(removed) == ["data/v00001", "data/v00002"]
     assert sorted(r["id"] for r in read_version(spark, path).collect()) == list(range(9))
+
+
+def test_delete_where_prunes_untouched_directories(spark, tmp_path):
+    """DELETE rewrites only directories containing matches: the first
+    delivery's directory stays referenced as-is in the new manifest, and
+    every earlier version time-travels over its original files."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        _manifest_dir,
+        delete_where,
+        read_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(0, 5), path)  # v1: ids 0-4
+    versioned_write(spark.range(100, 105), path)  # v2 append: ids 100-104
+    v = delete_where(spark, path, F.col("id") >= 103)
+    assert v == 3
+    with open(os.path.join(_manifest_dir(path), "v00003.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+    assert "data/v00001" in dirs  # untouched delivery shared, not rewritten
+    assert "data/v00002" not in dirs  # matched delivery replaced
+    assert "data/v00003" in dirs and len(dirs) == 2
+    assert sorted(r["id"] for r in read_version(spark, path, 3).collect()) == [
+        0, 1, 2, 3, 4, 100, 101, 102,
+    ]
+    # time travel intact
+    assert read_version(spark, path, 2).count() == 10
+    assert read_version(spark, path, 1).count() == 5
+
+
+def test_delete_where_no_match_and_null_semantics(spark, tmp_path):
+    """A predicate matching nothing commits no version; NULL-predicate
+    rows are KEPT (SQL DELETE deletes only where the condition is TRUE)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        delete_where,
+        read_version,
+        table_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], "id long, score double"
+    )
+    versioned_write(df, path)
+    assert delete_where(spark, path, F.col("score") > 1000) == 1  # no-op
+    assert table_versions(path) == [1]
+    assert delete_where(spark, path, F.col("score") > 50) == 2
+    kept = sorted(
+        (r["id"], r["score"]) for r in read_version(spark, path, 2).collect()
+    )
+    assert kept == [(1, 10.0), (2, None)]  # NULL row survives
+
+
+def test_delete_where_accepts_sql_string(spark, tmp_path):
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        delete_where,
+        read_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(10), path)
+    assert delete_where(spark, path, "id % 2 = 0") == 2
+    assert sorted(r["id"] for r in read_version(spark, path).collect()) == [1, 3, 5, 7, 9]

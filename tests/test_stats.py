@@ -350,3 +350,143 @@ def test_pr_curve_zero_positive_guard(spark):
     df = spark.createDataFrame([(1.0, False), (2.0, False)], "score double, y boolean")
     out = pr_curve(df, "score", F.col("y"), [5000]).collect()
     assert out[0]["RECALL_PPM"] == 0 and out[0]["TP"] == 0
+
+
+# --- round 8b: Mann-Whitney, Nelson-Aalen, drift, seasonal decomposition
+
+
+class TestMannWhitney:
+    def test_matches_brute_force_pair_count(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import mann_whitney_u
+
+        import random
+
+        rng = random.Random(7)
+        rows = [("a", round(rng.uniform(0, 5), 2)) for _ in range(80)] + [
+            ("b", round(rng.uniform(1, 6), 2)) for _ in range(60)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = mann_whitney_u(df, "v", "g", "a", "b", decimals=2, buckets=8).collect()[0]
+        lat = [(g, int(math.floor(v * 100 + 0.5))) for g, v in rows]
+        a = [v for g, v in lat if g == "a"]
+        b = [v for g, v in lat if g == "b"]
+        u_x2 = sum(2 for x in a for y in b if x > y) + sum(
+            1 for x in a for y in b if x == y
+        )
+        assert got["N_A"] == len(a) and got["N_B"] == len(b)
+        assert got["U_A_X2"] == u_x2
+        assert got["U_B_X2"] == 2 * len(a) * len(b) - u_x2
+        assert got["AUC_PPM"] == (u_x2 * 10**6) // (2 * len(a) * len(b))
+        assert got["TIED_VALUES"] == len(set(a) & set(b))
+
+    def test_all_tied_gives_half_auc(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import mann_whitney_u
+
+        df = spark.createDataFrame(
+            [("a", 2.0)] * 5 + [("b", 2.0)] * 3, "g string, v double"
+        )
+        got = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        assert got["U_A_X2"] == 5 * 3  # every pair a half-tie
+        assert got["AUC_PPM"] == 500000
+        assert got["TIED_VALUES"] == 1
+
+    def test_partitioning_invariant_and_null_excluded(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import mann_whitney_u
+
+        rows = [("a", float(i % 13)) for i in range(50)] + [
+            ("b", float(i % 7)) for i in range(40)
+        ] + [("a", None), ("c", 99.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        one = mann_whitney_u(df, "v", "g", "a", "b", buckets=4).collect()[0]
+        two = mann_whitney_u(
+            df.repartition(17), "v", "g", "a", "b", buckets=64
+        ).collect()[0]
+        assert one == two
+        assert one["N_A"] == 50 and one["N_B"] == 40  # NULL + other group dropped
+
+
+class TestNelsonAalen:
+    def test_textbook_curve(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import nelson_aalen
+
+        # durations (t, observed): risk sets 5,4,3 at t=1,2,3
+        rows = [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)]
+        df = spark.createDataFrame(rows, "dur long, obs int")
+        out = {r["T"]: r for r in nelson_aalen(df, "dur", "obs").collect()}
+        assert sorted(out) == [1, 3]  # censored-only times excluded
+        assert out[1]["AT_RISK"] == 5 and out[1]["EVENTS"] == 1
+        assert out[1]["HAZARD_PPM"] == 10**6 // 5
+        assert out[3]["AT_RISK"] == 3 and out[3]["EVENTS"] == 2
+        assert out[3]["HAZARD_PPM"] == 2 * 10**6 // 3
+        assert out[3]["CUM_HAZARD_PPM"] == 10**6 // 5 + 2 * 10**6 // 3
+        assert out[3]["CENSORED"] == 0
+
+    def test_censoring_shrinks_risk_set_without_hazard(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import nelson_aalen
+
+        rows = [(1, 0), (1, 0), (2, 1), (2, 0)]
+        df = spark.createDataFrame(rows, "dur long, obs int")
+        out = nelson_aalen(df, "dur", "obs").collect()
+        assert len(out) == 1
+        r = out[0]
+        # two censored at t=1 left before t=2's event; one censored AT t=2
+        assert r["T"] == 2 and r["AT_RISK"] == 2 and r["CENSORED"] == 1
+        assert r["HAZARD_PPM"] == 500000 == r["CUM_HAZARD_PPM"]
+
+
+class TestDistributionDrift:
+    def test_identical_slices_report_zero_drift(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import distribution_drift
+
+        rows = [(float(i % 10), (i // 10) % 2) for i in range(200)]
+        df = spark.createDataFrame(rows, "v double, cur int")
+        out = distribution_drift(df, "v", F.col("cur") == 1, bins=8).collect()
+        assert all(r["DIFF_PPM"] == 0 for r in out)
+        assert out[0]["TVD_PPM"] == 0 and out[0]["CHI2_PPM"] == 0
+
+    def test_disjoint_slices_hit_full_tvd(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import distribution_drift
+
+        rows = [(1.0, 0)] * 50 + [(100.0, 1)] * 50
+        df = spark.createDataFrame(rows, "v double, cur int")
+        out = distribution_drift(df, "v", F.col("cur") == 1, bins=4).collect()
+        assert out[0]["TVD_PPM"] == 10**6
+        lo = [r for r in out if r["N_REF"] > 0][0]
+        hi = [r for r in out if r["N_CUR"] > 0][0]
+        assert lo["P_PPM"] == 10**6 and lo["Q_PPM"] == 0
+        assert hi["Q_PPM"] == 10**6 and hi["P_PPM"] == 0
+
+
+class TestSeasonalDecompose:
+    def test_pure_weekly_signal_recovered_exactly(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import (
+            seasonal_decompose_daily,
+        )
+
+        from datetime import date, timedelta
+
+        base, offsets = 10000, [700, -700, 1400, -1400, 2100, -2100, 0]
+        start = date(2024, 1, 1)  # a Monday: weekday(day) == (i % 7)
+        rows = [
+            (start + timedelta(days=i), base + offsets[i % 7]) for i in range(28)
+        ]
+        df = spark.createDataFrame(rows, "day date, cents long")
+        out = seasonal_decompose_daily(df, "day", "cents").collect()
+        assert len(out) == 28
+        for i, r in enumerate(sorted(out, key=lambda r: r["DAY"])):
+            if i < 3 or i >= 25:  # centered window incomplete at edges
+                assert r["TREND_CENTS"] is None and r["SEASONAL_CENTS"] is None
+            else:
+                # offsets sum to 0 -> any 7 consecutive average to base
+                assert r["TREND_CENTS"] == base
+                assert r["SEASONAL_CENTS"] == offsets[i % 7]
+                assert r["REMAINDER_CENTS"] == 0
+
+    def test_even_period_rejected(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import (
+            seasonal_decompose_daily,
+        )
+
+        df = spark.createDataFrame([(1, 1)], "day long, cents long")
+        with pytest.raises(ValueError, match="odd"):
+            seasonal_decompose_daily(df, "day", "cents", period=4)

@@ -389,3 +389,77 @@ def test_interpolate_daily_bounded_and_dense(spark):
             lo = min(observed[(k, prev_d)], observed[(k, next_d)])
             hi = max(observed[(k, prev_d)], observed[(k, next_d)])
             assert lo <= vc <= hi, (k, d, vc, lo, hi)
+
+
+class TestUShapeAttribution:
+    def _run(self, spark, rows):
+        from aws_glue_cdc_metrics_job_spark.operators.temporal import (
+            u_shape_attribution,
+        )
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, value double"
+        )
+        return {
+            r["CHANNEL"]: r
+            for r in u_shape_attribution(df, ["click", "view"], "purchase").collect()
+        }
+
+    def test_u_weights_and_exact_complement(self, spark):
+        t0 = datetime(2024, 1, 1)
+        # 4 touches then a 10.01 purchase: 1001 cents -> floors 400, 100,
+        # 100 for positions 1-3; last touch takes 1001 - 600 = 401
+        rows = [
+            (1, t0 + timedelta(minutes=i), ty, None)
+            for i, ty in enumerate(["click", "view", "click", "view"])
+        ] + [(1, t0 + timedelta(minutes=9), "purchase", 10.01)]
+        out = self._run(spark, rows)
+        assert out["click"]["CREDIT_CENTS"] == 400 + 100
+        assert out["view"]["CREDIT_CENTS"] == 100 + 401
+        assert out["direct"]["N_CONVERSIONS"] == 0
+        total = sum(r["CREDIT_CENTS"] for r in out.values())
+        assert total == 1001  # exactly-once credit
+
+    def test_journey_boundaries_and_direct(self, spark):
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            # journey 0: one touch -> full credit to it
+            (1, t0, "click", None),
+            (1, t0 + timedelta(hours=1), "purchase", 5.00),
+            # journey 1: no touches -> direct
+            (1, t0 + timedelta(hours=2), "purchase", 7.00),
+            # trailing touch after the last purchase: never credited
+            (1, t0 + timedelta(hours=3), "view", None),
+            # another user, two touches: 50/50 with complement on last
+            (2, t0, "view", None),
+            (2, t0 + timedelta(minutes=1), "view", None),
+            (2, t0 + timedelta(minutes=2), "purchase", 0.03),
+        ]
+        out = self._run(spark, rows)
+        assert out["click"]["CREDIT_CENTS"] == 500
+        assert out["direct"]["N_CONVERSIONS"] == 1
+        assert out["direct"]["CREDIT_CENTS"] == 700
+        # 3 cents split 50/50: floor(1.5)=1 then complement 2
+        assert out["view"]["CREDIT_CENTS"] == 3
+        assert out["view"]["N_TOUCHES"] == 2  # user 1's trailing view dropped
+        assert out["view"]["N_CONVERSIONS"] == 1
+
+    def test_conservation_on_fixture(self, spark, sf_dir="/root/testdata/sf0.001"):
+        from aws_glue_cdc_metrics_job_spark.operators.temporal import (
+            u_shape_attribution,
+        )
+        from aws_glue_cdc_metrics_job_spark.sources.parquet_io import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        out = u_shape_attribution(ev, ["click", "view"], "purchase")
+        total = out.agg(F.sum("CREDIT_CENTS")).collect()[0][0]
+        expect = (
+            ev.where(F.col("event_type") == "purchase")
+            .agg(
+                F.sum(
+                    F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5))
+                )
+            )
+            .collect()[0][0]
+        )
+        assert total == expect
