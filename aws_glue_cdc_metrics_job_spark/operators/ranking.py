@@ -224,3 +224,75 @@ def rank_percentiles(
         )
         .select(F.col("__q").cast("int").alias("Q_BP"), "N", "VALUE")
     )
+
+
+def ndcg_discounts_ppm(k: int) -> list[int]:
+    """The shared-literal NDCG discount codebook: floor(1e6 / log2(i+1))
+    for ranks i = 1..k. Computed ONCE in Python and embedded as literals
+    in both the Spark plan and the oracle SQL (the shared-literal pattern
+    similarity.pq uses for codebooks), so the log never runs in either
+    engine and the metric is exact integers everywhere."""
+    import math
+
+    return [int(10**6 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    rel_col: str,
+    order_by: list,
+    k: int,
+) -> DataFrame:
+    """NDCG@k over a RANKED CANDIDATE FRAME -- the retrieval-quality
+    readout (search, RAG context selection, dedup-candidate ranking)
+    computed without floats: integer graded relevance x the ppm discount
+    codebook, normalized by the ideal (relevance-descending) ordering of
+    the SAME frame.
+
+    ``df`` must be bounded by contract (a top-k retrieval output -- at
+    most a few times ``k`` rows); the two ROW_NUMBER windows below are
+    global-ordered and would single-partition an unbounded input (the
+    documented bounded-frame exception). ``order_by`` is the system
+    ranking and must be a total order (tiebreak included) or the rank --
+    and the metric -- becomes partitioning-dependent.
+
+    Returns ONE row: (K, N_RANKED -- rows actually scored (min(k, |df|)),
+    DCG_PPM, IDCG_PPM, NDCG_PPM = DCG*1e6 div IDCG, 0 when IDCG is 0).
+    All BIGINT."""
+    discs = ndcg_discounts_ppm(k)
+    disc_arr = F.array(*[F.lit(d) for d in discs])
+    w_sys = Window.orderBy(*order_by)
+    w_ideal = Window.orderBy(F.col(rel_col).desc(), *order_by)
+    sys_rows = (
+        df.withColumn("__r", F.row_number().over(w_sys))
+        .where(F.col("__r") <= k)
+        .select(
+            (F.col(rel_col).cast("bigint") * F.element_at(disc_arr, F.col("__r")))
+            .alias("__g"),
+        )
+    )
+    ideal_rows = (
+        df.withColumn("__ir", F.row_number().over(w_ideal))
+        .where(F.col("__ir") <= k)
+        .select(
+            (F.col(rel_col).cast("bigint") * F.element_at(disc_arr, F.col("__ir")))
+            .alias("__ig"),
+        )
+    )
+    dcg = sys_rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_RANKED"),
+        F.coalesce(F.sum("__g"), F.lit(0)).cast("bigint").alias("DCG_PPM"),
+    )
+    idcg = ideal_rows.agg(
+        F.coalesce(F.sum("__ig"), F.lit(0)).cast("bigint").alias("IDCG_PPM")
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(k).cast("bigint").alias("K"),
+        "N_RANKED",
+        "DCG_PPM",
+        "IDCG_PPM",
+        F.when(F.col("IDCG_PPM") > 0, F.expr("(DCG_PPM * 1000000) div IDCG_PPM"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("NDCG_PPM"),
+    )

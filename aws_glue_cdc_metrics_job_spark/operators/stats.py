@@ -802,3 +802,84 @@ def seasonal_decompose_daily(
         .orderBy("DAY")
     )
     return out
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    positive,
+    bins: int = 10,
+    decimals: int = 2,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a scored
+    binary outcome -- "when the model says 80%, does the event happen 80%
+    of the time" -- exact on the ppm lattice. The score lands on the
+    10^decimals lattice and is min/max-normalized to a ppm "predicted
+    probability" (1-row broadcast bounds, gini binning pattern), then
+    equi-width binned; per bin the mean prediction and the observed
+    positive rate are integer ppm floors.
+
+    Scale shape: one scan with a map-combined groupBy to <= bins rows;
+    the ECE total (sum_b n_b * |gap_b| div N) rides a window over that
+    bounded frame. NULL scores/labels are excluded.
+
+    Returns one row per non-empty bin, ordered: (BIN, N, N_POS,
+    MEAN_PRED_PPM, OBS_POS_PPM, GAP_PPM = observed - predicted signed,
+    ECE_PPM constant per report). All BIGINT."""
+    m = 10**decimals
+    base = (
+        df.where(F.col(score_col).isNotNull())
+        .select(
+            F.floor(F.col(score_col) * m + F.lit(0.5)).cast("bigint").alias("__v"),
+            positive.cast("int").alias("__y"),
+        )
+        .where(F.col("__y").isNotNull())
+    )
+    b = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    binned = (
+        base.crossJoin(F.broadcast(b))
+        .select(
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.expr(f"((__v - __lo) * {bins}) div (__hi - __lo + 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("BIN"),
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.expr("((__v - __lo) * 1000000) div (__hi - __lo + 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("__p"),
+            "__y",
+        )
+        .groupBy("BIN")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("N"),
+            F.sum("__y").cast("bigint").alias("N_POS"),
+            F.sum("__p").cast("bigint").alias("__sp"),
+        )
+    )
+    wall = Window.orderBy("BIN").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = binned.select(
+        "BIN",
+        "N",
+        "N_POS",
+        F.expr("__sp div N").cast("bigint").alias("MEAN_PRED_PPM"),
+        F.expr("(N_POS * 1000000) div N").cast("bigint").alias("OBS_POS_PPM"),
+    ).withColumn("GAP_PPM", (F.col("OBS_POS_PPM") - F.col("MEAN_PRED_PPM")).cast("bigint"))
+    return scored.select(
+        "*",
+        F.expr(
+            "(sum(N * abs(GAP_PPM)) OVER (ORDER BY BIN ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND UNBOUNDED FOLLOWING))"
+            " div (sum(N) OVER (ORDER BY BIN ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING))"
+        )
+        .cast("bigint")
+        .alias("ECE_PPM"),
+    ).orderBy("BIN")

@@ -63,6 +63,10 @@ GRADE_FIRST: list[str] = [
     "events_attribution_ushape",
     "orders_versioned_delete",
     "orders_seasonal_decompose",
+    "orders_versioned_merge",
+    "orders_version_changes",
+    "docs_bm25_ndcg",
+    "events_calibration_bins",
     # -- NEW in round 8
     "lineitem_qty_tied_percentiles",
     "supply_katz_centrality_growing",

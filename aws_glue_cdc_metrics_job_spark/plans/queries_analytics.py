@@ -2529,3 +2529,51 @@ def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str):
         .alias("cents")
     )
     return seasonal_decompose_daily(daily, "day", "cents")
+
+
+@query(
+    "events_calibration_bins",
+    oracle="""
+WITH base AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+binned AS (
+  SELECT CASE WHEN b.hi > b.lo
+              THEN ((base.v - b.lo) * 10) // (b.hi - b.lo + 1) ELSE 0 END AS BIN,
+         CASE WHEN b.hi > b.lo
+              THEN ((base.v - b.lo) * 1000000) // (b.hi - b.lo + 1)
+              ELSE 0 END AS p,
+         y
+  FROM base, b
+),
+g AS (SELECT CAST(BIN AS BIGINT) AS BIN, CAST(COUNT(*) AS BIGINT) AS N,
+             CAST(SUM(y) AS BIGINT) AS N_POS, SUM(p) AS sp
+      FROM binned GROUP BY 1),
+s AS (
+  SELECT BIN, N, N_POS,
+         CAST(sp // N AS BIGINT) AS MEAN_PRED_PPM,
+         CAST((N_POS * 1000000) // N AS BIGINT) AS OBS_POS_PPM
+  FROM g
+),
+d AS (SELECT BIN, N, N_POS, MEAN_PRED_PPM, OBS_POS_PPM,
+             CAST(OBS_POS_PPM - MEAN_PRED_PPM AS BIGINT) AS GAP_PPM FROM s)
+SELECT BIN, N, N_POS, MEAN_PRED_PPM, OBS_POS_PPM, GAP_PPM,
+       CAST(SUM(N * ABS(GAP_PPM)) OVER () // SUM(N) OVER () AS BIGINT) AS ECE_PPM
+FROM d ORDER BY BIN
+""",
+)
+def q_events_calibration_bins(spark: SparkSession, sf_dir: str):
+    """Reliability diagram + expected calibration error (operators/stats.
+    calibration_bins) treating the min/max-normalized event value as a
+    predicted purchase probability: per decile bin the mean ppm
+    prediction vs the observed purchase rate, with the signed gap and
+    the N-weighted ECE total -- "when the score says 80%, does it happen
+    80% of the time", exact on the ppm lattice. One map-combined groupBy
+    to 10 rows; the ECE rides a window over that bounded frame."""
+    from ..operators.stats import calibration_bins
+
+    ev = read_table(spark, sf_dir, "events")
+    return calibration_bins(ev, "value", F.col("event_type") == "purchase", bins=10)

@@ -2078,3 +2078,136 @@ def q_docs_stratified_kfold(spark: SparkSession, sf_dir: str):
     return out.select(
         F.col("doc_id").alias("DOC_ID"), F.col("lang").alias("LANG"), "FOLD"
     )
+
+
+@query(
+    "orders_versioned_merge",
+    oracle=f"""
+SELECT CAST(1 AS BIGINT) AS VERSION, CAST(1 AS BIGINT) AS N_DIRS,
+       CAST(COUNT(*) AS BIGINT) AS N_ROWS, {sql_dsum("o_totalprice", 2)} AS TOTAL_PRICE
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), {sql_dsum("o_totalprice", 2)}
+FROM orders WHERE o_orderkey % 3 IN (0, 2)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       {sql_dsum("CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 = 0 THEN o_totalprice + 100 ELSE o_totalprice END", 2)}
+FROM orders
+WHERE o_orderkey % 3 IN (0, 2) OR (o_orderkey % 3 = 1 AND o_orderkey % 5 = 0)
+""",
+)
+def q_orders_versioned_merge(spark: SparkSession, sf_dir: str):
+    """MERGE INTO on a versioned table (sources/parquet_io.merge_into):
+    after two deliveries (keys %3==0, then %3==2 appended), merge a
+    source of UPDATES (+100 on the %3==0, %5==0 orders) and INSERTS (the
+    %3==1, %5==0 orders). Directory pruning: the source's keys touch only
+    delivery 1's directory, so version 3 rewrites that one directory
+    (minus matched rows, plus the whole source) and keeps delivery 2's
+    directory shared AS-IS -- N_DIRS stays 2 and versions 1-2
+    time-travel over their original files. The oracle replays each
+    version's visible rows with plain predicates."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.parquet_io import (
+        _manifest_dir,
+        merge_into,
+        read_version,
+        versioned_write,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"tt_orders_merge_{h}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders")
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 == 0), path)  # v1
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 == 2), path)  # v2
+    updates = orders.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 100)
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 3 == 1) & (F.col("o_orderkey") % 5 == 0)
+    )
+    v3 = merge_into(spark, updates.unionByName(inserts), path, on=["o_orderkey"])
+    assert v3 == 3
+    out = []
+    for v in (1, 2, 3):
+        with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
+            n_dirs = len(json.load(fh)["dirs"])
+        out.append(
+            read_version(spark, path, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("N_ROWS"),
+                dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("VERSION"),
+                F.lit(n_dirs).cast("long").alias("N_DIRS"),
+                "N_ROWS",
+                "TOTAL_PRICE",
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+@query(
+    "orders_version_changes",
+    oracle=f"""
+SELECT 'delete' AS ACTION, CAST(COUNT(*) AS BIGINT) AS N_ROWS,
+       {sql_dsum("o_totalprice", 2)} AS TOTAL_PRICE
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+       {sql_dsum("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100 ELSE o_totalprice END", 2)}
+FROM orders WHERE o_orderkey % 3 = 2
+UNION ALL
+SELECT 'update', CAST(COUNT(*) AS BIGINT), {sql_dsum("o_totalprice + 100", 2)}
+FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 7 = 0
+""",
+)
+def q_orders_version_changes(spark: SparkSession, sf_dir: str):
+    """Change data feed between two versions of a versioned table: commit
+    version 1 (keys %3 in (0,1)), OVERWRITE with version 2 (keys %3 in
+    (1,2), +100 on the %7==0 orders), then diff the two snapshots read
+    back via time travel (operators/cdc.cdc_diff on the PK) and roll the
+    tagged change set up by action. Deletes carry the previous image's
+    price, inserts/updates the current image's -- exactly what a
+    downstream incremental consumer replays. One full-outer PK join over
+    the two version reads; the rollup is a 3-group aggregate."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import cdc_diff
+    from ..sources.parquet_io import read_version, versioned_write
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"tt_orders_cdf_{h}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders")
+    versioned_write(orders.filter(F.col("o_orderkey") % 3 < 2), path)  # v1
+    v2_img = orders.filter(F.col("o_orderkey") % 3 > 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    versioned_write(v2_img, path, mode="overwrite")  # v2
+    changes = cdc_diff(
+        read_version(spark, path, 2),
+        read_version(spark, path, 1),
+        pks=["o_orderkey"],
+    )
+    return (
+        changes.groupBy(F.col("cdc_action").alias("ACTION"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("N_ROWS"),
+            dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
+        )
+        .orderBy("ACTION")
+    )

@@ -3308,3 +3308,98 @@ def q_docs_mojibake_screen(spark: SparkSession, sf_dir: str):
     literals (text.mojibake_sql)."""
     docs = read_table(spark, sf_dir, "documents")
     return text.mojibake_report(docs)
+
+
+def _bm25_ndcg_oracle() -> str:
+    """NDCG@10 oracle: the bm25 CTE chain + graded relevance (# distinct
+    query terms present) + the shared ppm discount codebook as literals."""
+    from ..operators.ranking import ndcg_discounts_ppm
+
+    discs = "[" + ", ".join(str(d) for d in ndcg_discounts_ppm(10)) + "]"
+    return f"""
+WITH b2 AS (SELECT doc_id, CAST(len({_TOKS_NE}) AS DOUBLE) AS dl, {_TOKS_NE} AS toks FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM b2),
+hits AS (
+  SELECT doc_id, dl, TERM, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS TERM FROM b2)
+  WHERE TERM IN ('table', 'scan', 'fast')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT TERM, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfx FROM hits GROUP BY 1),
+per AS (
+  SELECT h.doc_id,
+         h.TERM,
+         ln(1.0 + (s.n - d.dfx + 0.5) / (d.dfx + 0.5))
+           * (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl)) AS sc
+  FROM hits h JOIN dfreq d USING (TERM), stats s
+),
+agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN TERM = 'table' THEN sc END) AS s0,
+         SUM(CASE WHEN TERM = 'scan' THEN sc END) AS s1,
+         SUM(CASE WHEN TERM = 'fast' THEN sc END) AS s2
+  FROM per GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         FLOOR((COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)) * 1000000 + 0.5) / 1000000 AS SCORE
+  FROM agg ORDER BY SCORE DESC, doc_id LIMIT 10
+),
+rel AS (
+  SELECT doc_id,
+         CAST(len(list_intersect(list_distinct({_TOKS_NE}),
+                                 ['table', 'scan', 'fast'])) AS BIGINT) AS REL
+  FROM documents
+),
+j AS (SELECT r.doc_id, r.SCORE, rel.REL FROM ranked r JOIN rel USING (doc_id)),
+sysg AS (
+  SELECT SUM(REL * ({discs})[CAST(rk AS INT)]) AS dcg, COUNT(*) AS nr
+  FROM (SELECT REL, ROW_NUMBER() OVER (ORDER BY SCORE DESC, doc_id) AS rk FROM j)
+  WHERE rk <= 10
+),
+idealg AS (
+  SELECT SUM(REL * ({discs})[CAST(rk AS INT)]) AS idcg
+  FROM (SELECT REL,
+               ROW_NUMBER() OVER (ORDER BY REL DESC, SCORE DESC, doc_id) AS rk
+        FROM j)
+  WHERE rk <= 10
+)
+SELECT CAST(10 AS BIGINT) AS K, CAST(nr AS BIGINT) AS N_RANKED,
+       CAST(COALESCE(dcg, 0) AS BIGINT) AS DCG_PPM,
+       CAST(COALESCE(idcg, 0) AS BIGINT) AS IDCG_PPM,
+       CAST(CASE WHEN COALESCE(idcg, 0) > 0
+                 THEN (COALESCE(dcg, 0) * 1000000) // idcg ELSE 0 END AS BIGINT)
+         AS NDCG_PPM
+FROM sysg, idealg
+"""
+
+
+@query("docs_bm25_ndcg", oracle=_bm25_ndcg_oracle())
+def q_docs_bm25_ndcg(spark: SparkSession, sf_dir: str):
+    """Retrieval quality of the BM25 ranking (operators/ranking.
+    ndcg_at_k): NDCG@10 of docs_bm25_topk's list against a graded
+    relevance label (# of the 3 query terms the document contains). The
+    discount codebook floor(1e6/log2(rank+1)) is computed once in Python
+    and embedded as literals in BOTH engines (the shared-literal
+    pattern), so the metric is exact integers with no engine-side log.
+    The ranked frame is 10 rows by construction -- the global windows
+    inside ndcg_at_k are the documented bounded-frame exception."""
+    from ..operators.ranking import ndcg_at_k
+
+    docs = read_table(spark, sf_dir, "documents")
+    ranked = text.bm25_topk(docs, ["table", "scan", "fast"], k=10)
+    rel = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(text.tokens()),
+                F.array(F.lit("table"), F.lit("scan"), F.lit("fast")),
+            )
+        )
+        .cast("bigint")
+        .alias("REL"),
+    )
+    joined = ranked.join(rel, "doc_id")
+    return ndcg_at_k(
+        joined, "REL", [F.col("SCORE").desc(), F.col("doc_id")], k=10
+    )

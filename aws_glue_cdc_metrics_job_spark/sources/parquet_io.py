@@ -634,6 +634,76 @@ def delete_where(
     return v
 
 
+def merge_into(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    on: list[str],
+    compression: str = "snappy",
+) -> int:
+    """MERGE INTO (upsert) on a manifest-versioned table -- copy-on-write
+    with the same DIRECTORY PRUNING as :func:`delete_where`. Target rows
+    whose key matches a source row are REPLACED by the source image
+    (when-matched update-all); source rows with no target match are
+    INSERTED; unmatched target rows are untouched. ``source`` must carry
+    the target's exact schema and AT MOST ONE ROW PER KEY (a multi-row
+    key would make "the" update image partitioning-dependent; enforce
+    upstream with dedup_keep_latest).
+
+    Scale shape: pass 1 left-semi-joins the current version (with the
+    parquet ``_metadata.file_path`` column) against the bounded key
+    projection of the source and groups matches per committed directory
+    (bounded collect, one row per directory). Pass 2 rewrites ONLY the
+    matched directories minus their matched rows (left-anti join on the
+    key), unions the FULL source (updates + inserts together -- one
+    write), and commits untouched dirs + the one new dir. A delivery
+    whose keys the merge never touches is never read twice, never
+    rewritten, and stays shared with every older version.
+
+    Returns the committed version number. An EMPTY source commits
+    nothing and returns the current version."""
+    import json
+    import os
+
+    versions = table_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions at {path}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]:05d}.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+    if source.isEmpty():
+        return versions[-1]
+    keys = source.select(*on)
+    dir_col = F.regexp_extract(
+        F.col("_metadata.file_path"), r"(data/[^/]+)/[^/]*$", 1
+    )
+    current = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    hits = (
+        current.select(*on, dir_col.alias("__dir"))
+        .join(keys, on, "left_semi")
+        .groupBy("__dir")
+        .count()
+        .collect()
+    )  # bounded: one row per committed directory containing matched keys
+    touched = sorted({r["__dir"] for r in hits})
+    v = versions[-1] + 1
+    data_rel = f"data/v{v:05d}"
+    target_cols = current.columns
+    if touched:
+        survivors = (
+            spark.read.parquet(*[os.path.join(path, d) for d in touched])
+            .join(keys, on, "left_anti")
+        )
+        out = survivors.select(*target_cols).unionByName(source.select(*target_cols))
+    else:
+        out = source.select(*target_cols)
+    out.write.mode("overwrite").option("compression", compression).parquet(
+        os.path.join(path, data_rel)
+    )
+    kept_dirs = [d for d in dirs if d not in set(touched)] + [data_rel]
+    _commit_manifest(path, v, kept_dirs)
+    return v
+
+
 def vacuum_versions(path: str, keep_last: int = 1) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and
     delete every data directory no kept version references. Returns the

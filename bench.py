@@ -40,6 +40,10 @@ HEADLINE = [
     "events_attribution_ushape",
     "orders_versioned_delete",
     "orders_seasonal_decompose",
+    "orders_versioned_merge",
+    "orders_version_changes",
+    "docs_bm25_ndcg",
+    "events_calibration_bins",
     # round-7 additions
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",
@@ -350,7 +354,9 @@ MIN2 = {
     "orders_compacted_snapshot", "events_mann_whitney",
     "customers_survival_hazard", "events_value_drift",
     "events_attribution_ushape", "orders_versioned_delete",
-    "orders_seasonal_decompose",
+    "orders_seasonal_decompose", "orders_versioned_merge",
+    "orders_version_changes", "docs_bm25_ndcg",
+    "events_calibration_bins",
 }
 
 # sf1 queries that get a second measured pass: the decade-ratio

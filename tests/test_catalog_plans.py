@@ -83,6 +83,11 @@ BOUNDED_BROADCAST_OK = {
     "events_mann_whitney": (1, "1-row bounds frame (stats.mann_whitney_u)"),
     # shared bin edges ride the ONE-ROW combined min/max bounds
     "events_value_drift": (1, "1-row bounds frame (stats.distribution_drift)"),
+    # score normalization rides the ONE-ROW combined min/max bounds
+    "events_calibration_bins": (1, "1-row bounds frame (stats.calibration_bins)"),
+    # bm25's 1-row corpus stats, the LIMIT-10 ranked frame joined to
+    # relevance, and ndcg's 1-row IDCG frame -- all bounded by construction
+    "docs_bm25_ndcg": (3, "1-row bm25 stats + top-10 ranked frame + 1-row IDCG frame"),
     # the Morton key crosses every row with the ONE-ROW min/max bounds
     "lineitem_zorder_buckets": (1, "1-row bounds frame (functions/zorder.add_zorder_key)"),
     # the full deviation grid is a cross join of the TWO MARGINAL frames,

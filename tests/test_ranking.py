@@ -129,3 +129,47 @@ def test_rank_percentiles_shared_rank_and_empty(spark):
     assert out == {1: 5.0, 4900: 5.0, 10000: 7.0}
     empty = spark.createDataFrame([], "id int, v double")
     assert rank_percentiles(empty, "v", ["id"], qs_bp=[5000]).count() == 0
+
+
+class TestNdcgAtK:
+    def test_matches_textbook_formula(self, spark):
+        import math
+
+        from aws_glue_cdc_metrics_job_spark.operators.ranking import (
+            ndcg_at_k,
+            ndcg_discounts_ppm,
+        )
+        from pyspark.sql import functions as F
+
+        # system order by score desc: rels land [0, 2, 1, 3]
+        rows = [(1, 9.0, 0), (2, 8.0, 2), (3, 7.0, 1), (4, 6.0, 3)]
+        df = spark.createDataFrame(rows, "id long, score double, rel int")
+        got = ndcg_at_k(
+            df, "rel", [F.col("score").desc(), F.col("id")], k=4
+        ).collect()[0]
+        d = ndcg_discounts_ppm(4)
+        assert d[0] == 10**6 and d == sorted(d, reverse=True)
+        assert d[1] == int(10**6 / math.log2(3))
+        dcg = 0 * d[0] + 2 * d[1] + 1 * d[2] + 3 * d[3]
+        idcg = 3 * d[0] + 2 * d[1] + 1 * d[2] + 0 * d[3]
+        assert got["DCG_PPM"] == dcg and got["IDCG_PPM"] == idcg
+        assert got["NDCG_PPM"] == (dcg * 10**6) // idcg
+        assert got["N_RANKED"] == 4 and got["K"] == 4
+
+    def test_perfect_ranking_is_one(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.ranking import ndcg_at_k
+        from pyspark.sql import functions as F
+
+        rows = [(1, 9.0, 3), (2, 8.0, 2), (3, 7.0, 1)]
+        df = spark.createDataFrame(rows, "id long, score double, rel int")
+        got = ndcg_at_k(df, "rel", [F.col("score").desc(), F.col("id")], k=3).collect()[0]
+        assert got["NDCG_PPM"] == 10**6
+
+    def test_zero_relevance_reports_zero_not_div0(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.ranking import ndcg_at_k
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, 9.0, 0), (2, 8.0, 0)], "id long, score double, rel int")
+        got = ndcg_at_k(df, "rel", [F.col("score").desc(), F.col("id")], k=5).collect()[0]
+        assert got["DCG_PPM"] == 0 and got["IDCG_PPM"] == 0 and got["NDCG_PPM"] == 0
+        assert got["N_RANKED"] == 2  # frame smaller than k

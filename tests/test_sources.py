@@ -718,3 +718,68 @@ def test_delete_where_accepts_sql_string(spark, tmp_path):
     versioned_write(spark.range(10), path)
     assert delete_where(spark, path, "id % 2 = 0") == 2
     assert sorted(r["id"] for r in read_version(spark, path).collect()) == [1, 3, 5, 7, 9]
+
+
+def test_merge_into_updates_inserts_and_prunes(spark, tmp_path):
+    """MERGE replaces matched rows, appends unmatched source rows, and
+    rewrites only directories containing matched keys."""
+    import json
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        _manifest_dir,
+        merge_into,
+        read_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), path
+    )
+    versioned_write(
+        spark.createDataFrame([(10, "x"), (11, "y")], "id long, v string"), path
+    )
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    assert merge_into(spark, src, path, on=["id"]) == 3
+    with open(os.path.join(_manifest_dir(path), "v00003.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+    assert "data/v00002" in dirs and "data/v00001" not in dirs  # pruning
+    got = sorted((r["id"], r["v"]) for r in read_version(spark, path, 3).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (10, "x"), (11, "y")]
+    assert read_version(spark, path, 1).count() == 2  # time travel intact
+
+
+def test_merge_into_insert_only_keeps_every_directory(spark, tmp_path):
+    """A source with no matching keys rewrites nothing: every existing
+    directory stays referenced, the source lands in one new directory."""
+    import json
+
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        _manifest_dir,
+        merge_into,
+        read_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(3), path)
+    src = spark.createDataFrame([(7,), (8,)], "id long")
+    assert merge_into(spark, src, path, on=["id"]) == 2
+    with open(os.path.join(_manifest_dir(path), "v00002.json")) as fh:
+        dirs = json.load(fh)["dirs"]
+    assert "data/v00001" in dirs and len(dirs) == 2
+    assert sorted(r["id"] for r in read_version(spark, path).collect()) == [0, 1, 2, 7, 8]
+
+
+def test_merge_into_empty_source_is_noop(spark, tmp_path):
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        merge_into,
+        table_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(spark.range(3), path)
+    empty = spark.range(1).filter("id < 0")
+    assert merge_into(spark, empty, path, on=["id"]) == 1
+    assert table_versions(path) == [1]

@@ -490,3 +490,39 @@ class TestSeasonalDecompose:
         df = spark.createDataFrame([(1, 1)], "day long, cents long")
         with pytest.raises(ValueError, match="odd"):
             seasonal_decompose_daily(df, "day", "cents", period=4)
+
+
+class TestCalibrationBins:
+    def test_perfectly_calibrated_scores(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import calibration_bins
+
+        # scores 0.005..0.995 uniform; label = deterministic per-score
+        # pattern hitting the score's own rate within each decile
+        rows = []
+        for i in range(1000):
+            s = (i % 100) / 100 + 0.005
+            rows.append((s, 1 if (i % 100) >= 50 else 0))  # p(pos)=0.5 overall
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = calibration_bins(df, "s", F.col("y") == 1, bins=2).collect()
+        assert len(out) == 2
+        lo, hi = sorted(out, key=lambda r: r["BIN"])
+        # scores 0.005-0.495 are all label 0; 0.505-0.995 all label 1
+        assert lo["OBS_POS_PPM"] == 0 and hi["OBS_POS_PPM"] == 10**6
+        assert lo["N"] == hi["N"] == 500
+        assert out[0]["ECE_PPM"] == (
+            lo["N"] * abs(lo["GAP_PPM"]) + hi["N"] * abs(hi["GAP_PPM"])
+        ) // (lo["N"] + hi["N"])
+
+    def test_gap_sign_and_null_exclusion(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import calibration_bins
+
+        rows = [(0.9, 0)] * 10 + [(0.1, 1)] * 10 + [(None, 1), (0.5, None)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = calibration_bins(
+            df, "s", F.when(F.col("y").isNotNull(), F.col("y") == 1), bins=2
+        ).collect()
+        assert sum(r["N"] for r in out) == 20  # both NULL rows excluded
+        lo = [r for r in out if r["BIN"] == 0][0]
+        hi = [r for r in out if r["BIN"] == 1][0]
+        assert lo["GAP_PPM"] > 0  # under-confident: observed 100% vs low pred
+        assert hi["GAP_PPM"] < 0  # over-confident
