@@ -319,3 +319,35 @@ def referential_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 5
+) -> DataFrame:
+    """l-diversity audit: k-anonymity's necessary complement. A group can
+    be large (k-anonymous) yet still leak -- if every row in it shares
+    the same SENSITIVE value, membership alone reveals it (the
+    homogeneity attack). This reports, per quasi-identifier combination,
+    the group size and the number of DISTINCT sensitive values, flagging
+    groups below ``l`` distinct values.
+
+    One hash aggregation (count + exact countDistinct per group,
+    map-side partial) -- distinct counting shuffles (quasi, sensitive)
+    pairs, never rows. Returns (quasi_cols..., GROUP_SIZE, L_DISTINCT,
+    DIVERSE -- 1 iff L_DISTINCT >= l) ordered by the quasi columns; the
+    release gate is "no rows with DIVERSE = 0"."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 2:
+        raise ValueError("l must be >= 2 (l=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("GROUP_SIZE"),
+            F.countDistinct(sensitive_col).cast("long").alias("L_DISTINCT"),
+        )
+        .withColumn(
+            "DIVERSE", (F.col("L_DISTINCT") >= l).cast("int")
+        )
+        .orderBy(*quasi_cols)
+    )

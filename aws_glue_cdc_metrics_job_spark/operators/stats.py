@@ -883,3 +883,130 @@ def calibration_bins(
         .cast("bigint")
         .alias("ECE_PPM"),
     ).orderBy("BIN")
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    positive,
+    m: int = 100,
+) -> DataFrame:
+    """m-estimate target encoding of a categorical feature -- the
+    feature-engineering primitive that replaces a category with its
+    smoothed positive rate (rare categories shrink toward the global
+    rate instead of memorizing noise). Exact ppm integers:
+
+        SMOOTHED_PPM = (n_pos * 1e6 + m * GLOBAL_PPM) div (n + m)
+
+    with GLOBAL_PPM = (N_pos * 1e6) div N -- every term a floor on the
+    ppm lattice, replayable in any engine.
+
+    Scale shape: ONE map-combined groupBy collapses the scan to the
+    category frame (bounded by category cardinality); the global rate
+    rides a window over that bounded frame, never a re-scanning
+    aggregate cross join. NULL labels are excluded; NULL categories
+    encode as their own group (they are a real category at inference
+    time). Overflow: n_pos * 1e6 needs n_pos < 9.2e12 per category.
+
+    Returns one row per category, ordered: (cat_col, N, N_POS, RAW_PPM,
+    SMOOTHED_PPM, GLOBAL_PPM constant). Counts BIGINT."""
+    if m < 0:
+        raise ValueError(f"m must be >= 0, got {m}")
+    base = df.select(
+        F.col(cat_col), positive.cast("int").alias("__y")
+    ).where(F.col("__y").isNotNull())
+    g = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("N"),
+        F.sum("__y").cast("bigint").alias("N_POS"),
+    )
+    wall = Window.orderBy(cat_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        g.withColumn("__tp", F.sum("N_POS").over(wall))
+        .withColumn("__tn", F.sum("N").over(wall))
+        .withColumn(
+            "GLOBAL_PPM", F.expr("(__tp * 1000000) div __tn").cast("bigint")
+        )
+        .select(
+            cat_col,
+            "N",
+            "N_POS",
+            F.expr("(N_POS * 1000000) div N").cast("bigint").alias("RAW_PPM"),
+            F.expr(f"(N_POS * 1000000 + {m} * GLOBAL_PPM) div (N + {m})")
+            .cast("bigint")
+            .alias("SMOOTHED_PPM"),
+            "GLOBAL_PPM",
+        )
+        .orderBy(cat_col)
+    )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust anomaly screen over a BOUNDED series (daily totals, per-
+    partition metrics): flag points more than ``k`` median-absolute-
+    deviations from the median. The mean/stddev z-score breaks exactly
+    when needed most -- one huge outlier inflates the stddev and hides
+    itself; median and MAD have 50% breakdown.
+
+    Exact integer discipline: the median is PERCENTILE_DISC-style -- the
+    value at 1-indexed rank (n+1) div 2 of the sorted series, a REAL
+    data value picked by rank, not an interpolated float -- and MAD is
+    the same rank pick over |x - median|. The flag compares
+    |x - median| > k * max(MAD, 1) in plain integers (the max guards the
+    degenerate all-identical series where MAD = 0).
+
+    The input must be bounded by contract (an already-aggregated series:
+    calendar days, partitions, categories) -- both rank windows are
+    global-ordered (the documented bounded-frame exception); the
+    caller's upstream aggregation is the real shuffle. NULL values are
+    excluded.
+
+    Returns one row per input row, ordered by key: (key_col, value_col
+    BIGINT, MEDIAN, ABS_DEV, MAD, IS_ANOMALY int)."""
+    base = df.select(
+        F.col(key_col).alias("__k"), F.col(value_col).cast("bigint").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    wall = Window.orderBy("__k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy("__v", "__k")
+    with_med = (
+        base.withColumn("__r", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "__med",
+            F.max(
+                F.when(F.col("__r") == F.expr("(__n + 1) div 2"), F.col("__v"))
+            ).over(wall),
+        )
+        .withColumn("__ad", F.abs(F.col("__v") - F.col("__med")))
+    )
+    w_rank2 = Window.orderBy("__ad", "__k")
+    scored = (
+        with_med.withColumn("__r2", F.row_number().over(w_rank2))
+        .withColumn(
+            "__mad",
+            F.max(
+                F.when(F.col("__r2") == F.expr("(__n + 1) div 2"), F.col("__ad"))
+            ).over(wall),
+        )
+    )
+    return scored.select(
+        F.col("__k").alias(key_col),
+        F.col("__v").alias(value_col),
+        F.col("__med").cast("bigint").alias("MEDIAN"),
+        F.col("__ad").cast("bigint").alias("ABS_DEV"),
+        F.col("__mad").cast("bigint").alias("MAD"),
+        (
+            F.col("__ad")
+            > k * F.greatest(F.col("__mad"), F.lit(1))
+        )
+        .cast("int")
+        .alias("IS_ANOMALY"),
+    ).orderBy(key_col)

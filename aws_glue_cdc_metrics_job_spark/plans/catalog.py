@@ -67,6 +67,9 @@ GRADE_FIRST: list[str] = [
     "orders_version_changes",
     "docs_bm25_ndcg",
     "events_calibration_bins",
+    "orders_target_encoding",
+    "events_daily_mad_anomalies",
+    "events_l_diversity",
     # -- NEW in round 8
     "lineitem_qty_tied_percentiles",
     "supply_katz_centrality_growing",

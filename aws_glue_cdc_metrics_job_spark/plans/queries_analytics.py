@@ -2577,3 +2577,116 @@ def q_events_calibration_bins(spark: SparkSession, sf_dir: str):
 
     ev = read_table(spark, sf_dir, "events")
     return calibration_bins(ev, "value", F.col("event_type") == "purchase", bins=10)
+
+
+@query(
+    "orders_target_encoding",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS N,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS N_POS
+  FROM orders GROUP BY 1
+),
+t AS (SELECT SUM(N_POS) AS tp, SUM(N) AS tn FROM g)
+SELECT o_orderpriority, N, N_POS,
+       CAST((N_POS * 1000000) // N AS BIGINT) AS RAW_PPM,
+       CAST((N_POS * 1000000 + 100 * ((t.tp * 1000000) // t.tn)) // (N + 100)
+            AS BIGINT) AS SMOOTHED_PPM,
+       CAST((t.tp * 1000000) // t.tn AS BIGINT) AS GLOBAL_PPM
+FROM g, t ORDER BY o_orderpriority
+""",
+)
+def q_orders_target_encoding(spark: SparkSession, sf_dir: str):
+    """m-estimate target encoding (operators/stats.target_encode) of
+    order priority against the is-finished label: each category's
+    positive rate shrunk toward the global rate by m=100 pseudo-counts --
+    the leakage-safe categorical feature a downstream model consumes,
+    exact on the ppm lattice. One map-combined groupBy to the 5-row
+    category frame; the global rate rides a window over that bounded
+    frame."""
+    from ..operators.stats import target_encode
+
+    o = read_table(spark, sf_dir, "orders")
+    return target_encode(o, "o_orderpriority", F.col("o_orderstatus") == "F", m=100)
+
+
+@query(
+    "events_daily_mad_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS DAY,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS CENTS
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+r AS (SELECT DAY, CENTS, ROW_NUMBER() OVER (ORDER BY CENTS, DAY) AS rk,
+             COUNT(*) OVER () AS n
+      FROM daily),
+m AS (SELECT DAY, CENTS, n,
+             MAX(CASE WHEN rk = (n + 1) // 2 THEN CENTS END) OVER () AS med
+      FROM r),
+a AS (SELECT DAY, CENTS, n, med, ABS(CENTS - med) AS ad FROM m),
+r2 AS (SELECT DAY, CENTS, med, ad, n,
+              ROW_NUMBER() OVER (ORDER BY ad, DAY) AS rk2
+       FROM a),
+mm AS (SELECT DAY, CENTS, med, ad,
+              MAX(CASE WHEN rk2 = (n + 1) // 2 THEN ad END) OVER () AS mad
+       FROM r2)
+SELECT DAY, CENTS, CAST(med AS BIGINT) AS MEDIAN, CAST(ad AS BIGINT) AS ABS_DEV,
+       CAST(mad AS BIGINT) AS MAD,
+       CAST(CASE WHEN ad > 3 * (CASE WHEN mad > 1 THEN mad ELSE 1 END)
+                 THEN 1 ELSE 0 END AS INT) AS IS_ANOMALY
+FROM mm ORDER BY DAY
+""",
+)
+def q_events_daily_mad_anomalies(spark: SparkSession, sf_dir: str):
+    """Robust daily-revenue anomaly screen (operators/stats.
+    mad_anomalies): median / median-absolute-deviation with the 3-MAD
+    rule over the daily event-value series -- the outlier detector that
+    one huge spike cannot hide from (50% breakdown, unlike mean/stddev
+    z-scores). Median and MAD are PERCENTILE_DISC-style rank picks
+    (real data values, no interpolated floats), so the whole screen is
+    exact integers; both rank windows run on the calendar-bounded daily
+    frame."""
+    from ..operators.stats import mad_anomalies
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("DAY"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("CENTS")
+        )
+    )
+    return mad_anomalies(daily, "DAY", "CENTS", k=3)
+
+
+@query(
+    "events_l_diversity",
+    oracle="""
+SELECT event_type AS EVENT_TYPE,
+       CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS DOW,
+       CAST(COUNT(*) AS BIGINT) AS GROUP_SIZE,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS L_DISTINCT,
+       CAST(CASE WHEN COUNT(DISTINCT user_id) >= 5 THEN 1 ELSE 0 END AS INT)
+         AS DIVERSE
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_events_l_diversity(spark: SparkSession, sf_dir: str):
+    """l-diversity audit (operators/quality.l_diversity_report) over the
+    (event type, weekday) quasi-identifier with user_id as the sensitive
+    attribute: a group that is large enough for k-anonymity can still
+    leak if everyone in it is the same few users (homogeneity attack).
+    One hash aggregation with an exact distinct count -- the distinct
+    shuffles (quasi, sensitive) pairs, never rows."""
+    from ..operators.quality import l_diversity_report
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("EVENT_TYPE"),
+        F.weekday(F.col("ts").cast("date")).cast("bigint").alias("DOW"),
+        "user_id",
+    )
+    return l_diversity_report(ev, ["EVENT_TYPE", "DOW"], "user_id", l=5)

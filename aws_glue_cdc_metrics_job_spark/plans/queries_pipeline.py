@@ -3388,8 +3388,11 @@ def q_docs_bm25_ndcg(spark: SparkSession, sf_dir: str):
 
     docs = read_table(spark, sf_dir, "documents")
     ranked = text.bm25_topk(docs, ["table", "scan", "fast"], k=10)
-    rel = docs.select(
+    # broadcast the 10-row ranked frame INTO the corpus scan so relevance
+    # tokenization runs only on the surviving 10 documents, not the corpus
+    joined = docs.join(F.broadcast(ranked), "doc_id").select(
         "doc_id",
+        "SCORE",
         F.size(
             F.array_intersect(
                 F.array_distinct(text.tokens()),
@@ -3399,7 +3402,6 @@ def q_docs_bm25_ndcg(spark: SparkSession, sf_dir: str):
         .cast("bigint")
         .alias("REL"),
     )
-    joined = ranked.join(rel, "doc_id")
     return ndcg_at_k(
         joined, "REL", [F.col("SCORE").desc(), F.col("doc_id")], k=10
     )

@@ -44,6 +44,9 @@ HEADLINE = [
     "orders_version_changes",
     "docs_bm25_ndcg",
     "events_calibration_bins",
+    "orders_target_encoding",
+    "events_daily_mad_anomalies",
+    "events_l_diversity",
     # round-7 additions
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",
@@ -356,7 +359,8 @@ MIN2 = {
     "events_attribution_ushape", "orders_versioned_delete",
     "orders_seasonal_decompose", "orders_versioned_merge",
     "orders_version_changes", "docs_bm25_ndcg",
-    "events_calibration_bins",
+    "events_calibration_bins", "orders_target_encoding",
+    "events_daily_mad_anomalies", "events_l_diversity",
 }
 
 # sf1 queries that get a second measured pass: the decade-ratio

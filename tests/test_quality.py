@@ -221,3 +221,33 @@ def test_referential_audit_multiple_relations_and_validation(spark):
     assert [r["RELATION"] for r in out.collect()] == ["r1", "r2"]
     with _pytest.raises(ValueError):
         referential_audit([])
+
+
+class TestLDiversity:
+    def test_homogeneous_group_flagged(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+        from aws_glue_cdc_metrics_job_spark.operators.quality import (
+            l_diversity_report,
+        )
+
+        rows = (
+            [("x", 1, u) for u in (1, 2, 3)]          # diverse enough for l=3
+            + [("x", 2, 9)] * 5                        # large but homogeneous
+        )
+        df = spark.createDataFrame(rows, "q1 string, q2 int, s long")
+        out = {(r["q1"], r["q2"]): r for r in l_diversity_report(df, ["q1", "q2"], "s", l=3).collect()}
+        assert out[("x", 1)]["L_DISTINCT"] == 3 and out[("x", 1)]["DIVERSE"] == 1
+        assert out[("x", 2)]["GROUP_SIZE"] == 5
+        assert out[("x", 2)]["L_DISTINCT"] == 1 and out[("x", 2)]["DIVERSE"] == 0
+
+    def test_validation(self, spark):
+        import pytest
+        from aws_glue_cdc_metrics_job_spark.operators.quality import (
+            l_diversity_report,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "q string, s int")
+        with pytest.raises(ValueError):
+            l_diversity_report(df, [], "s")
+        with pytest.raises(ValueError):
+            l_diversity_report(df, ["q"], "s", l=1)

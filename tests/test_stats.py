@@ -526,3 +526,56 @@ class TestCalibrationBins:
         hi = [r for r in out if r["BIN"] == 1][0]
         assert lo["GAP_PPM"] > 0  # under-confident: observed 100% vs low pred
         assert hi["GAP_PPM"] < 0  # over-confident
+
+
+class TestTargetEncode:
+    def test_m_estimate_shrinkage(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import target_encode
+
+        rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("b", 0)] * 1
+        df = spark.createDataFrame(rows, "c string, y int")
+        out = {r["c"]: r for r in target_encode(df, "c", F.col("y") == 1, m=10).collect()}
+        g = (9 * 10**6) // 12
+        assert out["a"]["GLOBAL_PPM"] == g == out["b"]["GLOBAL_PPM"]
+        assert out["a"]["RAW_PPM"] == 800000 and out["b"]["RAW_PPM"] == 500000
+        assert out["a"]["SMOOTHED_PPM"] == (8 * 10**6 + 10 * g) // 20
+        assert out["b"]["SMOOTHED_PPM"] == (1 * 10**6 + 10 * g) // 12
+        # shrinkage: the rare category moves further toward global
+        assert abs(out["b"]["SMOOTHED_PPM"] - g) < abs(out["b"]["RAW_PPM"] - g)
+
+    def test_null_labels_excluded_null_category_kept(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import target_encode
+
+        rows = [("a", 1), ("a", None), (None, 1), (None, 0)]
+        df = spark.createDataFrame(rows, "c string, y int")
+        out = target_encode(
+            df, "c", F.when(F.col("y").isNotNull(), F.col("y") == 1), m=0
+        ).collect()
+        by = {r["c"]: r for r in out}
+        assert by["a"]["N"] == 1  # NULL label dropped
+        assert by[None]["N"] == 2 and by[None]["RAW_PPM"] == 500000
+
+
+class TestMadAnomalies:
+    def test_flags_only_the_spike(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import mad_anomalies
+
+        vals = [100, 102, 98, 101, 99, 103, 97, 100, 1000]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, v long"
+        )
+        out = {r["k"]: r for r in mad_anomalies(df, "k", "v", k=3).collect()}
+        s = sorted(vals)
+        med = s[(len(s) + 1) // 2 - 1]
+        assert out[0]["MEDIAN"] == med == 100
+        ads = sorted(abs(v - med) for v in vals)
+        assert out[0]["MAD"] == ads[(len(ads) + 1) // 2 - 1] == 2
+        assert out[8]["IS_ANOMALY"] == 1
+        assert sum(r["IS_ANOMALY"] for r in out.values()) == 1
+
+    def test_degenerate_constant_series_flags_nothing(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import mad_anomalies
+
+        df = spark.createDataFrame([(i, 7) for i in range(5)], "k long, v long")
+        out = mad_anomalies(df, "k", "v").collect()
+        assert all(r["MAD"] == 0 and r["IS_ANOMALY"] == 0 for r in out)
