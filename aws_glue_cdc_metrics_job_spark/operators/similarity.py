@@ -1484,3 +1484,88 @@ def sq8_topk(
         scored.withColumn("NEIGHBOR_RANK", w.cast("long"))
         .filter(F.col("NEIGHBOR_RANK") <= k)
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_id: int,
+    k: int = 5,
+    pool: int = 20,
+    lam_ppm: int = 700000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance: diversity-aware top-k selection -- the
+    RAG context-picker that stops returning five paraphrases of the same
+    chunk. Greedy: pick the most query-relevant candidate, then
+    repeatedly the one maximizing
+
+        lam * relevance - (1 - lam) * max_similarity_to_selected
+
+    all on the ppm lattice (relevance and pairwise cosines round
+    half-up at 1e-6 first, scores are exact integers in lattice^2 units,
+    ties break by id), so every pick replays verbatim in SQL.
+
+    Scale shape: the DISTRIBUTED part is the candidate pool --
+    brute_force_topk scores the whole corpus against the query and keeps
+    ``pool`` rows. The greedy loop then runs on the driver over that
+    bounded pool (pool vectors collected, pairwise cosines via _seq_dots
+    -- the same sequential IEEE accumulation as the oracle's
+    list_dot_product, so bit-identical), k * pool integer comparisons --
+    the pr_curve bounded-collect pattern, not a distributed iteration.
+
+    Returns one row per pick, in selection order: (SELECT_RANK, VEC_ID,
+    REL_PPM, MAX_SIM_PPM -- similarity to the closest already-selected
+    pick (0 for the first), MMR_SCORE = lam*rel - (1e6-lam)*max_sim).
+    All BIGINT."""
+    import math
+
+    import numpy as np
+
+    if not 0 <= lam_ppm <= 10**6:
+        raise ValueError(f"lam_ppm must be in [0, 1e6], got {lam_ppm}")
+    queries = corpus.filter(F.col(id_col) == query_id)
+    cand = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    cand_rows = sorted(
+        cand.select("NEIGHBOR_ID", "COSINE").collect(), key=lambda r: r[0]
+    )  # bounded: pool rows by construction
+    ids = [int(r["NEIGHBOR_ID"]) for r in cand_rows]
+    rel = {
+        int(r["NEIGHBOR_ID"]): int(math.floor(r["COSINE"] * 10**6 + 0.5))
+        for r in cand_rows
+    }
+    vec_rows = (
+        corpus.filter(F.col(id_col).isin(ids))
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .collect()
+    )  # bounded: pool vectors
+    order = {vid: i for i, vid in enumerate(ids)}
+    A = np.zeros((len(ids), len(vec_rows[0]["__v"])), dtype=np.float64)
+    for r in vec_rows:
+        A[order[int(r[id_col])]] = r["__v"]
+    dots = _seq_dots(A, A)
+    norms = np.sqrt(np.diag(dots))
+    sim = {}
+    for i, vi in enumerate(ids):
+        for j, vj in enumerate(ids):
+            if vi != vj:
+                c = dots[i, j] / (norms[i] * norms[j])
+                sim[(vi, vj)] = int(math.floor(c * 10**6 + 0.5))
+    lam_c = 10**6 - lam_ppm
+    selected: list[tuple[int, int, int, int]] = []
+    remaining = set(ids)
+    for _ in range(min(k, len(ids))):
+        best = None
+        for v in sorted(remaining):
+            ms = max((sim[(v, s[1])] for s in selected), default=0)
+            score = lam_ppm * rel[v] - lam_c * ms
+            if best is None or score > best[0]:
+                best = (score, v, ms)
+        score, v, ms = best
+        selected.append((len(selected) + 1, v, rel[v], ms))
+        remaining.discard(v)
+    out = [(r, v, rl, ms, lam_ppm * rl - lam_c * ms) for r, v, rl, ms in selected]
+    return corpus.sparkSession.createDataFrame(
+        out,
+        "SELECT_RANK long, VEC_ID long, REL_PPM long, MAX_SIM_PPM long, MMR_SCORE long",
+    )

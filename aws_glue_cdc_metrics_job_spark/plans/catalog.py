@@ -70,6 +70,9 @@ GRADE_FIRST: list[str] = [
     "orders_target_encoding",
     "events_daily_mad_anomalies",
     "events_l_diversity",
+    "emb_mmr_select",
+    "orders_schema_evolution",
+    "customers_name_fuzzy_pairs",
     # -- NEW in round 8
     "lineitem_qty_tied_percentiles",
     "supply_katz_centrality_growing",

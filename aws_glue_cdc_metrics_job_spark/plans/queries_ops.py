@@ -2211,3 +2211,117 @@ def q_orders_version_changes(spark: SparkSession, sf_dir: str):
         )
         .orderBy("ACTION")
     )
+
+
+@query(
+    "orders_schema_evolution",
+    oracle=f"""
+SELECT CAST(1 AS BIGINT) AS VERSION, CAST(COUNT(*) AS BIGINT) AS N_ROWS,
+       CAST(0 AS BIGINT) AS N_WITH_MARGIN,
+       CAST(0.0 AS DOUBLE) AS TOTAL_MARGIN
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+       COALESCE({sql_dsum(f"CASE WHEN o_orderkey % 2 = 1 THEN {sql_rhu('o_totalprice * 0.1', 2)} END", 2)}, 0.0)
+FROM orders
+""",
+)
+def q_orders_schema_evolution(spark: SparkSession, sf_dir: str):
+    """Additive schema evolution on a versioned table (sources/
+    parquet_io.read_version merge_schema): delivery 1 ships the original
+    order schema, delivery 2 appends rows WITH a new o_margin column;
+    reading the latest version with schema merging surfaces the column
+    -- NULL for delivery-1 rows -- while version 1 still reads its
+    original narrow schema (the query checks the column's absence
+    honestly rather than faking a zero). The oracle replays both
+    versions' visible rows, margin arithmetic included, with plain
+    predicates."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.parquet_io import read_version, versioned_write
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"tt_orders_evolve_{h}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders")
+    versioned_write(orders.filter(F.col("o_orderkey") % 2 == 0), path)  # v1
+    evolved = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_margin", rhu(F.col("o_totalprice") * 0.1, 2)
+    )
+    versioned_write(evolved, path)  # v2: appended WITH the new column
+    v1 = read_version(spark, path, 1)
+    assert "o_margin" not in v1.columns  # old version keeps its schema
+    v2 = read_version(spark, path, 2, merge_schema=True)
+    rows = [
+        v1.agg(F.count(F.lit(1)).cast("long").alias("N_ROWS")).select(
+            F.lit(1).cast("long").alias("VERSION"),
+            "N_ROWS",
+            F.lit(0).cast("long").alias("N_WITH_MARGIN"),
+            F.lit(0.0).cast("double").alias("TOTAL_MARGIN"),
+        ),
+        v2.agg(
+            F.count(F.lit(1)).cast("long").alias("N_ROWS"),
+            F.count("o_margin").cast("long").alias("N_WITH_MARGIN"),
+            F.coalesce(dsum("o_margin", 2), F.lit(0.0)).alias("TOTAL_MARGIN"),
+        ).select(
+            F.lit(2).cast("long").alias("VERSION"),
+            "N_ROWS",
+            "N_WITH_MARGIN",
+            "TOTAL_MARGIN",
+        ),
+    ]
+    return rows[0].unionByName(rows[1])
+
+
+@query(
+    "customers_name_fuzzy_pairs",
+    oracle="""
+SELECT a.c_nationkey AS NATION_ID,
+       a.c_custkey AS ID_A, b.c_custkey AS ID_B,
+       a.c_name AS NAME_A, b.c_name AS NAME_B,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS EDIT_DISTANCE
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND length(a.c_name) = length(b.c_name)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def q_customers_name_fuzzy_pairs(spark: SparkSession, sf_dir: str):
+    """Edit-distance entity resolution with composite blocking: customer
+    name pairs within Levenshtein distance 1, restricted to the same
+    (nation, name length) block -- the record-linkage shape that finds
+    near-identical identities WITHOUT an all-pairs scan. The block key
+    turns the quadratic comparison into an equi-join (SMJ/BHJ, never a
+    nested-loop product); at 100 TB the block key widens (add a name
+    prefix / phonetic bucket) so per-block cardinality stays bounded --
+    the distance filter itself is a codegen'd scalar on the joined
+    pairs. Both engines implement classic Levenshtein identically."""
+    c = read_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("NATION_ID"),
+        F.col("c_custkey").alias("ID_A"),
+        F.col("c_name").alias("NAME_A"),
+        F.length("c_name").alias("__len"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("NATION_ID"),
+        F.col("c_custkey").alias("ID_B"),
+        F.col("c_name").alias("NAME_B"),
+        F.length("c_name").alias("__len"),
+    )
+    return (
+        a.join(b, ["NATION_ID", "__len"])
+        .where(F.col("ID_A") < F.col("ID_B"))
+        .withColumn(
+            "EDIT_DISTANCE",
+            F.levenshtein(F.col("NAME_A"), F.col("NAME_B")).cast("bigint"),
+        )
+        .where(F.col("EDIT_DISTANCE") <= 1)
+        .drop("__len")
+        .select("NATION_ID", "ID_A", "ID_B", "NAME_A", "NAME_B", "EDIT_DISTANCE")
+    )

@@ -3405,3 +3405,69 @@ def q_docs_bm25_ndcg(spark: SparkSession, sf_dir: str):
     return ndcg_at_k(
         joined, "REL", [F.col("SCORE").desc(), F.col("doc_id")], k=10
     )
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: int = 700000) -> str:
+    """Unrolled greedy MMR replay: candidate pool + pairwise lattice
+    cosines as CTEs, then one correlated-argmax CTE per selection step
+    (bounded k, so the unroll is fixed-size)."""
+    lam_c = 10**6 - lam
+    head = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT c.vec_id,
+         CAST(FLOOR((list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))))
+            * 1000000 + 0.5) AS BIGINT) AS rel
+  FROM e c, q WHERE c.vec_id <> 0
+  QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, c.vec_id) <= {pool}
+),
+cv AS (SELECT cand.vec_id, cand.rel, e.v FROM cand JOIN e USING (vec_id)),
+sims AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         CAST(FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+            * 1000000 + 0.5) AS BIGINT) AS s
+  FROM cv a, cv b WHERE a.vec_id <> b.vec_id
+),
+p1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms
+       FROM cv ORDER BY rel DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id FROM p1)"""
+    steps, selects = [], [
+        f"SELECT CAST(1 AS BIGINT) AS SELECT_RANK, vec_id AS VEC_ID, rel AS REL_PPM,"
+        f" ms AS MAX_SIM_PPM, CAST({lam} * rel - {lam_c} * ms AS BIGINT) AS MMR_SCORE FROM p1"
+    ]
+    for t in range(2, k + 1):
+        steps.append(f""",
+p{t} AS (
+  SELECT vec_id, rel, ms FROM (
+    SELECT c.vec_id, c.rel,
+           (SELECT MAX(s.s) FROM sims s JOIN sel{t - 1} ON s.j = sel{t - 1}.vec_id
+            WHERE s.i = c.vec_id) AS ms
+    FROM cv c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  )
+  ORDER BY {lam} * rel - {lam_c} * ms DESC, vec_id LIMIT 1
+),
+sel{t} AS (SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FROM p{t})""")
+        selects.append(
+            f"SELECT CAST({t} AS BIGINT), vec_id, rel, ms,"
+            f" CAST({lam} * rel - {lam_c} * ms AS BIGINT) FROM p{t}"
+        )
+    return head + "".join(steps) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("emb_mmr_select", oracle=_mmr_oracle())
+def q_emb_mmr_select(spark: SparkSession, sf_dir: str):
+    """Maximal Marginal Relevance context selection (operators/
+    similarity.mmr_select): the 5 most query-relevant-yet-mutually-
+    diverse vectors for query vec 0, from a 20-candidate pool scored
+    distributed (brute_force_topk broadcasts the query against the whole
+    corpus); the greedy loop runs over the collected bounded pool with
+    pairwise cosines from the same sequential IEEE accumulation as the
+    oracle's list_dot_product. Every pick replays verbatim through the
+    unrolled correlated-argmax CTEs."""
+    from ..operators.similarity import mmr_select
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return mmr_select(emb, query_id=0, k=5, pool=20)

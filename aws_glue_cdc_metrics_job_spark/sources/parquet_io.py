@@ -537,10 +537,22 @@ def versioned_write(
     return v
 
 
-def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read_version(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read a manifest-versioned table AS OF ``version`` (default: latest).
     One multi-directory parquet read of exactly the files that version
-    committed -- time travel with no copy and no merge-on-read."""
+    committed -- time travel with no copy and no merge-on-read.
+
+    ``merge_schema=True`` unions the column sets of every referenced
+    directory (additive schema evolution: a delivery that introduced a
+    new column surfaces it, with NULLs for rows from older deliveries --
+    Spark's parquet ``mergeSchema``). Off by default: schema merging
+    reads every directory's footer up front, and a version whose
+    deliveries all share one schema should not pay that."""
     import json
     import os
 
@@ -552,7 +564,10 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
         raise ValueError(f"version {v} not in committed versions {versions}")
     with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
         dirs = json.load(fh)["dirs"]
-    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, d) for d in dirs])
 
 
 def compact_table(spark: SparkSession, path: str, compression: str = "snappy") -> int:

@@ -47,6 +47,9 @@ HEADLINE = [
     "orders_target_encoding",
     "events_daily_mad_anomalies",
     "events_l_diversity",
+    "emb_mmr_select",
+    "orders_schema_evolution",
+    "customers_name_fuzzy_pairs",
     # round-7 additions
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",
@@ -361,6 +364,8 @@ MIN2 = {
     "orders_version_changes", "docs_bm25_ndcg",
     "events_calibration_bins", "orders_target_encoding",
     "events_daily_mad_anomalies", "events_l_diversity",
+    "emb_mmr_select", "orders_schema_evolution",
+    "customers_name_fuzzy_pairs",
 }
 
 # sf1 queries that get a second measured pass: the decade-ratio

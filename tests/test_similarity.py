@@ -407,3 +407,51 @@ def test_sq8_topk_hand_case_and_recall(spark):
     assert order == [1, 2, 3]
     sims = {r["NEIGHBOR_ID"]: r["SQ8_COSINE"] for r in out}
     assert sims[1] > 0.99 and abs(sims[2]) < 0.01 and sims[3] == -1.0
+
+
+class TestMmrSelect:
+    def test_diversity_beats_pure_relevance(self, spark):
+        """Three near-duplicate vectors near the query plus one distinct
+        direction: pure top-k would take the three clones; MMR's second
+        pick must jump to the diverse vector."""
+        from aws_glue_cdc_metrics_job_spark.operators.similarity import mmr_select
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),          # query
+            (1, [0.999, 0.04, 0.0]),       # clone A (most relevant)
+            (2, [0.998, 0.05, 0.0]),       # clone B
+            (3, [0.997, 0.06, 0.0]),       # clone C
+            (4, [0.6, 0.0, 0.8]),          # diverse, less relevant
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = mmr_select(df, query_id=0, k=3, pool=4, lam_ppm=500000).collect()
+        picks = [r["VEC_ID"] for r in sorted(out, key=lambda r: r["SELECT_RANK"])]
+        assert picks[0] == 1            # most relevant first
+        assert picks[1] == 4            # diversity overrides clone B
+        assert out[0]["MAX_SIM_PPM"] == 0
+        assert all(r["MMR_SCORE"] == 500000 * r["REL_PPM"] - 500000 * r["MAX_SIM_PPM"] for r in out)
+
+    def test_lambda_one_reduces_to_topk(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.similarity import (
+            brute_force_topk,
+            mmr_select,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(i, [float((i * 7 + d * 3) % 11), float((i + d) % 5), 1.0])
+                for i in range(8) for d in [0]]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        mmr = mmr_select(df, query_id=0, k=4, pool=7, lam_ppm=10**6).collect()
+        top = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=4).collect()
+        mmr_ids = [r["VEC_ID"] for r in sorted(mmr, key=lambda r: r["SELECT_RANK"])]
+        top_ids = [r["NEIGHBOR_ID"] for r in sorted(top, key=lambda r: r["RANK"])]
+        assert mmr_ids == top_ids  # lambda=1: diversity term vanishes
+
+    def test_lambda_validation(self, spark):
+        import pytest
+
+        from aws_glue_cdc_metrics_job_spark.operators.similarity import mmr_select
+
+        df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            mmr_select(df, 0, lam_ppm=-1)

@@ -783,3 +783,27 @@ def test_merge_into_empty_source_is_noop(spark, tmp_path):
     empty = spark.range(1).filter("id < 0")
     assert merge_into(spark, empty, path, on=["id"]) == 1
     assert table_versions(path) == [1]
+
+
+def test_read_version_merge_schema_evolution(spark, tmp_path):
+    """An appended delivery with a NEW column: merge_schema surfaces it
+    (NULL for old rows); the default read and old versions keep the
+    narrow schema."""
+    from aws_glue_cdc_metrics_job_spark.sources.parquet_io import (
+        read_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path
+    )
+    versioned_write(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, w double"), path
+    )
+    v1 = read_version(spark, path, 1)
+    assert "w" not in v1.columns
+    merged = read_version(spark, path, 2, merge_schema=True)
+    assert "w" in merged.columns
+    got = {r["id"]: r["w"] for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}
