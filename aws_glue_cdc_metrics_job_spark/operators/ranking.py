@@ -263,30 +263,48 @@ def ndcg_at_k(
     disc_arr = F.array(*[F.lit(d) for d in discs])
     w_sys = Window.orderBy(*order_by)
     w_ideal = Window.orderBy(F.col(rel_col).desc(), *order_by)
-    sys_rows = (
+    # ONE lineage carries both rank columns (two windows over the same
+    # bounded sorted frame), then ONE aggregate computes both gain sums --
+    # two independent df lineages would execute the whole upstream plan
+    # twice (measured: docs_bm25_ndcg at 18 exchanges / 8 scans before
+    # this form), and the 1-row crossJoin disappears with them.
+    both = (
         df.withColumn("__r", F.row_number().over(w_sys))
-        .where(F.col("__r") <= k)
+        .withColumn("__ir", F.row_number().over(w_ideal))
         .select(
-            (F.col(rel_col).cast("bigint") * F.element_at(disc_arr, F.col("__r")))
-            .alias("__g"),
+            "__r",
+            "__ir",
+            F.col(rel_col).cast("bigint").alias("__rel"),
         )
     )
-    ideal_rows = (
-        df.withColumn("__ir", F.row_number().over(w_ideal))
-        .where(F.col("__ir") <= k)
-        .select(
-            (F.col(rel_col).cast("bigint") * F.element_at(disc_arr, F.col("__ir")))
-            .alias("__ig"),
+    agg = both.agg(
+        F.sum(F.when(F.col("__r") <= k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("N_RANKED"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__r") <= k,
+                    F.col("__rel") * F.element_at(disc_arr, F.col("__r")),
+                )
+            ),
+            F.lit(0),
         )
+        .cast("bigint")
+        .alias("DCG_PPM"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__ir") <= k,
+                    F.col("__rel") * F.element_at(disc_arr, F.col("__ir")),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("IDCG_PPM"),
     )
-    dcg = sys_rows.agg(
-        F.count(F.lit(1)).cast("bigint").alias("N_RANKED"),
-        F.coalesce(F.sum("__g"), F.lit(0)).cast("bigint").alias("DCG_PPM"),
-    )
-    idcg = ideal_rows.agg(
-        F.coalesce(F.sum("__ig"), F.lit(0)).cast("bigint").alias("IDCG_PPM")
-    )
-    return dcg.crossJoin(F.broadcast(idcg)).select(
+    return agg.select(
         F.lit(k).cast("bigint").alias("K"),
         "N_RANKED",
         "DCG_PPM",

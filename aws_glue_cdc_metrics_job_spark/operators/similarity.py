@@ -1529,6 +1529,11 @@ def mmr_select(
     cand_rows = sorted(
         cand.select("NEIGHBOR_ID", "COSINE").collect(), key=lambda r: r[0]
     )  # bounded: pool rows by construction
+    if not cand_rows:
+        raise ValueError(
+            f"empty candidate pool: {id_col}={query_id!r} is missing from the"
+            " corpus or is its only vector"
+        )
     ids = [int(r["NEIGHBOR_ID"]) for r in cand_rows]
     rel = {
         int(r["NEIGHBOR_ID"]): int(math.floor(r["COSINE"] * 10**6 + 0.5))
@@ -1559,9 +1564,14 @@ def mmr_select(
         for v in sorted(remaining):
             ms = max((sim[(v, s[1])] for s in selected), default=0)
             score = lam_ppm * rel[v] - lam_c * ms
-            if best is None or score > best[0]:
-                best = (score, v, ms)
-        score, v, ms = best
+            # key matches the oracle's ORDER BY exactly: score DESC, then
+            # relevance DESC (the first pick is ALWAYS the most relevant
+            # candidate even at lam_ppm=0, where every score is 0), then
+            # id ASC via the sorted() iteration with strict >
+            key = (score, rel[v] if not selected else 0)
+            if best is None or key > best[0]:
+                best = (key, v, ms)
+        _, v, ms = best
         selected.append((len(selected) + 1, v, rel[v], ms))
         remaining.discard(v)
     out = [(r, v, rl, ms, lam_ppm * rl - lam_c * ms) for r, v, rl, ms in selected]

@@ -455,6 +455,39 @@ def pr_curve(
     )
 
 
+def _equi_width_binned(base, value_col, bins, keep, bin_col="BIN", ppm_col=None):
+    """Equi-width binning over a 1-row broadcast min/max of ``value_col``
+    (the gini binning pattern, shared by mann_whitney_u /
+    distribution_drift / calibration_bins; gini_split_candidates keeps
+    its inline variant because it also consumes the raw bounds for
+    threshold reconstruction). Returns ``keep`` columns plus ``bin_col``
+    (BIGINT, 0 when the domain is a single value) and, when ``ppm_col``
+    is given, the value's ppm position inside [lo, hi] -- both floors, so
+    the bin edges replay identically in SQL."""
+    b = base.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
+    sel = [
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.expr(f"(({value_col} - __lo) * {bins}) div (__hi - __lo + 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias(bin_col)
+    ]
+    if ppm_col is not None:
+        sel.append(
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.expr(f"(({value_col} - __lo) * 1000000) div (__hi - __lo + 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias(ppm_col)
+        )
+    sel.extend(keep)
+    return base.crossJoin(F.broadcast(b)).select(*sel)
+
+
 def mann_whitney_u(
     df: DataFrame,
     value_col: str,
@@ -508,21 +541,11 @@ def mann_whitney_u(
         F.sum("__a").cast("bigint").alias("__na"),
         F.sum(1 - F.col("__a")).cast("bigint").alias("__nb"),
     )
-    # equi-width range bucket over the lattice (gini binning pattern):
-    # bounds ride a 1-row broadcast; correctness does not depend on
-    # bucket balance, only the prefix decomposition does.
-    b = per.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
-    bucketed = per.crossJoin(F.broadcast(b)).select(
-        "__v",
-        "__na",
-        "__nb",
-        F.when(
-            F.col("__hi") > F.col("__lo"),
-            F.expr(f"((__v - __lo) * {buckets}) div (__hi - __lo + 1)"),
-        )
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("__rb"),
+    # equi-width range bucket over the lattice (shared _equi_width_binned
+    # helper): bounds ride a 1-row broadcast; correctness does not depend
+    # on bucket balance, only the prefix decomposition does.
+    bucketed = _equi_width_binned(
+        per, "__v", buckets, keep=["__v", "__na", "__nb"], bin_col="__rb"
     )
     # bounded collect (<= buckets rows): per-bucket group-B totals ->
     # Python prefix sum -> literal offset lookup, no offsets window/join
@@ -675,19 +698,8 @@ def distribution_drift(
         F.floor(F.col(value_col) * m + F.lit(0.5)).cast("bigint").alias("__v"),
         is_current.cast("int").alias("__cur"),
     ).where(F.col("__cur").isNotNull())
-    b = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     binned = (
-        base.crossJoin(F.broadcast(b))
-        .select(
-            F.when(
-                F.col("__hi") > F.col("__lo"),
-                F.expr(f"((__v - __lo) * {bins}) div (__hi - __lo + 1)"),
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("BIN"),
-            "__cur",
-        )
+        _equi_width_binned(base, "__v", bins, keep=["__cur"])
         .groupBy("BIN")
         .agg(
             F.sum(1 - F.col("__cur")).cast("bigint").alias("N_REF"),
@@ -781,17 +793,17 @@ def seasonal_decompose_daily(
         "__detr", F.col("VALUE_CENTS") - F.col("TREND_CENTS")
     ).withColumn("__dow", F.weekday(F.col("DAY").cast("date")).cast("bigint"))
     w_dow = Window.partitionBy("__dow")
-    seasonal_sum = F.sum("__detr").over(w_dow)
-    seasonal_n = F.count("__detr").over(w_dow)
-    seasonal = (
-        F.when(F.col("__detr").isNotNull() & (seasonal_n > 0),
-               F.signum(seasonal_sum).cast("bigint")
-               * F.expr(f"abs({'__ssum'}) div {'__sn'}"))
-    )
     out = (
-        detr.withColumn("__ssum", seasonal_sum.cast("bigint"))
-        .withColumn("__sn", seasonal_n.cast("bigint"))
-        .withColumn("SEASONAL_CENTS", seasonal.cast("bigint"))
+        detr.withColumn("__ssum", F.sum("__detr").over(w_dow).cast("bigint"))
+        .withColumn("__sn", F.count("__detr").over(w_dow).cast("bigint"))
+        .withColumn(
+            "SEASONAL_CENTS",
+            F.when(
+                F.col("__detr").isNotNull() & (F.col("__sn") > 0),
+                F.signum(F.col("__ssum")).cast("bigint")
+                * F.expr("abs(__ssum) div __sn"),
+            ).cast("bigint"),
+        )
         .withColumn(
             "REMAINDER_CENTS",
             (F.col("__detr") - F.col("SEASONAL_CENTS")).cast("bigint"),
@@ -835,26 +847,8 @@ def calibration_bins(
         )
         .where(F.col("__y").isNotNull())
     )
-    b = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     binned = (
-        base.crossJoin(F.broadcast(b))
-        .select(
-            F.when(
-                F.col("__hi") > F.col("__lo"),
-                F.expr(f"((__v - __lo) * {bins}) div (__hi - __lo + 1)"),
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("BIN"),
-            F.when(
-                F.col("__hi") > F.col("__lo"),
-                F.expr("((__v - __lo) * 1000000) div (__hi - __lo + 1)"),
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("__p"),
-            "__y",
-        )
+        _equi_width_binned(base, "__v", bins, keep=["__y"], ppm_col="__p")
         .groupBy("BIN")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("N"),

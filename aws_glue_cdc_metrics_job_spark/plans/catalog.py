@@ -42,9 +42,13 @@ def query(name: str, oracle: str | None = None):
 # post-r4 additions plus insurance re-grades (CORRECTNESS_r05: 46/50
 # full oracle match, 4 rows-only by design, zero failures).
 #
-# Round 8 (this window): the head is everything NEW in round 8 (the
-# heavy-tie percentile pin and the growing-alpha Katz twin, both born
-# with full oracles), then the round-7 additions holding their green
+# Round 8 (this window): the head is everything NEW in round 8 — the
+# second-batch additions (rank-sum / survival / drift / calibration /
+# target-encoding / MAD statistics, U-shape attribution, lakehouse
+# DELETE + MERGE + CDF + schema evolution, NDCG, MMR, fuzzy blocking,
+# l-diversity — all born with full oracles), the first-batch heavy-tie
+# percentile pin and growing-alpha Katz twin, then the round-7
+# additions holding their green
 # rows, then insurance re-grades for every entry whose PLAN changed in
 # round 8: the quantile family rides the new tie-isolating
 # _order_statistics (mart_customer_clv_segment,

@@ -2431,22 +2431,10 @@ def q_orders_versioned_delete(spark: SparkSession, sf_dir: str):
     rewritten one) and versions 1-2 time-travel over their original
     immutable files. The oracle replays each version's visible row set
     with plain predicates."""
-    import hashlib
-    import json
-    import os
-    import shutil
-    import tempfile
+    from ..sources.parquet_io import delete_where, versioned_write
+    from .queries_ops import _version_price_summaries, _versioned_tmp_path
 
-    from ..sources.parquet_io import (
-        _manifest_dir,
-        delete_where,
-        read_version,
-        versioned_write,
-    )
-
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"tt_orders_delete_{h}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _versioned_tmp_path(sf_dir, "orders_delete")
     orders = read_table(spark, sf_dir, "orders")
     versioned_write(orders.filter(F.col("o_orderkey") % 3 == 0), path)  # v1
     versioned_write(orders.filter(F.col("o_orderkey") % 3 == 1), path)  # v2
@@ -2454,24 +2442,7 @@ def q_orders_versioned_delete(spark: SparkSession, sf_dir: str):
         spark, path, (F.col("o_orderkey") % 3 == 1) & (F.col("o_totalprice") < 150000)
     )
     assert v3 == 3
-    out = []
-    for v in (1, 2, 3):
-        with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
-            n_dirs = len(json.load(fh)["dirs"])
-        out.append(
-            read_version(spark, path, v)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("N_ROWS"),
-                dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
-            )
-            .select(
-                F.lit(v).cast("long").alias("VERSION"),
-                F.lit(n_dirs).cast("long").alias("N_DIRS"),
-                "N_ROWS",
-                "TOTAL_PRICE",
-            )
-        )
-    return out[0].unionByName(out[1]).unionByName(out[2])
+    return _version_price_summaries(spark, path, (1, 2, 3))
 
 
 @query(

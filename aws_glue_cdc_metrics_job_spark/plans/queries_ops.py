@@ -1943,6 +1943,50 @@ def q_events_type_dow_independence(spark: SparkSession, sf_dir: str):
     ).orderBy("EVENT_TYPE", "DOW")
 
 
+def _versioned_tmp_path(sf_dir: str, tag: str) -> str:
+    """Fresh per-(sf_dir, tag) scratch table path for the versioned-table
+    queries -- md5-keyed so concurrent SFs never collide, wiped on entry
+    so every run rebuilds its deliveries from scratch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    p = os.path.join(tempfile.gettempdir(), f"tt_{tag}_{h}")
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def _version_price_summaries(spark, path, versions, with_dirs=True):
+    """One (VERSION[, N_DIRS], N_ROWS, TOTAL_PRICE) row per requested
+    version of a versioned orders table -- the shared observable of the
+    time-travel / compaction / DELETE / MERGE queries. N_DIRS comes from
+    each committed manifest (the read-amplification observable)."""
+    import json
+    import os
+
+    from ..sources.parquet_io import _manifest_dir, read_version
+
+    out = None
+    for v in versions:
+        head = [F.lit(v).cast("long").alias("VERSION")]
+        if with_dirs:
+            with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
+                n_dirs = len(json.load(fh)["dirs"])
+            head.append(F.lit(n_dirs).cast("long").alias("N_DIRS"))
+        frame = (
+            read_version(spark, path, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("N_ROWS"),
+                dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
+            )
+            .select(*head, "N_ROWS", "TOTAL_PRICE")
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out
+
+
 @query(
     "orders_time_travel",
     oracle=f"""
@@ -1965,27 +2009,13 @@ def q_orders_time_travel(spark: SparkSession, sf_dir: str):
     a version is a plain multi-directory parquet scan, no merge-on-read.
     The oracle replays each version's visible row set straight from the
     source table."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    from ..sources.parquet_io import versioned_write
 
-    from ..sources.parquet_io import read_version, versioned_write
-
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"tt_orders_{h}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _versioned_tmp_path(sf_dir, "orders")
     orders = read_table(spark, sf_dir, "orders")
     versioned_write(orders.filter(F.col("o_orderkey") % 3 == 0), path)  # v1
     versioned_write(orders.filter(F.col("o_orderkey") % 3 == 1), path)  # v2
-    per_version = [
-        read_version(spark, path, v).agg(
-            F.count(F.lit(1)).cast("long").alias("N_ROWS"),
-            dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
-        ).select(F.lit(v).cast("long").alias("VERSION"), "N_ROWS", "TOTAL_PRICE")
-        for v in (1, 2)
-    ]
-    return per_version[0].unionByName(per_version[1])
+    return _version_price_summaries(spark, path, (1, 2), with_dirs=False)
 
 
 @query(
@@ -2013,44 +2043,14 @@ def q_orders_compacted_snapshot(spark: SparkSession, sf_dir: str):
     from each committed manifest (the read-amplification observable);
     the oracle replays every version's visible row set from the source
     and the manifest arithmetic as literals."""
-    import hashlib
-    import json
-    import os
-    import shutil
-    import tempfile
+    from ..sources.parquet_io import compact_table, versioned_write
 
-    from ..sources.parquet_io import (
-        _manifest_dir,
-        compact_table,
-        read_version,
-        versioned_write,
-    )
-
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"tt_orders_compact_{h}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _versioned_tmp_path(sf_dir, "orders_compact")
     orders = read_table(spark, sf_dir, "orders")
     versioned_write(orders.filter(F.col("o_orderkey") % 3 == 0), path)  # v1
     versioned_write(orders.filter(F.col("o_orderkey") % 3 == 1), path)  # v2
     assert compact_table(spark, path) == 3  # v3: same rows, one directory
-    out = []
-    for v in (1, 2, 3):
-        with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
-            n_dirs = len(json.load(fh)["dirs"])
-        out.append(
-            read_version(spark, path, v)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("N_ROWS"),
-                dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
-            )
-            .select(
-                F.lit(v).cast("long").alias("VERSION"),
-                F.lit(n_dirs).cast("long").alias("N_DIRS"),
-                "N_ROWS",
-                "TOTAL_PRICE",
-            )
-        )
-    return out[0].unionByName(out[1]).unionByName(out[2])
+    return _version_price_summaries(spark, path, (1, 2, 3))
 
 
 @query(
@@ -2107,22 +2107,9 @@ def q_orders_versioned_merge(spark: SparkSession, sf_dir: str):
     directory shared AS-IS -- N_DIRS stays 2 and versions 1-2
     time-travel over their original files. The oracle replays each
     version's visible rows with plain predicates."""
-    import hashlib
-    import json
-    import os
-    import shutil
-    import tempfile
+    from ..sources.parquet_io import merge_into, versioned_write
 
-    from ..sources.parquet_io import (
-        _manifest_dir,
-        merge_into,
-        read_version,
-        versioned_write,
-    )
-
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"tt_orders_merge_{h}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _versioned_tmp_path(sf_dir, "orders_merge")
     orders = read_table(spark, sf_dir, "orders")
     versioned_write(orders.filter(F.col("o_orderkey") % 3 == 0), path)  # v1
     versioned_write(orders.filter(F.col("o_orderkey") % 3 == 2), path)  # v2
@@ -2134,24 +2121,7 @@ def q_orders_versioned_merge(spark: SparkSession, sf_dir: str):
     )
     v3 = merge_into(spark, updates.unionByName(inserts), path, on=["o_orderkey"])
     assert v3 == 3
-    out = []
-    for v in (1, 2, 3):
-        with open(os.path.join(_manifest_dir(path), f"v{v:05d}.json")) as fh:
-            n_dirs = len(json.load(fh)["dirs"])
-        out.append(
-            read_version(spark, path, v)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("N_ROWS"),
-                dsum("o_totalprice", 2).alias("TOTAL_PRICE"),
-            )
-            .select(
-                F.lit(v).cast("long").alias("VERSION"),
-                F.lit(n_dirs).cast("long").alias("N_DIRS"),
-                "N_ROWS",
-                "TOTAL_PRICE",
-            )
-        )
-    return out[0].unionByName(out[1]).unionByName(out[2])
+    return _version_price_summaries(spark, path, (1, 2, 3))
 
 
 @query(
@@ -2178,17 +2148,10 @@ def q_orders_version_changes(spark: SparkSession, sf_dir: str):
     price, inserts/updates the current image's -- exactly what a
     downstream incremental consumer replays. One full-outer PK join over
     the two version reads; the rollup is a 3-group aggregate."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..operators.cdc import cdc_diff
     from ..sources.parquet_io import read_version, versioned_write
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"tt_orders_cdf_{h}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _versioned_tmp_path(sf_dir, "orders_cdf")
     orders = read_table(spark, sf_dir, "orders")
     versioned_write(orders.filter(F.col("o_orderkey") % 3 < 2), path)  # v1
     v2_img = orders.filter(F.col("o_orderkey") % 3 > 0).withColumn(
@@ -2237,16 +2200,9 @@ def q_orders_schema_evolution(spark: SparkSession, sf_dir: str):
     honestly rather than faking a zero). The oracle replays both
     versions' visible rows, margin arithmetic included, with plain
     predicates."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..sources.parquet_io import read_version, versioned_write
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"tt_orders_evolve_{h}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _versioned_tmp_path(sf_dir, "orders_evolve")
     orders = read_table(spark, sf_dir, "orders")
     versioned_write(orders.filter(F.col("o_orderkey") % 2 == 0), path)  # v1
     evolved = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(

@@ -416,6 +416,27 @@ def table_versions(path: str) -> list[int]:
     )
 
 
+def _latest_dirs(path: str) -> tuple[int, list[str]]:
+    """(latest committed version, its manifest's data directories) -- the
+    shared preamble of every table mutation/read."""
+    import json
+    import os
+
+    versions = table_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions at {path}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]:05d}.json")) as fh:
+        return versions[-1], json.load(fh)["dirs"]
+
+
+def _data_dir_col() -> F.Column:
+    """The committed data directory of each row, recovered from the
+    parquet ``_metadata.file_path`` column (directories are always
+    ``data/vNNNNN``) -- the match locator for directory-pruned
+    copy-on-write."""
+    return F.regexp_extract(F.col("_metadata.file_path"), r"(data/[^/]+)/[^/]*$", 1)
+
+
 def _batches_path(path: str) -> str:
     import os
 
@@ -612,31 +633,22 @@ def delete_where(
     A predicate matching nothing commits NOTHING and returns the current
     version (no empty rewrite). Returns the committed (or current)
     version number."""
-    import json
     import os
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    versions = table_versions(path)
-    if not versions:
-        raise ValueError(f"no committed versions at {path}")
-    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]:05d}.json")) as fh:
-        dirs = json.load(fh)["dirs"]
+    latest, dirs = _latest_dirs(path)
     match = F.coalesce(cond, F.lit(False))
-    dir_col = F.regexp_extract(
-        F.col("_metadata.file_path"), r"(data/[^/]+)/[^/]*$", 1
-    )
     hits = (
         spark.read.parquet(*[os.path.join(path, d) for d in dirs])
         .where(match)
-        .select(dir_col.alias("__dir"))
-        .groupBy("__dir")
-        .count()
+        .select(_data_dir_col().alias("__dir"))
+        .distinct()
         .collect()
     )  # bounded: one row per committed directory containing matches
     touched = sorted({r["__dir"] for r in hits})
     if not touched:
-        return versions[-1]
-    v = versions[-1] + 1
+        return latest
+    v = latest + 1
     data_rel = f"data/v{v:05d}"
     survivors = spark.read.parquet(
         *[os.path.join(path, d) for d in touched]
@@ -677,30 +689,22 @@ def merge_into(
 
     Returns the committed version number. An EMPTY source commits
     nothing and returns the current version."""
-    import json
     import os
 
-    versions = table_versions(path)
-    if not versions:
-        raise ValueError(f"no committed versions at {path}")
-    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]:05d}.json")) as fh:
-        dirs = json.load(fh)["dirs"]
+    latest, dirs = _latest_dirs(path)
     if source.isEmpty():
-        return versions[-1]
+        return latest
     keys = source.select(*on)
-    dir_col = F.regexp_extract(
-        F.col("_metadata.file_path"), r"(data/[^/]+)/[^/]*$", 1
-    )
     current = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
     hits = (
-        current.select(*on, dir_col.alias("__dir"))
+        current.select(*on, _data_dir_col().alias("__dir"))
         .join(keys, on, "left_semi")
-        .groupBy("__dir")
-        .count()
+        .select("__dir")
+        .distinct()
         .collect()
     )  # bounded: one row per committed directory containing matched keys
     touched = sorted({r["__dir"] for r in hits})
-    v = versions[-1] + 1
+    v = latest + 1
     data_rel = f"data/v{v:05d}"
     target_cols = current.columns
     if touched:
