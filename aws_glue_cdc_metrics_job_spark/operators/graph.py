@@ -1149,3 +1149,61 @@ def pagerank_weighted_bucketed(
     return _pagerank_weighted_core(
         ed, nd, n, iterations, scale, damping_pct, checkpoint, merge_hint=True
     )
+
+
+def sssp_hops(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source single-source-shortest-path, hop-bounded Bellman-Ford:
+    the minimum integer-weight cost from ANY source to each node
+    reachable within ``max_hops`` relaxation rounds -- the weighted
+    companion to :func:`bfs_hops` (cheapest supply route within k steps,
+    minimum-latency citation chain). Edge weights are BIGINT lattice
+    costs (cents, millis), so every relaxation is exact integer adds and
+    mins that replay verbatim in an unrolled-CTE oracle.
+
+    Per round: join the CURRENT distance map's rows against the edge
+    table (hash join on the node key), add weights, and fold the
+    candidates into the map with one groupBy-min -- the standard
+    distributed Bellman-Ford relaxation, total work per round bounded by
+    |edges| + |dist|. Unlike BFS, a node can re-enter with a CHEAPER
+    cost, so rounds relax the whole map, not a frontier; after round t
+    the map is exact for every path of <= t hops (the Bellman-Ford
+    invariant). Lineage is cut per round with localCheckpoint.
+
+    Negative weights are rejected: hop-bounded relaxation is still
+    well-defined with them, but a negative-cycle graph has no finite
+    fixpoint and silent acceptance would hide modeling errors.
+
+    Returns (NODE, DIST) -- one row per reached node, DIST BIGINT,
+    sources at 0."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sorted(set(sources))], "NODE long, DIST long"
+    )
+    ed = edges.select(
+        F.col("SRC"), F.col("DST"), F.col("W").cast("bigint").alias("W")
+    )
+    if bool(ed.where(F.col("W") < 0).head(1)):
+        raise ValueError("sssp_hops requires non-negative edge weights")
+    if checkpoint:
+        ed = _ckpt_big(ed)
+    for _ in range(max_hops):
+        relaxed = ed.join(dist, ed["SRC"] == dist["NODE"]).select(
+            F.col("DST").alias("NODE"), (F.col("DIST") + F.col("W")).alias("DIST")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("NODE")
+            .agg(F.min("DIST").cast("bigint").alias("DIST"))
+        )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=False)
+    return dist

@@ -1004,3 +1004,79 @@ def mad_anomalies(
         .cast("int")
         .alias("IS_ANOMALY"),
     ).orderBy(key_col)
+
+
+def correlation_pairs(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns -- the
+    EDA/profiling primitive ("which measures move together") computed
+    with grouped_trend's exactness discipline: every sufficient
+    statistic (sums, squares, cross products) is an EXACT DECIMAL
+    integer on the 1e6 lattice from ONE aggregation pass, so the inputs
+    to the final r are identical at any partitioning and executor count;
+    only the last division/sqrt runs in doubles, with both engines
+    performing the identical IEEE op sequence (cast each exact integer
+    to double, multiply, sqrt, divide, floor-round).
+
+    Shape: one map-combined aggregation producing 2p + p(p-1)/2 + 1
+    columns; the per-pair rows come from exploding an array of structs
+    OVER THAT SINGLE AGG ROW -- one scan total, where a union of
+    per-pair aggregates would re-scan the input per pair. Same operand
+    contract as grouped_trend: n * (v*1e6)^2 must fit DECIMAL(38,0).
+    NULL handling: rows with a NULL in ANY requested column are excluded
+    (matched-pairs semantics, one shared N for the whole matrix).
+
+    Returns one row per unordered pair (a before b in ``cols`` order):
+    (COL_A, COL_B, N, R_PPM -- floor(r * 1e6 + 0.5), NULL when either
+    variance is zero or n < 2)."""
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols}")
+    base = df
+    for c in cols:
+        base = base.where(F.col(c).isNotNull())
+    q = base.select(
+        *[
+            F.floor(F.col(c).cast("double") * 1000000 + F.lit(0.5))
+            .cast("decimal(19,0)")
+            .alias(f"__q{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("N")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(F.col(f"__q{i}")).alias(f"__s{i}"))
+        aggs.append(F.sum(F.col(f"__q{i}") * F.col(f"__q{i}")).alias(f"__ss{i}"))
+    pairs = [(i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j]
+    for i, j in pairs:
+        aggs.append(F.sum(F.col(f"__q{i}") * F.col(f"__q{j}")).alias(f"__sp{i}_{j}"))
+    agg = q.agg(*aggs)
+    n = F.col("N").cast("double")
+    structs = []
+    for i, j in pairs:
+        si, sj = F.col(f"__s{i}").cast("double"), F.col(f"__s{j}").cast("double")
+        ssi, ssj = F.col(f"__ss{i}").cast("double"), F.col(f"__ss{j}").cast("double")
+        sp = F.col(f"__sp{i}_{j}").cast("double")
+        covn = n * sp - si * sj
+        var_i = n * ssi - si * si
+        var_j = n * ssj - sj * sj
+        r = F.when(
+            (F.col("N") >= 2) & (var_i > 0) & (var_j > 0),
+            F.floor(covn / F.sqrt(var_i * var_j) * 1000000 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        structs.append(
+            F.struct(
+                F.lit(cols[i]).alias("COL_A"),
+                F.lit(cols[j]).alias("COL_B"),
+                r.alias("R_PPM"),
+            )
+        )
+    return (
+        agg.select("N", F.explode(F.array(*structs)).alias("__p"))
+        .select(F.col("__p.COL_A"), F.col("__p.COL_B"), "N", F.col("__p.R_PPM"))
+        .orderBy("COL_A", "COL_B")
+    )

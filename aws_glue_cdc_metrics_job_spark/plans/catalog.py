@@ -77,6 +77,8 @@ GRADE_FIRST: list[str] = [
     "emb_mmr_select",
     "orders_schema_evolution",
     "customers_name_fuzzy_pairs",
+    "lineitem_correlation_matrix",
+    "supply_sssp_3hops",
     # -- NEW in round 8
     "lineitem_qty_tied_percentiles",
     "supply_katz_centrality_growing",

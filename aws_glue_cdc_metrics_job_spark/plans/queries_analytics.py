@@ -2661,3 +2661,116 @@ def q_events_l_diversity(spark: SparkSession, sf_dir: str):
         "user_id",
     )
     return l_diversity_report(ev, ["EVENT_TYPE", "DOW"], "user_id", l=5)
+
+
+def _corr_pair_sql(a: str, b: str, ia: int, ib: int) -> str:
+    """One UNION branch of the correlation-matrix oracle: identical IEEE
+    op order to the Spark side -- cast each EXACT integer statistic to
+    double, multiply/subtract, sqrt, divide, floor-round."""
+    n = "CAST(N AS DOUBLE)"
+    si, sj = f"CAST(s{ia} AS DOUBLE)", f"CAST(s{ib} AS DOUBLE)"
+    ssi, ssj = f"CAST(ss{ia} AS DOUBLE)", f"CAST(ss{ib} AS DOUBLE)"
+    sp = f"CAST(sp{ia}_{ib} AS DOUBLE)"
+    var_i = f"({n} * {ssi} - {si} * {si})"
+    var_j = f"({n} * {ssj} - {sj} * {sj})"
+    covn = f"({n} * {sp} - {si} * {sj})"
+    return f"""
+SELECT '{a}' AS COL_A, '{b}' AS COL_B, N,
+       CASE WHEN N >= 2 AND {var_i} > 0 AND {var_j} > 0 THEN
+         CAST(FLOOR({covn} / sqrt({var_i} * {var_j}) * 1000000 + 0.5) AS BIGINT)
+       END AS R_PPM
+FROM a"""
+
+
+def _corr_matrix_oracle() -> str:
+    branches = "\nUNION ALL".join(
+        _corr_pair_sql(a, b, ia, ib)
+        for (a, ia), (b, ib) in [
+            (("l_quantity", 0), ("l_extendedprice", 1)),
+            (("l_quantity", 0), ("l_discount", 2)),
+            (("l_extendedprice", 1), ("l_discount", 2)),
+        ]
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(FLOOR(l_quantity * 1000000 + 0.5) AS HUGEINT) AS q0,
+         CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS HUGEINT) AS q1,
+         CAST(FLOOR(l_discount * 1000000 + 0.5) AS HUGEINT) AS q2
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N,
+         SUM(q0) AS s0, SUM(q1) AS s1, SUM(q2) AS s2,
+         SUM(q0 * q0) AS ss0, SUM(q1 * q1) AS ss1, SUM(q2 * q2) AS ss2,
+         SUM(q0 * q1) AS sp0_1, SUM(q0 * q2) AS sp0_2, SUM(q1 * q2) AS sp1_2
+  FROM q
+)
+{branches}
+ORDER BY COL_A, COL_B"""
+
+
+@query("lineitem_correlation_matrix", oracle=_corr_matrix_oracle())
+def q_lineitem_correlation_matrix(spark: SparkSession, sf_dir: str):
+    """Pairwise Pearson correlation matrix (operators/stats.
+    correlation_pairs) over quantity / extended price / discount: exact
+    decimal sufficient statistics from ONE aggregation pass (the
+    grouped_trend lattice discipline -- partitioning-independent at any
+    executor count), pair rows exploded from the single agg row (one
+    scan, where per-pair aggregates would re-scan per pair), and the
+    final r as the identical IEEE double sequence in both engines."""
+    from ..operators.stats import correlation_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return correlation_pairs(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def _sssp_oracle(k: int = 3, seeds=(1, 2, 3)) -> str:
+    """Unrolled Bellman-Ford replay: one relaxation CTE per hop."""
+    seed_vals = ", ".join(f"({s}, 0)" for s in seeds)
+    s = f"""
+WITH ew AS (
+  SELECT l_partkey AS SRC, 1000000000 + l_suppkey AS DST,
+         MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS W
+  FROM lineitem GROUP BY 1, 2
+),
+edges AS (SELECT SRC, DST, W FROM ew UNION ALL SELECT DST, SRC, W FROM ew),
+d0 AS (SELECT CAST(NODE AS BIGINT) AS NODE, CAST(DIST AS BIGINT) AS DIST
+       FROM (VALUES {seed_vals}) t(NODE, DIST))"""
+    for t in range(1, k + 1):
+        s += f""",
+d{t} AS (
+  SELECT NODE, MIN(DIST) AS DIST FROM (
+    SELECT NODE, DIST FROM d{t - 1}
+    UNION ALL
+    SELECT e.DST AS NODE, d.DIST + e.W AS DIST
+    FROM d{t - 1} d JOIN edges e ON d.NODE = e.SRC
+  ) GROUP BY 1
+)"""
+    return s + f"\nSELECT NODE, CAST(DIST AS BIGINT) AS DIST FROM d{k} ORDER BY NODE"
+
+
+@query("supply_sssp_3hops", oracle=_sssp_oracle())
+def q_supply_sssp_3hops(spark: SparkSession, sf_dir: str):
+    """Hop-bounded weighted shortest path (operators/graph.sssp_hops):
+    cheapest 3-step route from seed parts {1,2,3} through the bipartite
+    part-supplier graph, edge weight = minimum observed line price in
+    cents for that (part, supplier) lane. Distributed Bellman-Ford --
+    per round one hash join (edges x distance map) + one groupBy-min,
+    exact integer adds/mins replayed by the unrolled relaxation CTEs;
+    lineage cut per round with localCheckpoint."""
+    from ..operators.graph import sssp_hops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ew = li.groupBy(
+        F.col("l_partkey").alias("SRC"),
+        (F.lit(1000000000) + F.col("l_suppkey")).cast("long").alias("DST"),
+    ).agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .alias("W")
+    )
+    edges = ew.unionByName(
+        ew.select(F.col("DST").alias("SRC"), F.col("SRC").alias("DST"), "W")
+    )
+    return sssp_hops(edges, [1, 2, 3], max_hops=3).orderBy("NODE")

@@ -50,6 +50,8 @@ HEADLINE = [
     "emb_mmr_select",
     "orders_schema_evolution",
     "customers_name_fuzzy_pairs",
+    "lineitem_correlation_matrix",
+    "supply_sssp_3hops",
     # round-7 additions
     "mart_customer_clv_segment_approx",
     "parts_copurchase_pagerank_weighted_bucketed",
@@ -365,7 +367,8 @@ MIN2 = {
     "events_calibration_bins", "orders_target_encoding",
     "events_daily_mad_anomalies", "events_l_diversity",
     "emb_mmr_select", "orders_schema_evolution",
-    "customers_name_fuzzy_pairs",
+    "customers_name_fuzzy_pairs", "lineitem_correlation_matrix",
+    "supply_sssp_3hops",
 }
 
 # sf1 queries that get a second measured pass: the decade-ratio

@@ -713,3 +713,36 @@ def test_weighted_pagerank_bucketed_matches_plain_and_plan(spark, tmp_path):
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
     assert "Exchange hashpartitioning(SRC" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS wpr_bkt_test")
+
+
+class TestSsspHops:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "SRC long, DST long, W long")
+
+    def test_cheaper_multi_hop_beats_direct(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.graph import sssp_hops
+
+        # 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2 + 3 = 5
+        edges = self._edges(spark, [(1, 3, 10), (1, 2, 2), (2, 3, 3)])
+        out = {r["NODE"]: r["DIST"] for r in sssp_hops(edges, [1], 3).collect()}
+        assert out == {1: 0, 2: 2, 3: 5}
+        # with only one hop allowed, the direct edge wins
+        one = {r["NODE"]: r["DIST"] for r in sssp_hops(edges, [1], 1).collect()}
+        assert one == {1: 0, 2: 2, 3: 10}
+
+    def test_multi_source_min_and_unreachable(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.graph import sssp_hops
+
+        edges = self._edges(spark, [(1, 9, 100), (2, 9, 7), (5, 6, 1)])
+        out = {r["NODE"]: r["DIST"] for r in sssp_hops(edges, [1, 2], 2).collect()}
+        assert out[9] == 7          # min over sources
+        assert 5 not in out and 6 not in out  # disconnected component absent
+
+    def test_negative_weight_rejected(self, spark):
+        import pytest
+
+        from aws_glue_cdc_metrics_job_spark.operators.graph import sssp_hops
+
+        edges = self._edges(spark, [(1, 2, -5)])
+        with pytest.raises(ValueError, match="non-negative"):
+            sssp_hops(edges, [1], 2)

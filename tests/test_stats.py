@@ -579,3 +579,69 @@ class TestMadAnomalies:
         df = spark.createDataFrame([(i, 7) for i in range(5)], "k long, v long")
         out = mad_anomalies(df, "k", "v").collect()
         assert all(r["MAD"] == 0 and r["IS_ANOMALY"] == 0 for r in out)
+
+
+class TestCorrelationPairs:
+    def test_matches_numpy_corrcoef(self, spark):
+        import numpy as np
+
+        from aws_glue_cdc_metrics_job_spark.operators.stats import correlation_pairs
+
+        rows = []
+        for i in range(60):
+            x = float(i)
+            y = 2.5 * i + ((i * 7919) % 13 - 6) / 4.0
+            z = -1.0 * i + ((i * 104729) % 11 - 5) / 3.0
+            rows.append((x, y, z))
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        out = {
+            (r["COL_A"], r["COL_B"]): r
+            for r in correlation_pairs(df, ["x", "y", "z"]).collect()
+        }
+        arr = np.array(rows)
+        for (a, ia), (b, ib) in [
+            (("x", 0), ("y", 1)), (("x", 0), ("z", 2)), (("y", 1), ("z", 2)),
+        ]:
+            r_np = np.corrcoef(arr[:, ia], arr[:, ib])[0, 1]
+            # lattice quantization at 1e-6 keeps r within ~1e-5 of numpy
+            assert abs(out[(a, b)]["R_PPM"] / 1e6 - r_np) < 1e-4
+            assert out[(a, b)]["N"] == 60
+        assert out[("x", "y")]["R_PPM"] > 990000   # strongly positive
+        assert out[("x", "z")]["R_PPM"] < -990000  # strongly negative
+
+    def test_degenerate_and_null_rows(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import correlation_pairs
+
+        rows = [(1.0, 5.0, 1.0), (2.0, 5.0, 2.0), (3.0, 5.0, None)]
+        df = spark.createDataFrame(rows, "x double, c double, z double")
+        out = {
+            (r["COL_A"], r["COL_B"]): r
+            for r in correlation_pairs(df, ["x", "c", "z"]).collect()
+        }
+        # the NULL-z row is excluded everywhere (matched-pairs N)
+        assert all(r["N"] == 2 for r in out.values())
+        assert out[("x", "c")]["R_PPM"] is None   # zero variance in c
+        assert out[("x", "z")]["R_PPM"] == 10**6  # perfectly collinear
+
+    def test_partitioning_independent(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators.stats import correlation_pairs
+
+        rows = [(float(i % 17), float((i * i) % 23)) for i in range(400)]
+        a = correlation_pairs(
+            spark.createDataFrame(rows, "x double, y double").repartition(1),
+            ["x", "y"],
+        ).collect()
+        b = correlation_pairs(
+            spark.createDataFrame(rows, "x double, y double").repartition(16),
+            ["x", "y"],
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_validation(self, spark):
+        import pytest
+
+        from aws_glue_cdc_metrics_job_spark.operators.stats import correlation_pairs
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError):
+            correlation_pairs(df, ["x"])
