@@ -484,6 +484,17 @@ def main() -> int:
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"),
     )
+    if not os.path.isdir(sf1_dir):
+        # Loud, because silent was expensive once: a fresh workspace lacks
+        # the derived scale dirs (they are gitignored) and a run without
+        # them reports headline-only with no visible reason. Rebuild:
+        #   python tools/scale_up.py 10 && python tools/scale_up.py --skew
+        #   && python tools/scale_up.py 100 .bench_sf10
+        print(
+            f"# WARNING: {sf1_dir} missing -- sf1/skew/sf10 blocks SKIPPED"
+            " (tools/scale_up.py rebuilds them)",
+            file=sys.stderr,
+        )
     if os.path.isdir(sf1_dir):
         # Cheap warm instead of a full warm-up pass (VERDICT r7 item 1: the
         # full-pass warm-up tripled the block's wall clock): page-cache the
