@@ -45,6 +45,34 @@ def _ckpt_big(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
+# Node-count ceiling for broadcasting the node-sized side of a hop join
+# (~16 bytes/row -> 8M nodes is a ~128 MB broadcast). Scale-adaptive by
+# DATA (the caller passes the measured node count, a driver scalar every
+# iterative operator already holds), not by core count; deployments with
+# bigger node tables set SPARK_GRAFT_GRAPH_BCAST_MAX=0 to force the
+# shuffled-hash fallback everywhere.
+_BCAST_MAX_NODES = int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX", str(8_000_000)))
+
+
+def _node_side(frame: DataFrame, n: int) -> DataFrame:
+    """Join-strategy policy for the NODE-SIZED side (ranks / labels /
+    scores / frontier / degree map) of an edge x node hop join.
+
+    The default SMJ re-sorts the EDGE side every hop (measured: ~45% of a
+    3-hop pagerank at the 10x point); broadcasting the node frame leaves
+    the edge scan shuffle- and sort-free, so a hop costs one checkpoint
+    scan + the keyed contribution aggregation -- guide section 3.1's
+    "broadcast the side that fits", with the fit decided by the MEASURED
+    node count rather than Catalyst's LogicalRDD size guess (which is
+    `defaultSizeInBytes`, i.e. never broadcastable). Above the ceiling,
+    shuffled-hash still beats SMJ: the node side shuffles, but neither
+    side sorts. Values are join-strategy-independent (exact integer
+    lattice), pinned by the unrolled-CTE oracles."""
+    if n <= _BCAST_MAX_NODES:
+        return F.broadcast(frame)
+    return frame.hint("shuffle_hash")
+
+
 def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Per-node triangle counts + exact clustering coefficient (ppm) via
     degree-ordered edge orientation (Schank & Wagner 2005; the MapReduce
@@ -87,9 +115,10 @@ def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     )
     if checkpoint:
         deg = deg.localCheckpoint(eager=False)
+    n_nodes = deg.count()  # bounded driver scalar: sizes the join policy
     da = deg.select(F.col("N").alias("A"), F.col("DEG").alias("DA"))
     db = deg.select(F.col("N").alias("B"), F.col("DEG").alias("DB"))
-    ad = und.join(da, "A").join(db, "B")
+    ad = und.join(_node_side(da, n_nodes), "A").join(_node_side(db, n_nodes), "B")
     lo_first = F.struct(F.col("DA"), F.col("A")) < F.struct(F.col("DB"), F.col("B"))
     ori = ad.select(
         F.when(lo_first, F.col("A")).otherwise(F.col("B")).alias("SRC"),
@@ -267,8 +296,9 @@ def _pagerank_core(
     dang = nd.where(F.col("DEG") == 0).select("NODE") if not fast else None
     for _ in range(iterations):
         e = ed.hint("merge") if merge_hint else ed
+        r = ranks if merge_hint else _node_side(ranks, n)
         contrib = (
-            e.join(ranks, e["SRC"] == ranks["NODE"])
+            e.join(r, e["SRC"] == r["NODE"])
             .select(
                 F.col("DST"),
                 F.expr(f"({damping_pct} * R) div (100 * DEG)").cast("long").alias("__c"),
@@ -432,8 +462,9 @@ def personalized_pagerank(
         F.when(is_seed, F.lit(scale // k)).otherwise(F.lit(0)).cast("long").alias("R"),
     )
     for _ in range(iterations):
+        r = _node_side(ranks, n)
         contrib = (
-            ed.join(ranks, ed["SRC"] == ranks["NODE"])
+            ed.join(r, ed["SRC"] == r["NODE"])
             .select(
                 F.col("DST"),
                 F.expr(f"({damping_pct} * R) div (100 * DEG)").cast("long").alias("__c"),
@@ -513,11 +544,13 @@ def label_propagation(
     if checkpoint:
         ed = _ckpt_big(ed)
     labels = nodes.select("NODE", F.col("NODE").alias("L"))
+    n = nodes.count()  # bounded driver scalar: sizes the hop-join policy
     from pyspark.sql import Window
 
     for _ in range(iterations):
+        lb = _node_side(labels, n)
         counts = (
-            ed.join(labels, ed["SRC"] == labels["NODE"])
+            ed.join(lb, ed["SRC"] == lb["NODE"])
             .groupBy(F.col("DST").alias("NODE"), F.col("L"))
             .agg(F.count(F.lit(1)).cast("long").alias("__n"))
         )
@@ -612,8 +645,9 @@ def _hits_core(
     es = ed_src.hint("merge") if merge_hint else ed_src
     ed = ed_dst.hint("merge") if merge_hint else ed_dst
     for _ in range(iterations):
+        hb = hubs if merge_hint else _node_side(hubs, n)
         ap = (
-            es.join(hubs, es["SRC"] == hubs["NODE"])
+            es.join(hb, es["SRC"] == hb["NODE"])
             .groupBy(F.col("DST").alias("NODE"))
             .agg(F.sum("H").cast("long").alias("__S"))
         )
@@ -628,8 +662,9 @@ def _hits_core(
         )
         if checkpoint:
             auth = auth.localCheckpoint(eager=False)
+        au = auth if merge_hint else _node_side(auth, n)
         hp = (
-            ed.join(auth, ed["DST"] == auth["NODE"])
+            ed.join(au, ed["DST"] == au["NODE"])
             .groupBy(F.col("SRC").alias("NODE"))
             .agg(F.sum("A").cast("long").alias("__S"))
         )
@@ -764,10 +799,15 @@ def common_neighbor_link_prediction(
     deg = nbr.groupBy("N").agg(F.count(F.lit(1)).cast("long").alias("DEG"))
     if checkpoint:
         deg = deg.localCheckpoint(eager=False)
+    n_nodes = deg.count()  # bounded driver scalar: sizes the join policy
     mid = nbr.select(F.col("M"), F.col("N"))
     if max_middle_degree is not None:
         mdeg = deg.select(F.col("N").alias("M"), F.col("DEG").alias("__MD"))
-        mid = mid.join(mdeg, "M").where(F.col("__MD") <= max_middle_degree).select("M", "N")
+        mid = (
+            mid.join(_node_side(mdeg, n_nodes), "M")
+            .where(F.col("__MD") <= max_middle_degree)
+            .select("M", "N")
+        )
     if checkpoint:
         mid = _ckpt_big(mid)
     w1 = mid.select("M", F.col("N").alias("NODE_A"))
@@ -787,8 +827,8 @@ def common_neighbor_link_prediction(
     da = deg.select(F.col("N").alias("NODE_A"), F.col("DEG").alias("DEG_A"))
     db = deg.select(F.col("N").alias("NODE_B"), F.col("DEG").alias("DEG_B"))
     return (
-        cand.join(da, "NODE_A")
-        .join(db, "NODE_B")
+        cand.join(_node_side(da, n_nodes), "NODE_A")
+        .join(_node_side(db, n_nodes), "NODE_B")
         .select(
             "NODE_A",
             "NODE_B",
@@ -871,10 +911,12 @@ def katz_centrality(
                 f"max_in_degree={max_in}, scale={scale}) -- lower "
                 "alpha_ppm, scale, or iterations"
             )
+    n = nodes.count()  # bounded driver scalar: sizes the hop-join policy
     x = nodes.select("NODE", F.lit(0).cast("long").alias("X"))
     for _ in range(iterations):
+        xs = _node_side(x, n)
         contrib = (
-            ed.join(x, ed["SRC"] == x["NODE"])
+            ed.join(xs, ed["SRC"] == xs["NODE"])
             .select(
                 F.col("DST"),
                 F.expr(f"({alpha_ppm} * ({scale} + X)) div 1000000")
@@ -939,16 +981,19 @@ def bfs_hops(
     ed = edges.select("SRC", "DST").distinct()
     if checkpoint:
         ed = _ckpt_big(ed)
+    fsize = len(set(sources))  # frontier cardinality, tracked per round
     for h in range(1, max_hops + 1):
+        fr = _node_side(frontier, fsize)
         nxt = (
-            ed.join(frontier, ed["SRC"] == frontier["NODE"])
+            ed.join(fr, ed["SRC"] == fr["NODE"])
             .select(F.col("DST").alias("NODE"))
             .distinct()
             .join(visited, "NODE", "left_anti")
         )
         if checkpoint:
             nxt = nxt.localCheckpoint(eager=False)
-        if nxt.isEmpty():
+        fsize = nxt.count()  # the old isEmpty scalar, now reused to size
+        if fsize == 0:       # the next round's frontier-join policy
             break
         visited = visited.unionByName(
             nxt.select("NODE", F.lit(h).cast("long").alias("HOPS"))
@@ -1049,8 +1094,9 @@ def _pagerank_weighted_core(
     ranks = nd.select("NODE", F.lit(scale // n).cast("long").alias("R"))
     for _ in range(iterations):
         e = ed.hint("merge") if merge_hint else ed
+        r = ranks if merge_hint else _node_side(ranks, n)
         contrib = (
-            e.join(ranks, e["SRC"] == ranks["NODE"])
+            e.join(r, e["SRC"] == r["NODE"])
             .select(
                 F.col("DST"),
                 F.expr(f"({damping_pct} * R * __w) div (100 * __S)")
@@ -1195,8 +1241,10 @@ def sssp_hops(
         raise ValueError("sssp_hops requires non-negative edge weights")
     if checkpoint:
         ed = _ckpt_big(ed)
-    for _ in range(max_hops):
-        relaxed = ed.join(dist, ed["SRC"] == dist["NODE"]).select(
+    dsize = len(set(sources))  # distance-map cardinality, tracked per round
+    for h in range(max_hops):
+        dm = _node_side(dist, dsize)
+        relaxed = ed.join(dm, ed["SRC"] == dm["NODE"]).select(
             F.col("DST").alias("NODE"), (F.col("DIST") + F.col("W")).alias("DIST")
         )
         dist = (
@@ -1206,4 +1254,6 @@ def sssp_hops(
         )
         if checkpoint:
             dist = dist.localCheckpoint(eager=False)
+        if h + 1 < max_hops:  # bounded scalar sizing the next round's policy
+            dsize = dist.count()
     return dist

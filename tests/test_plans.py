@@ -154,3 +154,57 @@ def test_partition_pruned_read_lists_only_matching_dirs(spark, sf_dir):
     )
     dates = {r["f"].split("EVENT_DATE=")[1].split("/")[0] for r in read}
     assert dates == {f"2024-01-1{d}" for d in range(0, 7)}
+
+
+def test_name_fuzzy_pairs_neighborhood_matches_brute_force(spark, tmp_path):
+    """The r8-opt rewrite of customers_name_fuzzy_pairs replaces the
+    per-block quadratic (nation, len) self-join + levenshtein residual
+    with a masked-position neighborhood equi-join. Equivalence pinned on
+    the adversarial shapes the testdata lacks: identical names (match at
+    every mask -> exactly one output row), one substitution (match),
+    transposition of adjacent chars (distance 2, MUST NOT match even
+    though halves collide), distance-2 double substitution, same name in
+    different nations (no pair), different lengths (no pair)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_cdc_metrics_job_spark.plans.queries_ops import (
+        q_customers_name_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, 0, "alpha"),   # identical with 2
+        (2, 0, "alpha"),
+        (3, 0, "alphq"),   # one substitution vs alpha
+        (4, 0, "aplha"),   # transposition vs alpha: distance 2
+        (5, 0, "alxhq"),   # two substitutions vs alpha: distance 2
+        (6, 1, "alpha"),   # other nation: never pairs with 1..5
+        (7, 0, "alphas"),  # other length: never pairs
+        (8, 0, "b"),       # 1-char names: masked variant is ""
+        (9, 0, "c"),       # lev("b","c")=1 -> pair
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_nationkey long, c_name string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    got = {
+        (r["NATION_ID"], r["ID_A"], r["ID_B"], r["EDIT_DISTANCE"])
+        for r in q_customers_name_fuzzy_pairs(spark, str(tmp_path)).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.length("a.c_name") == F.length("b.c_name"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_nationkey"), F.col("a.c_custkey"), F.col("b.c_custkey"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("bigint"),
+        )
+    )
+    exp = {tuple(r) for r in brute.collect()}
+    assert got == exp
+    assert (0, 1, 2, 0) in got and (0, 1, 3, 1) in got and (0, 8, 9, 1) in got
+    assert not any(r[1] == 1 and r[2] == 4 for r in got)  # transposition excluded
+    assert not any(r[1] == 1 and r[2] == 5 for r in got)  # double-sub excluded
