@@ -669,12 +669,17 @@ def rp_lsh_signature(
     multiply-adds per row, no shuffle, no UDF); the constants come from
     rp_constants so the DuckDB oracle reproduces every bit exactly."""
     consts = rp_constants(planes, dim, seed)
-    v = F.col(vec_col).cast("array<double>")
+    # index the RAW array column and widen the ELEMENT: v[d] on a cast
+    # array re-evaluates the whole-array cast per access (planes x dim
+    # casts of the full vector per row -- measured as the dominant cost of
+    # the unrolled family at the 10x point); elementwise float->double
+    # widening is exact, so the terms are bit-identical
+    raw = F.col(vec_col)
     sig = None
     for p, row in enumerate(consts):
         dot_p = None
         for d, c in enumerate(row):
-            term = v[d] * F.lit(c)
+            term = raw[d].cast("double") * F.lit(c)
             dot_p = term if dot_p is None else dot_p + term
         bit = F.when(dot_p > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = bit if sig is None else sig + bit
@@ -1272,9 +1277,12 @@ def matryoshka_truncate(
     collect_list(struct) + array_sort, the kmeans_train pattern).
     All-zero prefixes emit VAL = 0.0."""
     v = F.col(vec_col).cast("array<double>")
+    # raw-element indexing + elementwise widening: see rp_lsh_signature
+    raw = F.col(vec_col)
     sq = None
     for d in range(m):
-        term = v[d] * v[d]
+        el = raw[d].cast("double")
+        term = el * el
         sq = term if sq is None else sq + term
     ex = df.select(
         F.col(id_col),
@@ -1315,9 +1323,11 @@ def perceptron_step(
     Hinge margins need no exp()/sigmoid, so every operation is plain
     rational arithmetic -- exactly replayable cross-engine."""
     v = F.col(vec_col).cast("array<double>")
+    # raw-element indexing + elementwise widening: see rp_lsh_signature
+    raw = F.col(vec_col)
     dot = None
     for d, w in enumerate(weights):
-        term = v[d] * F.lit(w)
+        term = raw[d].cast("double") * F.lit(w)
         dot = term if dot is None else dot + term
     y = F.when(F.col(label_col) == positive_label, F.lit(1.0)).otherwise(F.lit(-1.0))
     ex = (
