@@ -229,17 +229,37 @@ def basket_pairs(
     can hold thousands of distinct items.
 
     Returns (ITEM_A, ITEM_B, N_AB, N_A, N_B, LIFT), ITEM_A < ITEM_B."""
-    bi = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # ONE exchange builds each basket's sorted distinct-item array
+    # (collect_set dedups repeats in the same agg -- no separate
+    # (basket, item) distinct); basket count, per-item counts and the
+    # ITEM_A < ITEM_B pair stream all derive from it without another
+    # edge-sized shuffle (the old shape paid a distinct plus a self-join)
+    # (multi-referenced, but NOT checkpointed: the three consumers share
+    # the basket agg's exchange via ReusedExchange, and re-running the
+    # cheap agg above it measured faster than materializing the arrays)
+    baskets = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .groupBy("__b")
+        .agg(F.array_sort(F.collect_set("__i")).alias("__items"))
+    )
     # 1-row broadcast total (the skew_report pattern), not a driver action
-    n_baskets = bi.agg(F.countDistinct("__b").cast("double").alias("__NB"))
-    item_counts = bi.groupBy(F.col("__i")).agg(F.count(F.lit(1)).alias("N_ITEM"))
-    a = bi.select("__b", F.col("__i").alias("ITEM_A"))
-    b = bi.select("__b", F.col("__i").alias("ITEM_B"))
+    n_baskets = baskets.agg(F.count(F.lit(1)).cast("double").alias("__NB"))
+    item_counts = (
+        baskets.select(F.explode("__items").alias("__i"))
+        .groupBy(F.col("__i"))
+        .agg(F.count(F.lit(1)).alias("N_ITEM"))
+    )
     pairs = (
-        a.join(b, "__b")
-        .filter(F.col("ITEM_A") < F.col("ITEM_B"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__items, (x, i) ->"
+                    " transform(slice(__items, i + 2, size(__items) - i - 1),"
+                    "           y -> struct(x AS ITEM_A, y AS ITEM_B))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.ITEM_A", "__p.ITEM_B")
         .groupBy("ITEM_A", "ITEM_B")
         .agg(F.count(F.lit(1)).alias("N_AB"))
         .filter(F.col("N_AB") >= min_support)
