@@ -24,6 +24,7 @@ zero exchange (plan-pinned in tests/test_graph.py).
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame
@@ -45,13 +46,32 @@ def _ckpt_big(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
-# Node-count ceiling for broadcasting the node-sized side of a hop join
-# (~16 bytes/row -> 8M nodes is a ~128 MB broadcast). Scale-adaptive by
+# Broadcast ceiling for the node-sized side of a hop join, derived from
+# ESTIMATED BUILD BYTES (VERDICT r8 item 5 / ADVICE r8: a row-count
+# ceiling of 8M justified as "~16 B/row" ignored the BroadcastHashRelation
+# overhead -- UnsafeRow headers + the hash map cost ~50-100+ bytes per
+# narrow (long, long) row, so 8M rows is really a multi-hundred-MB
+# per-executor build). The default caps the ESTIMATE at 256 MB:
+# rows_max = 256 MB / (48 B fixed + 16 B per column). Scale-adaptive by
 # DATA (the caller passes the measured node count, a driver scalar every
-# iterative operator already holds), not by core count; deployments with
-# bigger node tables set SPARK_GRAFT_GRAPH_BCAST_MAX=0 to force the
-# shuffled-hash fallback everywhere.
-_BCAST_MAX_NODES = int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX", str(8_000_000)))
+# iterative operator already holds), not by core count.
+# SPARK_GRAFT_GRAPH_BCAST_MAX (a row count) still overrides when set;
+# 0 forces the shuffled-hash fallback everywhere.
+_BCAST_MAX_NODES = (
+    int(os.environ["SPARK_GRAFT_GRAPH_BCAST_MAX"])
+    if os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX")
+    else None
+)
+_BCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX_BYTES", str(256 * 1024**2))
+)
+
+
+def _bcast_row_ceiling(n_cols: int) -> int:
+    """Row ceiling for a broadcast hash relation of ``n_cols`` narrow
+    columns under the byte budget: ~48 B/row fixed (UnsafeRow header +
+    hash-map slot/chaining) + ~16 B per long-ish column."""
+    return _BCAST_MAX_BYTES // (48 + 16 * max(n_cols, 1))
 
 
 def _node_side(frame: DataFrame, n: int) -> DataFrame:
@@ -63,14 +83,65 @@ def _node_side(frame: DataFrame, n: int) -> DataFrame:
     the edge scan shuffle- and sort-free, so a hop costs one checkpoint
     scan + the keyed contribution aggregation -- guide section 3.1's
     "broadcast the side that fits", with the fit decided by the MEASURED
-    node count rather than Catalyst's LogicalRDD size guess (which is
-    `defaultSizeInBytes`, i.e. never broadcastable). Above the ceiling,
-    shuffled-hash still beats SMJ: the node side shuffles, but neither
-    side sorts. Values are join-strategy-independent (exact integer
-    lattice), pinned by the unrolled-CTE oracles."""
-    if n <= _BCAST_MAX_NODES:
+    node count x estimated build bytes rather than Catalyst's LogicalRDD
+    size guess (which is `defaultSizeInBytes`, i.e. never broadcastable).
+    Above the ceiling, shuffled-hash still beats SMJ: the node side
+    shuffles, but neither side sorts. Values are join-strategy-independent
+    (exact integer lattice), pinned by the unrolled-CTE oracles."""
+    ceiling = (
+        _BCAST_MAX_NODES
+        if _BCAST_MAX_NODES is not None
+        else _bcast_row_ceiling(len(frame.columns))
+    )
+    if n <= ceiling:
         return F.broadcast(frame)
     return frame.hint("shuffle_hash")
+
+
+# Width policy for checkpointed frames that hop loops scan repeatedly:
+# AQE coalesces post-shuffle partitions by BYTES, so a pair stream that is
+# small on the wire (a few MB compressed) but expensive per row downstream
+# (in-row pair enumeration, 3+ hop joins, wedge closing) can materialize
+# as 1-2 partitions and serialize every hop onto 1-2 cores (measured:
+# 2.6-3.0 s single-task stages inside every copurchase pagerank hop at
+# sf0.1, and the single-task decade blowup at 100x). The repartition
+# target derives from the MEASURED row count (guide section 2: make
+# partitioning scale-adaptive from input size): at least the cluster
+# width, at most one partition per _EDGE_ROWS_PER_PART rows; frames whose
+# materialized layout already meets the target are left untouched (the
+# common case at scale, where byte-based AQE sizing is already right).
+_EDGE_ROWS_PER_PART = 2_000_000  # ~64 MB of narrow long rows
+_MIN_ROWS_TO_WIDEN = 50_000  # below this a narrow layout is fine
+
+
+def _ckpt_edges(
+    df: DataFrame, checkpoint: bool, count: bool = True
+) -> tuple[DataFrame, int | None]:
+    """Materialize a multiply-consumed edge-sized frame ONCE and give it
+    compute-proportional width. Lazy serialized localCheckpoint, then one
+    bounded count (the driver scalar most callers need anyway) to (a)
+    force materialization inside ONE query execution -- deriving nodes /
+    degrees / hops from the checkpoint instead of from parallel lineage,
+    which re-executes the whole build per consumer (exchange reuse does
+    not cross query executions; measured as the basket->pair pipeline
+    running twice per pagerank call) -- and (b) feed the width policy
+    above. Returns (frame, row_count); checkpoint=False passes the frame
+    through untouched (count=None)."""
+    if not checkpoint:
+        return df, None
+    ck = _ckpt_big(df)
+    if not count:
+        return ck, None
+    n = ck.count()
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, math.ceil(n / _EDGE_ROWS_PER_PART))
+    if n >= _MIN_ROWS_TO_WIDEN and ck.rdd.getNumPartitions() < target:
+        # keyless round-robin: skew-proof (a hub key cannot pin one
+        # partition) and deterministic under retry (sort-before-repartition
+        # is on by default); the frame is small by construction here --
+        # wide layouts skip this branch -- so the extra pass is cheap.
+        ck = _ckpt_big(ck.repartition(target))
+    return ck, n
 
 
 def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
@@ -92,21 +163,29 @@ def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     internally. Returns (NODE, DEG, N_TRIANGLES, CC_PPM) for every node
     with at least one edge.
 
+    Known hazard (ADVICE r8, the documented basket_pairs policy): the
+    in-row wedge enumeration collects each oriented source's
+    out-neighborhood into one array, so a single row holds
+    O(oriented-outdeg^2) pair structs. Degree orientation bounds the
+    oriented out-degree at ~sqrt(2E) -- tight enough for every graph this
+    engine builds -- but on an adversarial graph that is still O(E) pairs
+    in one row; cap or pre-split super-hubs upstream if the input can
+    contain one.
+
     ``und``/``deg``/``ori`` are each referenced 2-3 times downstream;
     without materialization every reference re-expands its whole subtree
     (measured: 94 input scans / 238 exchanges in the unchecked plan), so
     they are localCheckpoint'ed once and reused -- the same
     lineage-cutting discipline as connected components and pagerank.
     """
-    und = (
+    und, _ = _ckpt_edges(
         edges.select(
             F.least("SRC", "DST").alias("A"), F.greatest("SRC", "DST").alias("B")
         )
         .where(F.col("A") != F.col("B"))
-        .distinct()
+        .distinct(),
+        checkpoint,
     )
-    if checkpoint:
-        und = _ckpt_big(und)
     deg = (
         und.select(F.col("A").alias("N"))
         .unionAll(und.select(F.col("B").alias("N")))
@@ -126,6 +205,8 @@ def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
         F.when(lo_first, F.col("DB")).otherwise(F.col("DA")).alias("DDEG"),
     )
     if checkpoint:
+        # inherits width from the (possibly widened) und checkpoint via
+        # the narrow broadcast-join chain -- no second count/repartition
         ori = _ckpt_big(ori)
     # wedges enumerate IN-ROW: each oriented source's out-neighbors,
     # sorted by the same (DDEG, DST) rank the old self-join compared,
@@ -192,7 +273,11 @@ def copurchase_edges(df: DataFrame, basket_col: str, item_col: str) -> DataFrame
     # would recompute the pair stage per branch (no stage reuse across
     # union arms, measured: 33 s -> 56 s at the 10x point)
     pairs = (
+        # NULL baskets carry no co-occurrence signal (ADVICE r8: the old
+        # self-join form never matched NULL keys; groupBy would collapse
+        # them into ONE pseudo-basket and emit spurious pairs)
         df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .where(F.col("__b").isNotNull())
         .groupBy("__b")
         .agg(F.array_sort(F.collect_set("__i")).alias("__items"))
         .select(
@@ -218,43 +303,53 @@ def copurchase_edges(df: DataFrame, basket_col: str, item_col: str) -> DataFrame
 
 
 def _graph_prep(edges: DataFrame, checkpoint: bool, symmetric: bool = False):
-    """Shared PageRank preamble: degree-annotated edges, the node
-    UNIVERSE (distinct SRC union DST) with its out-degree (0 = dangling),
-    and the three bounded driver scalars (universe size, out-node count,
-    in-node count) that pick the recurrence path. Each frame that is
-    consumed more than once downstream is localCheckpoint'ed (the
-    multi-reference re-expansion discipline).
+    """Shared PageRank preamble: the materialized pair stream (SRC, DST),
+    the node UNIVERSE (distinct SRC union DST) with its out-degree
+    (0 = dangling), and the three bounded driver scalars (universe size,
+    out-node count, in-node count) that pick the recurrence path.
+
+    Round-9 shape: the pair stream is checkpointed FIRST (_ckpt_edges),
+    and everything else -- degrees, universe, scalars -- derives from the
+    checkpoint, so the (possibly expensive) edge build executes exactly
+    once; the old shape built deg/nd/ed on parallel lineage and the
+    basket->pair pipeline re-executed once per consumer query execution.
+    Degrees are NOT joined onto the edge side anymore: the hop loops fold
+    DEG into the node-sized rank frame (one edge join per hop instead of
+    two, and the edge bytes shrink by a column). The universe + degree +
+    has-in-edge flags come from ONE shuffle (a union with an origin flag
+    folded by a single groupBy), replacing union-distinct + left-join +
+    three separate count jobs with one pipeline and one scalar job.
 
     ``symmetric=True`` is the caller's contract that every edge has its
     mirror (anything built by copurchase_edges): the universe then EQUALS
-    the out-node set, so the two extra edge-sized distincts that
-    auto-detection costs (~40% of a 3-hop run, measured at the 10x
-    point) are skipped and the fast recurrence is selected directly."""
-    deg = edges.groupBy("SRC").agg(F.count(F.lit(1)).cast("long").alias("DEG"))
-    ed = edges.join(deg, "SRC")
-    if checkpoint:
-        ed = _ckpt_big(ed)
+    the out-node set, so flag detection is skipped and the fast
+    recurrence is selected directly."""
+    es, _ = _ckpt_edges(edges.select("SRC", "DST"), checkpoint)
     if symmetric:
-        nd = deg.select(F.col("SRC").alias("NODE"), "DEG")
+        nd = es.groupBy(F.col("SRC").alias("NODE")).agg(
+            F.count(F.lit(1)).cast("long").alias("DEG")
+        )
         if checkpoint:
             nd = nd.localCheckpoint(eager=False)
         n = nd.count()  # the one bounded driver scalar of the fast path
-        return ed, nd, n, n, n
-    nodes = (
-        edges.select(F.col("SRC").alias("NODE"))
-        .unionAll(edges.select(F.col("DST").alias("NODE")))
-        .distinct()
+        return es, nd, n, n, n
+    flags = es.select(F.col("SRC").alias("NODE"), F.lit(1).alias("__o")).unionAll(
+        es.select(F.col("DST").alias("NODE"), F.lit(0).alias("__o"))
     )
-    nd = nodes.join(deg, nodes["NODE"] == deg["SRC"], "left").select(
-        "NODE", F.coalesce(F.col("DEG"), F.lit(0)).cast("long").alias("DEG")
+    nd = flags.groupBy("NODE").agg(
+        F.sum("__o").cast("long").alias("DEG"),
+        F.max(1 - F.col("__o")).alias("__in"),
     )
     if checkpoint:
         nd = nd.localCheckpoint(eager=False)
-    # bounded driver scalars: one number each, never row data
-    n = nd.count()
-    n_out = nd.where(F.col("DEG") > 0).count()
-    n_in = edges.select("DST").distinct().count()
-    return ed, nd, n, n_out, n_in
+    # bounded driver scalars: ONE row of three numbers, never row data
+    row = nd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("DEG") > 0, 1).otherwise(0)).alias("n_out"),
+        F.sum("__in").alias("n_in"),
+    ).first()
+    n, n_out, n_in = int(row["n"] or 0), int(row["n_out"] or 0), int(row["n_in"] or 0)
+    return es, nd.select("NODE", "DEG"), n, n_out, n_in
 
 
 def pagerank(
@@ -323,14 +418,23 @@ def _pagerank_core(
     """The hop loop shared by :func:`pagerank` (checkpointed in-memory
     edges) and :func:`pagerank_bucketed` (catalog-bucketed edges;
     ``merge_hint`` forces SMJ so the bucketed layout is provably used --
-    each hop's executed plan has NO exchange above the edge scan)."""
+    each hop's executed plan has NO exchange above the edge scan).
+
+    ``ed`` may carry DEG (the bucketed table bakes it into the layout) or
+    be the bare (SRC, DST) pair stream -- in the latter case DEG rides the
+    NODE-SIZED rank side (one node x node join inside the broadcast/hash
+    subtree), so each hop does exactly ONE edge-sized join and the edge
+    bytes scanned per hop shrink by a column. Contributions are identical
+    integers either way (exact lattice; join shape cannot change them)."""
     tele = ((100 - damping_pct) * scale) // (100 * n)
+    deg_on_edges = "DEG" in ed.columns
     ranks = nd.select("NODE", F.lit(scale // n).cast("long").alias("R"))
     fast = n_out == n and n_in == n
     dang = nd.where(F.col("DEG") == 0).select("NODE") if not fast else None
     for _ in range(iterations):
         e = ed.hint("merge") if merge_hint else ed
-        r = ranks if merge_hint else _node_side(ranks, n)
+        r_src = ranks if deg_on_edges else ranks.join(nd, "NODE")
+        r = r_src if merge_hint else _node_side(r_src, n)
         contrib = (
             e.join(r, e["SRC"] == r["NODE"])
             .select(
@@ -496,7 +600,9 @@ def personalized_pagerank(
         F.when(is_seed, F.lit(scale // k)).otherwise(F.lit(0)).cast("long").alias("R"),
     )
     for _ in range(iterations):
-        r = _node_side(ranks, n)
+        # DEG rides the node-sized side (see _pagerank_core): one edge
+        # join per hop over the bare (SRC, DST) checkpoint
+        r = _node_side(ranks.join(nd, "NODE"), n)
         contrib = (
             ed.join(r, ed["SRC"] == r["NODE"])
             .select(
@@ -567,16 +673,17 @@ def label_propagation(
     never vanish (the round-6 pagerank discipline). Lineage is cut per
     round with localCheckpoint. Returns (NODE, COMMUNITY).
     """
+    # edges first (_ckpt_edges: one materialization + width policy), then
+    # the node universe FROM the checkpoint -- the old parallel-lineage
+    # shape re-executed the edge build once per consumer query execution
+    ed, _ = _ckpt_edges(edges.select("SRC", "DST").distinct(), checkpoint)
     nodes = (
-        edges.select(F.col("SRC").alias("NODE"))
-        .unionAll(edges.select(F.col("DST").alias("NODE")))
+        ed.select(F.col("SRC").alias("NODE"))
+        .unionAll(ed.select(F.col("DST").alias("NODE")))
         .distinct()
     )
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=False)
-    ed = edges.select("SRC", "DST").distinct()
-    if checkpoint:
-        ed = _ckpt_big(ed)
     labels = nodes.select("NODE", F.col("NODE").alias("L"))
     n = nodes.count()  # bounded driver scalar: sizes the hop-join policy
     from pyspark.sql import Window
@@ -636,13 +743,16 @@ def hits(
     init floors to zero.
 
     Returns (NODE, AUTH_NANOS, HUB_NANOS, IN_DEGREE, OUT_DEGREE)."""
-    ed = edges.select("SRC", "DST").distinct()
-    if checkpoint:
-        ed = _ckpt_big(ed)
-    nodes = (
-        ed.select(F.col("SRC").alias("NODE"))
-        .unionAll(ed.select(F.col("DST").alias("NODE")))
-        .distinct()
+    ed, _ = _ckpt_edges(edges.select("SRC", "DST").distinct(), checkpoint)
+    # universe + BOTH degrees from ONE shuffle over the checkpoint (the
+    # _graph_prep flags pattern): the old shape paid a union-distinct for
+    # nodes plus two fresh edge-sized degree aggregations at the end
+    flags = ed.select(F.col("SRC").alias("NODE"), F.lit(1).alias("__o")).unionAll(
+        ed.select(F.col("DST").alias("NODE"), F.lit(0).alias("__o"))
+    )
+    nodes = flags.groupBy("NODE").agg(
+        F.sum("__o").cast("long").alias("OUT_DEGREE"),
+        F.sum(1 - F.col("__o")).cast("long").alias("IN_DEGREE"),
     )
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=False)
@@ -673,7 +783,13 @@ def _hits_core(
     frame for both joins) and :func:`hits_bucketed` (``ed_src`` bucketed
     on SRC for the hub-pooling join, ``ed_dst`` bucketed on DST for the
     auth-pooling join; ``merge_hint`` forces SMJ so each half-step's
-    executed plan has NO exchange above its co-located edge scan)."""
+    executed plan has NO exchange above its co-located edge scan).
+
+    ``nodes`` carries (NODE, IN_DEGREE, OUT_DEGREE) -- both callers
+    compute degrees in their prep (plain hits folds them into the same
+    single shuffle that builds the universe; the bucketed twin keeps its
+    exchange-free per-copy aggregations), so the final select is one
+    node-sized join instead of two fresh edge-sized degree shuffles."""
     hubs = nodes.select("NODE", F.lit(scale // n).cast("long").alias("H"))
     auth = nodes.select("NODE", F.lit(scale // n).cast("long").alias("A"))
     es = ed_src.hint("merge") if merge_hint else ed_src
@@ -713,18 +829,9 @@ def _hits_core(
         )
         if checkpoint:
             hubs = hubs.localCheckpoint(eager=False)
-    # each degree agg groups on its copy's bucket key: in the bucketed
-    # variant both are exchange-free map-side aggregations
-    indeg = ed_dst.groupBy(F.col("DST").alias("NODE")).agg(
-        F.count(F.lit(1)).cast("long").alias("IN_DEGREE")
-    )
-    outdeg = ed_src.groupBy(F.col("SRC").alias("NODE")).agg(
-        F.count(F.lit(1)).cast("long").alias("OUT_DEGREE")
-    )
     return (
         auth.join(hubs, "NODE")
-        .join(indeg, "NODE", "left")
-        .join(outdeg, "NODE", "left")
+        .join(nodes, "NODE")
         .select(
             "NODE",
             F.col("A").alias("AUTH_NANOS"),
@@ -766,10 +873,23 @@ def hits_bucketed(
     write_bucketed(ed, f"{table}_dst", ["DST"], num_buckets, sort_cols=["DST"],
                    path=os.path.join(path, "dst") if path else None)
     ed_src, ed_dst = spark.table(f"{table}_src"), spark.table(f"{table}_dst")
+    # each degree agg groups on its copy's bucket key (exchange-free
+    # map-side aggregation); the full join assembles the universe with
+    # both degrees, replacing the old union-distinct plus the two fresh
+    # edge-sized degree shuffles the final select used to pay
+    outdeg = ed_src.groupBy(F.col("SRC").alias("NODE")).agg(
+        F.count(F.lit(1)).cast("long").alias("OUT_DEGREE")
+    )
+    indeg = ed_dst.groupBy(F.col("DST").alias("NODE")).agg(
+        F.count(F.lit(1)).cast("long").alias("IN_DEGREE")
+    )
     nodes = (
-        ed_src.select(F.col("SRC").alias("NODE"))
-        .unionAll(ed_src.select(F.col("DST").alias("NODE")))
-        .distinct()
+        outdeg.join(indeg, "NODE", "full")
+        .select(
+            "NODE",
+            F.coalesce(F.col("OUT_DEGREE"), F.lit(0)).cast("long").alias("OUT_DEGREE"),
+            F.coalesce(F.col("IN_DEGREE"), F.lit(0)).cast("long").alias("IN_DEGREE"),
+        )
     )
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=False)
@@ -818,15 +938,14 @@ def common_neighbor_link_prediction(
     NODE_A < NODE_B."""
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
-    und = (
+    und, _ = _ckpt_edges(
         edges.select(
             F.least("SRC", "DST").alias("A"), F.greatest("SRC", "DST").alias("B")
         )
         .where(F.col("A") != F.col("B"))
-        .distinct()
+        .distinct(),
+        checkpoint,
     )
-    if checkpoint:
-        und = _ckpt_big(und)
     nbr = und.select(F.col("A").alias("N"), F.col("B").alias("M")).unionAll(
         und.select(F.col("B").alias("N"), F.col("A").alias("M"))
     )
@@ -868,7 +987,8 @@ def common_neighbor_link_prediction(
     else:
         # uncapped graphs keep the self-join: a hub middle's collected
         # adjacency array would be unbounded per row, the exact hazard
-        # max_middle_degree exists to control
+        # max_middle_degree exists to control. (Width inherits from the
+        # widened und checkpoint through the narrow union/filter chain.)
         if checkpoint:
             mid = _ckpt_big(mid)
         w1 = mid.select("M", F.col("N").alias("NODE_A"))
@@ -942,21 +1062,23 @@ def katz_centrality(
     Returns (NODE, KATZ_NANOS, IN_DEGREE)."""
     if not 0 < alpha_ppm < 10**6:
         raise ValueError(f"alpha_ppm must be in (0, 1e6), got {alpha_ppm}")
-    ed = edges.select("SRC", "DST").distinct()
-    if checkpoint:
-        ed = _ckpt_big(ed)
-    nodes = (
-        ed.select(F.col("SRC").alias("NODE"))
-        .unionAll(ed.select(F.col("DST").alias("NODE")))
-        .distinct()
+    # edges first (_ckpt_edges), then universe + in-degree from ONE
+    # shuffle over the checkpoint (the _graph_prep flags pattern); n and
+    # max_in ride a single scalar job over the node frame
+    ed, _ = _ckpt_edges(edges.select("SRC", "DST").distinct(), checkpoint)
+    flags = ed.select(F.col("SRC").alias("NODE"), F.lit(0).alias("__i")).unionAll(
+        ed.select(F.col("DST").alias("NODE"), F.lit(1).alias("__i"))
+    )
+    nodes = flags.groupBy("NODE").agg(
+        F.sum("__i").cast("long").alias("IN_DEGREE")
     )
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=False)
-    indeg = ed.groupBy(F.col("DST").alias("NODE")).agg(
-        F.count(F.lit(1)).cast("long").alias("IN_DEGREE")
-    )
-    row = indeg.agg(F.max("IN_DEGREE").alias("m")).collect()
-    max_in = int(row[0]["m"] or 0)  # bounded driver scalar
+    srow = nodes.agg(
+        F.count(F.lit(1)).alias("n"), F.max("IN_DEGREE").alias("m")
+    ).first()
+    n = int(srow["n"] or 0)
+    max_in = int(srow["m"] or 0)  # bounded driver scalar
     # exact worst-case replay of the lattice recurrence on driver ints:
     # every node's X is bounded by X_{t+1} = max_in * ((alpha_ppm *
     # (scale + X_t)) div 1e6); raise only if the per-edge product or the
@@ -972,7 +1094,6 @@ def katz_centrality(
                 f"max_in_degree={max_in}, scale={scale}) -- lower "
                 "alpha_ppm, scale, or iterations"
             )
-    n = nodes.count()  # bounded driver scalar: sizes the hop-join policy
     x = nodes.select("NODE", F.lit(0).cast("long").alias("X"))
     for _ in range(iterations):
         xs = _node_side(x, n)
@@ -994,7 +1115,7 @@ def katz_centrality(
         if checkpoint:
             x = x.localCheckpoint(eager=False)
     return (
-        x.join(indeg, "NODE", "left")
+        x.join(nodes, "NODE", "left")
         .select(
             "NODE",
             F.col("X").alias("KATZ_NANOS"),
@@ -1039,9 +1160,7 @@ def bfs_hops(
     )
     visited = seeds.select("NODE", F.lit(0).cast("long").alias("HOPS"))
     frontier = visited.select("NODE")
-    ed = edges.select("SRC", "DST").distinct()
-    if checkpoint:
-        ed = _ckpt_big(ed)
+    ed, _ = _ckpt_edges(edges.select("SRC", "DST").distinct(), checkpoint)
     fsize = len(set(sources))  # frontier cardinality, tracked per round
     for h in range(1, max_hops + 1):
         fr = _node_side(frontier, fsize)
@@ -1095,19 +1214,24 @@ def pagerank_weighted(
     weights to ~9e6 -- rescale weights (only ratios matter) beyond that.
 
     Returns (NODE, RANK_PICOS, OUT_STRENGTH)."""
-    ew = _weighted_edges(edges, weight_col)
-    st = ew.groupBy("SRC").agg(F.sum("__w").cast("long").alias("__S"))
-    ed = ew.join(st, "SRC")
+    # weighted edges first (_ckpt_edges: one materialization + width
+    # policy); the node universe WITH out-strength comes from ONE shuffle
+    # over the checkpoint (SRC arm carries __w, DST arm carries 0, so
+    # sum(__w) per NODE is exactly the out-strength -- 0 for dangling)
+    ew, _ = _ckpt_edges(_weighted_edges(edges, weight_col), checkpoint)
+    flags = ew.select(F.col("SRC").alias("NODE"), F.col("__w")).unionAll(
+        ew.select(F.col("DST").alias("NODE"), F.lit(0).cast("long").alias("__w"))
+    )
+    nd = flags.groupBy("NODE").agg(F.sum("__w").cast("long").alias("__S"))
     if checkpoint:
-        ed = _ckpt_big(ed)
-    nd = _weighted_nodes(ew, st, checkpoint)
+        nd = nd.localCheckpoint(eager=False)
     n = nd.count()
     if n == 0:
         return edges.sparkSession.createDataFrame(
             [], "NODE long, RANK_PICOS long, OUT_STRENGTH long"
         )
     return _pagerank_weighted_core(
-        ed, nd, n, iterations, scale, damping_pct, checkpoint
+        ew, nd, n, iterations, scale, damping_pct, checkpoint
     )
 
 
@@ -1119,19 +1243,6 @@ def _weighted_edges(edges: DataFrame, weight_col: str) -> DataFrame:
         .groupBy("SRC", "DST")
         .agg(F.sum("__w").cast("long").alias("__w"))
     )
-
-
-def _weighted_nodes(ew: DataFrame, st: DataFrame, checkpoint: bool) -> DataFrame:
-    """(NODE, __S): the full node universe with out-strength (0 = dangling)."""
-    nodes = (
-        ew.select(F.col("SRC").alias("NODE"))
-        .unionAll(ew.select(F.col("DST").alias("NODE")))
-        .distinct()
-    )
-    nd = nodes.join(st, nodes["NODE"] == st["SRC"], "left").select(
-        "NODE", F.coalesce(F.col("__S"), F.lit(0)).cast("long").alias("__S")
-    )
-    return nd.localCheckpoint(eager=False) if checkpoint else nd
 
 
 def _pagerank_weighted_core(
@@ -1149,13 +1260,18 @@ def _pagerank_weighted_core(
     (catalog-bucketed edges; ``merge_hint`` forces SMJ so each hop's
     executed plan has NO exchange above the bucketed edge scan -- the
     same discipline as :func:`_pagerank_core`). ``ed`` carries
-    (SRC, DST, __w, __S); ``nd`` carries (NODE, __S)."""
+    (SRC, DST, __w) -- plus __S when the bucketed table bakes strength
+    into the layout; otherwise __S rides the node-sized rank side (one
+    edge join per hop, see :func:`_pagerank_core`); ``nd`` carries
+    (NODE, __S)."""
     tele = ((100 - damping_pct) * scale) // (100 * n)
+    strength_on_edges = "__S" in ed.columns
     dang = nd.where(F.col("__S") == 0).select("NODE")
     ranks = nd.select("NODE", F.lit(scale // n).cast("long").alias("R"))
     for _ in range(iterations):
         e = ed.hint("merge") if merge_hint else ed
-        r = ranks if merge_hint else _node_side(ranks, n)
+        r_src = ranks if strength_on_edges else ranks.join(nd, "NODE")
+        r = r_src if merge_hint else _node_side(r_src, n)
         contrib = (
             e.join(r, e["SRC"] == r["NODE"])
             .select(
@@ -1295,13 +1411,16 @@ def sssp_hops(
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sorted(set(sources))], "NODE long, DIST long"
     )
-    ed = edges.select(
-        F.col("SRC"), F.col("DST"), F.col("W").cast("bigint").alias("W")
+    # checkpoint FIRST, validate against the blocks: the old order ran the
+    # edge build once for the negative-weight probe and again for the
+    # checkpoint materialization (exchange reuse does not cross query
+    # executions)
+    ed, _ = _ckpt_edges(
+        edges.select(F.col("SRC"), F.col("DST"), F.col("W").cast("bigint").alias("W")),
+        checkpoint,
     )
     if bool(ed.where(F.col("W") < 0).head(1)):
         raise ValueError("sssp_hops requires non-negative edge weights")
-    if checkpoint:
-        ed = _ckpt_big(ed)
     dsize = len(set(sources))  # distance-map cardinality, tracked per round
     for h in range(max_hops):
         dm = _node_side(dist, dsize)
@@ -1315,6 +1434,10 @@ def sssp_hops(
         )
         if checkpoint:
             dist = dist.localCheckpoint(eager=False)
-        if h + 1 < max_hops:  # bounded scalar sizing the next round's policy
-            dsize = dist.count()
+            if h + 1 < max_hops:  # bounded scalar sizing the next round's
+                dsize = dist.count()  # policy; ALSO shares the round's
+                # materialization with the next hop's broadcast. With
+                # checkpoint=False the lineage is never cut, so a per-hop
+                # count would recompute every prior hop (O(h^2), ADVICE
+                # r8) -- keep the seed-count policy instead.
     return dist

@@ -238,7 +238,11 @@ def basket_pairs(
     # the basket agg's exchange via ReusedExchange, and re-running the
     # cheap agg above it measured faster than materializing the arrays)
     baskets = (
+        # NULL baskets carry no pair signal and must not count in the
+        # lift denominator (ADVICE r8: the old self-join never matched
+        # NULL keys; groupBy would collapse them into ONE pseudo-basket)
         df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .where(F.col("__b").isNotNull())
         .groupBy("__b")
         .agg(F.array_sort(F.collect_set("__i")).alias("__items"))
     )

@@ -746,3 +746,46 @@ class TestSsspHops:
         edges = self._edges(spark, [(1, 2, -5)])
         with pytest.raises(ValueError, match="non-negative"):
             sssp_hops(edges, [1], 2)
+
+
+class TestNodeSidePolicy:
+    """Byte-derived broadcast ceiling (VERDICT r8 item 5): the default
+    ceiling comes from estimated BroadcastHashRelation bytes, and counts
+    above it fall back to the shuffled-hash hint, never SMJ."""
+
+    def test_default_ceiling_is_byte_derived(self):
+        from aws_glue_cdc_metrics_job_spark.operators import graph as G
+
+        # 2-col node frame under the default 256 MB budget: 48 + 16*2 = 80
+        # bytes/row -> ~3.3M rows; the old 8M row default is ABOVE it
+        ceiling = G._bcast_row_ceiling(2)
+        assert ceiling == (256 * 1024**2) // 80
+        assert ceiling < 8_000_000
+
+    def test_fallback_is_shuffled_hash_above_ceiling(self, spark):
+        from aws_glue_cdc_metrics_job_spark.operators import graph as G
+
+        frame = spark.createDataFrame([(1, 2)], "NODE long, R long")
+        over = G._bcast_row_ceiling(2) + 1
+        plan = G._node_side(frame, over)._jdf.queryExecution().logical().toString()
+        assert "shuffle_hash" in plan.lower()
+        under = G._node_side(frame, 10)._jdf.queryExecution().logical().toString()
+        assert "broadcast" in under.lower()
+
+
+def test_null_baskets_emit_no_pairs(spark):
+    """ADVICE r8: NULL basket ids must produce no co-occurrence pairs
+    (the pre-r8 self-join semantics), not collapse into one pseudo-basket."""
+    from aws_glue_cdc_metrics_job_spark.operators.relational import basket_pairs
+
+    rows = [(None, 1), (None, 2), (None, 3), ("b1", 1), ("b1", 2)]
+    df = spark.createDataFrame(rows, "b string, i long")
+    got = basket_pairs(df, "b", "i", min_support=1).collect()
+    assert [(r["ITEM_A"], r["ITEM_B"], r["N_AB"], r["N_A"], r["N_B"]) for r in got] == [
+        (1, 2, 1, 1, 1)
+    ]
+    # LIFT denominator counts only the one real basket
+    assert got[0]["LIFT"] == 1.0
+
+    edges = copurchase_edges(df, "b", "i")
+    assert sorted((r["SRC"], r["DST"]) for r in edges.collect()) == [(1, 2), (2, 1)]
