@@ -343,7 +343,9 @@ def minhash_index(
     copy-heavy corpora; measured 11.76x for 10x data at 100 copies/doc in
     BENCH r7, the one >10x decade ratio."""
     sighset, banded = _minhash_sighset_bands(df, id_col, text_col, n, num_perm, bands, seed)
-    reps = _hset_exemplars(sighset, id_col)
+    # reps feeds BOTH outputs: checkpoint the id list (doc-id-sized) so
+    # the md5(sorted-hset-json) exemplar pass runs once, not per consumer
+    reps = _hset_exemplars(sighset, id_col).localCheckpoint(eager=False)
     return (
         banded.join(reps, id_col, "left_semi"),
         sighset.select(id_col, "hset").join(reps, id_col, "left_semi"),
@@ -404,7 +406,10 @@ def minhash_dedup_incremental(
     b_sighset, b_banded = _minhash_sighset_bands(
         batch, id_col, text_col, n, num_perm, bands, seed
     )
-    reps = _hset_exemplars(b_sighset, id_col)
+    # reps feeds THREE consumers (band filter, hset filter, non-exemplar
+    # anti-join): checkpoint the id list so the md5(sorted-hset-json)
+    # exemplar pass runs once, not once per consumer query execution
+    reps = _hset_exemplars(b_sighset, id_col).localCheckpoint(eager=False)
     rep_banded = b_banded.join(reps, id_col, "left_semi")
     rep_hsets = (
         b_sighset.select(id_col, "hset").join(reps, id_col, "left_semi")

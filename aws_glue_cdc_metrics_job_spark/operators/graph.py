@@ -504,6 +504,9 @@ def pagerank_bucketed(
     from ..sources.parquet_io import write_bucketed
 
     spark = edges.sparkSession
+    # NB: deg + join + write share ONE query execution (exchange reuse
+    # covers the build); checkpointing the pair stream first was measured
+    # SLOWER at the decade point (an extra full materialization pass)
     deg = edges.groupBy("SRC").agg(F.count(F.lit(1)).cast("long").alias("DEG"))
     write_bucketed(
         edges.join(deg, "SRC"),
@@ -867,7 +870,9 @@ def hits_bucketed(
     from ..sources.parquet_io import write_bucketed
 
     spark = edges.sparkSession
-    ed = edges.select("SRC", "DST").distinct()
+    # one materialization feeds BOTH bucketed writes (the old shape ran
+    # the distinct once per write), at measured-row width
+    ed, _ = _ckpt_edges(edges.select("SRC", "DST").distinct(), True)
     write_bucketed(ed, f"{table}_src", ["SRC"], num_buckets, sort_cols=["SRC"],
                    path=os.path.join(path, "src") if path else None)
     write_bucketed(ed, f"{table}_dst", ["DST"], num_buckets, sort_cols=["DST"],
@@ -1335,6 +1340,8 @@ def pagerank_weighted_bucketed(
     from ..sources.parquet_io import write_bucketed
 
     spark = edges.sparkSession
+    # strength + join + write share ONE query execution (see
+    # pagerank_bucketed: a pre-write checkpoint measured slower)
     ew = _weighted_edges(edges, weight_col)
     st = ew.groupBy("SRC").agg(F.sum("__w").cast("long").alias("__S"))
     # persist with catalog-friendly names; re-alias to the core's contract

@@ -915,7 +915,13 @@ def word_bigrams(text_col: str = "text") -> F.Column:
     with its 1-shifted slice (zip_with pads the shorter side with NULL;
     the padded tail row is dropped by the w2 filter). Pure collection
     expressions -- codegen'd, no explode until the caller asks."""
-    t = tokens(text_col)
+    return _bigrams_of(tokens(text_col))
+
+
+def _bigrams_of(t: F.Column) -> F.Column:
+    """word_bigrams over an ALREADY-TOKENIZED array expression -- the
+    tokenize-once entry point for pipelines that materialize the token
+    arrays and feed several models from the same pass."""
     shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
     pairs = F.zip_with(t, shifted, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
     return F.filter(pairs, lambda p: p["w2"].isNotNull())
@@ -929,6 +935,7 @@ def dsir_weights(
     buckets: int = 1024,
     seed: str = "dsir0",
     portable: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (Xie et al. 2023) log
     importance weights over hashed word-bigram features: docs whose hashed
@@ -959,11 +966,18 @@ def dsir_weights(
     # one JVM xxhash64 per bigram -- same model semantics under a
     # different (still deterministic) feature hash, NOT oracle-replayable;
     # the 100TB default, same convention as sketches._cm_col.
+    # tokens_col: consume a PRE-TOKENIZED array column instead of
+    # re-normalizing/splitting text -- the tokenize-once contract for
+    # composite pipelines (bigrams of the array are expression-identical
+    # to bigrams of the text, so results cannot differ)
+    bg = (
+        _bigrams_of(F.col(tokens_col)) if tokens_col else word_bigrams(text_col)
+    )
     bk = _dsir_bucket(seed, buckets, portable)
     occ = df.select(
         F.col(id_col),
         target.cast("boolean").alias("__is_t"),
-        F.explode(word_bigrams(text_col)).alias("__p"),
+        F.explode(bg).alias("__p"),
     ).select(id_col, "__is_t", bk.alias("__b"))
     # collapse the occurrence stream to (doc, bucket, multiplicity) BEFORE
     # any join: the log-ratio is constant per bucket, so sum(cnt * lr) ==
@@ -1005,6 +1019,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.75,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Interpolated bigram language-model surprisal per document -- the
     next step up from :func:`unigram_logprob` as a perplexity-style
@@ -1026,7 +1041,11 @@ def bigram_logprob(
 
     Returns (id_col, N_BIGRAMS, AVG_NEG_LOGPROB); docs with < 2 tokens
     are dropped."""
-    occ = df.select(F.col(id_col), F.explode(word_bigrams(text_col)).alias("__p")).select(
+    # tokens_col: see dsir_weights -- the tokenize-once entry point
+    bg = (
+        _bigrams_of(F.col(tokens_col)) if tokens_col else word_bigrams(text_col)
+    )
+    occ = df.select(F.col(id_col), F.explode(bg).alias("__p")).select(
         id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
     )
     # collapse to per-doc distinct bigrams with multiplicities before the
@@ -1037,7 +1056,9 @@ def bigram_logprob(
     docpair = occ.groupBy(id_col, "__w1", "__w2").agg(F.count(F.lit(1)).alias("__k"))
     pair = docpair.groupBy("__w1", "__w2").agg(F.sum("__k").alias("__c12"))
     starts = pair.groupBy("__w1").agg(F.sum("__c12").alias("__c1s"))
-    toks = df.select(F.explode(tokens(text_col)).alias("__w2"))
+    toks = df.select(
+        F.explode(F.col(tokens_col) if tokens_col else tokens(text_col)).alias("__w2")
+    )
     uni = toks.groupBy("__w2").agg(F.count(F.lit(1)).alias("__c2"))
     n_tot = toks.agg(F.count(F.lit(1)).alias("__n"))
     p = F.lit(lam) * (F.col("__c12") / F.col("__c1s")) + F.lit(1.0 - lam) * (

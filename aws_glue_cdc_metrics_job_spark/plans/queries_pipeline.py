@@ -2735,14 +2735,28 @@ def q_docs_selection_pipeline(spark: SparkSession, sf_dir: str):
     doc-keyed, the selection windows run per language, and Catalyst
     shares the filtered scan across the two models."""
     docs = read_table(spark, sf_dir, "documents")
+    # Tokenize + structurally filter ONCE, checkpoint the surviving token
+    # arrays, and feed both models from the checkpoint (the operators'
+    # tokens_col entry point). The old shape re-ran the documents scan +
+    # regex normalization + split once per model branch and once for the
+    # join spine -- ~5 full tokenization passes, the dominant cost of the
+    # composite at the decade point. Bigrams/unigrams of the materialized
+    # arrays are expression-identical to bigrams of the text, so the
+    # oracle-pinned output cannot change.
     toks = text.tokens("text")
-    n = F.size(toks)
-    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-    fil = docs.filter(
-        n.between(3, 500) & (sum_len >= 2 * n) & (sum_len <= 12 * n)
+    base = docs.select("doc_id", "lang", toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    sum_len = F.aggregate(
+        F.col("__toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    lm = text.bigram_logprob(fil, lam=0.75)
-    wt = text.dsir_weights(fil, target=F.col("lang") == "en", buckets=1024, seed="dsir0")
+    fil = base.filter(
+        n.between(3, 500) & (sum_len >= 2 * n) & (sum_len <= 12 * n)
+    ).localCheckpoint(eager=False)
+    lm = text.bigram_logprob(fil, lam=0.75, tokens_col="__toks")
+    wt = text.dsir_weights(
+        fil, target=F.col("lang") == "en", buckets=1024, seed="dsir0",
+        tokens_col="__toks",
+    )
     joined = (
         fil.select("doc_id", "lang")
         .join(lm, "doc_id")
