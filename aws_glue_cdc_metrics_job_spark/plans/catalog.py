@@ -37,74 +37,56 @@ def query(name: str, oracle: str | None = None):
 
 # The driver grades the FIRST 50 catalog entries (served in this order)
 # each round. Window history: r2 graded one representative per mechanism;
-# r3 rotated onto the then-ungraded tail; r4 graded the 22 post-r3
-# additions plus the r4-new and rows-only entries; r5 graded the 39
-# post-r4 additions plus insurance re-grades (CORRECTNESS_r05: 46/50
-# full oracle match, 4 rows-only by design, zero failures).
+# r3 rotated onto the then-ungraded tail; r4-r5 graded the post-window
+# additions; r8 graded everything born in the interrupted round-8 build
+# (CORRECTNESS_r08: 47/50 full match, 3 rows-only by design, zero
+# failures).
 #
-# Round 8 (this window): the head is everything NEW in round 8 — the
-# second-batch additions (rank-sum / survival / drift / calibration /
-# target-encoding / MAD statistics, U-shape attribution, lakehouse
-# DELETE + MERGE + CDF + schema evolution, NDCG, MMR, fuzzy blocking,
-# l-diversity — all born with full oracles), the first-batch heavy-tie
-# percentile pin and growing-alpha Katz twin, then the round-7
-# additions holding their green
-# rows, then insurance re-grades for every entry whose PLAN changed in
-# round 8: the quantile family rides the new tie-isolating
-# _order_statistics (mart_customer_clv_segment,
-# events_value_exact_percentiles), supply_katz_centrality gained the
-# exact-accumulator overflow guard, docs_incremental_near_dedup gained
-# exemplar compaction, and EVERY order_revenue consumer (the 10 gold
-# marts + order_revenue + fact_ltv_daily + the ltv snapshot) rides the
-# single-scan inline() options build + eager silver materialization.
-# Everything else keeps its r2-r7 green row as evidence.
+# Round 9 (this window, an optimization round): the head is every query
+# whose OPERATOR PLAN round 9 changed — the full iterative-graph family
+# (edge-frame materialization order, width policy, degree-on-rank-side
+# hop joins, byte-ceiling broadcast policy), the tokenize-once
+# selection-pipeline/bigram/DSIR path, the exemplar-checkpoint minhash
+# dedup path, and basket_pairs' NULL-basket filter — then the three
+# rows-only-by-design members of the r8 window PAIRED with their exact
+# oracle-green twins (VERDICT r8 item 8: the window should show the
+# pairing), the two r8 hot-spot queries now under min-of-two, and the
+# standing insurance re-grades of the reference gold surface + BASELINE
+# anchors. Everything else keeps its r2-r8 green row as evidence.
 GRADE_FIRST: list[str] = [
-    # -- NEW in round 8 (second batch: nonparametric testing, survival,
-    # drift, attribution, lakehouse DELETE, seasonal decomposition)
-    "events_mann_whitney",
-    "customers_survival_hazard",
-    "events_value_drift",
-    "events_attribution_ushape",
-    "orders_versioned_delete",
-    "orders_seasonal_decompose",
-    "orders_versioned_merge",
-    "orders_version_changes",
-    "docs_bm25_ndcg",
-    "events_calibration_bins",
-    "orders_target_encoding",
-    "events_daily_mad_anomalies",
-    "events_l_diversity",
-    "emb_mmr_select",
-    "orders_schema_evolution",
-    "customers_name_fuzzy_pairs",
-    "lineitem_correlation_matrix",
-    "supply_sssp_3hops",
-    # -- NEW in round 8
-    "lineitem_qty_tied_percentiles",
-    "supply_katz_centrality_growing",
-    "orders_compacted_snapshot",
-    "docs_incremental_near_dedup",
-    "docs_minhash_lsh_pairs",
-    # -- NEW in round 7
-    "mart_customer_clv_segment_approx",
-    "parts_copurchase_pagerank_weighted_bucketed",
-    "supply_hits_scores_bucketed",
-    "events_value_exact_percentiles",
-    "supply_katz_centrality",
-    "orders_time_travel",
-    "docs_stratified_kfold",
-    "events_pr_curve",
-    "docs_mojibake_screen",
-    # -- graduated from rows-only to full oracles in round 7
-    "emb_ivf_pq_topk",
-    "multimodal_features",
-    # -- plan/oracle touched in round 7
-    "mart_customer_clv_segment",
-    "events_gini_best_split",
-    "lineitem_zorder_buckets",
-    "supply_hits_scores",
+    # -- round-9 plan changes: iterative graph family
+    "supply_pagerank_directed",
+    "parts_copurchase_pagerank",
+    "parts_copurchase_pagerank_bucketed",
     "parts_copurchase_pagerank_weighted",
-    # -- VERDICT r6 item 2: re-validate the reference's gold surface
+    "parts_copurchase_pagerank_weighted_bucketed",
+    "parts_affinity_pagerank",
+    "parts_copurchase_communities",
+    "parts_bfs_reach",
+    "supply_sssp_3hops",
+    "supply_hits_scores",
+    "supply_hits_scores_bucketed",
+    "supply_katz_centrality",
+    "supply_katz_centrality_growing",
+    "parts_copurchase_triangles",
+    "parts_link_prediction",
+    "lineitem_basket_pairs",
+    # -- round-9 plan changes: tokenize-once text path
+    "docs_selection_pipeline",
+    "docs_dsir_weights",
+    "docs_bigram_logprob",
+    "docs_bigram_ppx_scored",
+    # -- r8-window rows-only members paired with their exact twins
+    "docs_incremental_near_dedup",
+    "docs_incremental_dedup",
+    "docs_minhash_lsh_pairs",
+    "docs_ngram_jaccard_pairs",
+    "mart_customer_clv_segment_approx",
+    "mart_customer_clv_segment",
+    # -- r8 hot-spot queries (VERDICT r8 items 1-2; now MIN2 in bench)
+    "emb_kmeans_update",
+    "events_value_bootstrap_ci",
+    # -- standing insurance: the reference's gold surface
     "order_revenue",
     "fact_ltv_daily",
     "mart_customer_ltv_snapshot",
@@ -117,8 +99,7 @@ GRADE_FIRST: list[str] = [
     "mart_loyalty_program_impact",
     "mart_location_performance",
     "mart_discount_effectiveness",
-    # -- insurance re-grades: the restored BASELINE.md anchors (back in
-    # the bench HEADLINE this round) and a cross-family heavy sample
+    # -- standing insurance: BASELINE.md anchors + heavy cross-family
     "events_asof_attribution",
     "events_interval_join",
     "customers_semi_urgent",
@@ -128,13 +109,7 @@ GRADE_FIRST: list[str] = [
     "pricing_summary",
     "cdc_snapshot_diff",
     "cdc_apply_changes",
-    "scd2_user_dim",
     "events_sessionize",
-    "docs_bm25_topk",
-    "docs_exact_dedup",
-    "docs_dup_substring_spans",
-    "emb_pq_adc_topk",
-    "dq_orders_report",
 ]
 
 
