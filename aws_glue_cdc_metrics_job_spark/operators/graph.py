@@ -1422,13 +1422,22 @@ def sssp_hops(
     # edge build once for the negative-weight probe and again for the
     # checkpoint materialization (exchange reuse does not cross query
     # executions)
-    ed, _ = _ckpt_edges(
+    ed, e_cnt = _ckpt_edges(
         edges.select(F.col("SRC"), F.col("DST"), F.col("W").cast("bigint").alias("W")),
         checkpoint,
     )
     if bool(ed.where(F.col("W") < 0).head(1)):
         raise ValueError("sssp_hops requires non-negative edge weights")
     dsize = len(set(sources))  # distance-map cardinality, tracked per round
+    # the distance map can never exceed |sources| + |edges| (only DST
+    # nodes enter): when that bound fits the broadcast ceiling the policy
+    # can never flip to shuffled-hash, so the per-hop sizing counts are
+    # pure overhead -- skip them (the measured e_cnt makes the bound a
+    # certainty, not a guess)
+    cap = (
+        _BCAST_MAX_NODES if _BCAST_MAX_NODES is not None else _bcast_row_ceiling(2)
+    )
+    never_shj = e_cnt is not None and dsize + e_cnt <= cap
     for h in range(max_hops):
         dm = _node_side(dist, dsize)
         relaxed = ed.join(dm, ed["SRC"] == dm["NODE"]).select(
@@ -1441,10 +1450,11 @@ def sssp_hops(
         )
         if checkpoint:
             dist = dist.localCheckpoint(eager=False)
-            if h + 1 < max_hops:  # bounded scalar sizing the next round's
-                dsize = dist.count()  # policy; ALSO shares the round's
-                # materialization with the next hop's broadcast. With
-                # checkpoint=False the lineage is never cut, so a per-hop
-                # count would recompute every prior hop (O(h^2), ADVICE
-                # r8) -- keep the seed-count policy instead.
+            if h + 1 < max_hops and not never_shj:
+                # bounded scalar sizing the next round's policy; ALSO
+                # shares the round's materialization with the next hop's
+                # broadcast. With checkpoint=False the lineage is never
+                # cut, so a per-hop count would recompute every prior hop
+                # (O(h^2), ADVICE r8) -- the seed-count policy stands.
+                dsize = dist.count()
     return dist
